@@ -1,0 +1,619 @@
+"""Pure-numpy computational-geometry kernel.
+
+Replaces the reference's shapely/GEOS layer (pandarus/utils/geometry.py)
+with a from-scratch implementation sized for use inside Arrow-batched
+pandas UDFs.  Geometries travel through Spark as OGC WKB ``binary``
+columns; inside a UDF batch they are decoded to plain dicts shaped like
+GeoJSON::
+
+    {"type": "Polygon", "coordinates": [exterior_ring, hole, ...]}
+
+with every ring / line an ``(N, 2) float64`` ndarray.
+
+Semantics ported from the reference (file:line cites into /root/reference):
+
+* geometry kinds collapse to ``point|line|polygon``
+  (utils/geometry.py:134-146);
+* measures: polygon -> area, line -> length, point -> count
+  (utils/geometry.py:149-174), computed on Mollweide-projected vertices;
+* intersection keeps only components of the *from* side's kind
+  (recursive_geom_finder, utils/geometry.py:31-71) and is emitted as a
+  Multi* geometry;
+* boundary contact counts as intersection — a point/line on a shared
+  polygon border belongs to BOTH neighbours (documented double-count,
+  utils/geometry.py:107-110);
+* invalid inputs are repaired or dropped (clean_geom,
+  utils/geometry.py:22-28): we close open rings and drop zero-area
+  output instead of GEOS buffer(0).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .projection import mollweide_forward
+
+# --------------------------------------------------------------------------
+# WKB codec (OGC simple features, 2-D, little-endian on write)
+# --------------------------------------------------------------------------
+
+_WKB_TYPES = {
+    1: "Point", 2: "LineString", 3: "Polygon",
+    4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+_WKB_CODES = {v: k for k, v in _WKB_TYPES.items()}
+
+
+def wkb_dumps(geom: dict) -> bytes:
+    """Encode a geometry dict to little-endian OGC WKB."""
+    out = bytearray()
+    _wkb_write(out, geom)
+    return bytes(out)
+
+
+def _wkb_write(out: bytearray, geom: dict) -> None:
+    t = geom["type"]
+    out += b"\x01" + struct.pack("<I", _WKB_CODES[t])
+    c = geom["coordinates"] if t != "GeometryCollection" else None
+    if t == "Point":
+        out += struct.pack("<dd", float(c[0]), float(c[1]))
+    elif t == "LineString":
+        arr = np.asarray(c, dtype="<f8")
+        out += struct.pack("<I", len(arr)) + arr.tobytes()
+    elif t == "Polygon":
+        out += struct.pack("<I", len(c))
+        for ring in c:
+            arr = np.asarray(ring, dtype="<f8")
+            out += struct.pack("<I", len(arr)) + arr.tobytes()
+    elif t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        part = t[5:]
+        out += struct.pack("<I", len(c))
+        for sub in c:
+            _wkb_write(out, {"type": part, "coordinates": sub})
+    else:  # GeometryCollection
+        geoms = geom["geometries"]
+        out += struct.pack("<I", len(geoms))
+        for g in geoms:
+            _wkb_write(out, g)
+
+
+def wkb_loads(buf: bytes) -> dict:
+    """Decode OGC WKB (either endianness) to a geometry dict."""
+    geom, _ = _wkb_read(memoryview(buf), 0)
+    return geom
+
+
+def _wkb_read(mv: memoryview, off: int) -> tuple[dict, int]:
+    bo = "<" if mv[off] == 1 else ">"
+    (code,) = struct.unpack_from(bo + "I", mv, off + 1)
+    code &= 0xFF  # strip any EWKB flags
+    t = _WKB_TYPES[code]
+    off += 5
+    if t == "Point":
+        x, y = struct.unpack_from(bo + "dd", mv, off)
+        return {"type": t, "coordinates": np.array([x, y])}, off + 16
+    if t == "LineString":
+        (n,) = struct.unpack_from(bo + "I", mv, off); off += 4
+        arr = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off).reshape(n, 2).astype(np.float64)
+        return {"type": t, "coordinates": arr}, off + 16 * n
+    if t == "Polygon":
+        (nr,) = struct.unpack_from(bo + "I", mv, off); off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", mv, off); off += 4
+            rings.append(np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off).reshape(n, 2).astype(np.float64))
+            off += 16 * n
+        return {"type": t, "coordinates": rings}, off
+    if t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        (n,) = struct.unpack_from(bo + "I", mv, off); off += 4
+        parts = []
+        for _ in range(n):
+            sub, off = _wkb_read(mv, off)
+            parts.append(sub["coordinates"])
+        return {"type": t, "coordinates": parts}, off
+    # GeometryCollection
+    (n,) = struct.unpack_from(bo + "I", mv, off); off += 4
+    geoms = []
+    for _ in range(n):
+        sub, off = _wkb_read(mv, off)
+        geoms.append(sub)
+    return {"type": t, "geometries": geoms}, off
+
+
+# --------------------------------------------------------------------------
+# Kinds, bounds, normalization
+# --------------------------------------------------------------------------
+
+KIND = {
+    "Point": "point", "MultiPoint": "point",
+    "LineString": "line", "LinearRing": "line", "MultiLineString": "line",
+    "Polygon": "polygon", "MultiPolygon": "polygon",
+}
+
+
+def geom_kind(geom: dict) -> str:
+    """Geometry type -> point|line|polygon (reference utils/geometry.py:134-146)."""
+    t = geom["type"]
+    if t == "GeometryCollection":
+        kinds = {geom_kind(g) for g in geom["geometries"]}
+        if len(kinds) == 1:
+            return kinds.pop()
+        raise ValueError("mixed-kind GeometryCollection has no single kind")
+    return KIND[t]
+
+
+def _iter_coord_arrays(geom: dict):
+    t = geom["type"]
+    c = geom.get("coordinates")
+    if t == "Point":
+        yield np.asarray(c, dtype=np.float64).reshape(1, 2)
+    elif t in ("LineString", "MultiPoint"):
+        yield np.asarray(c, dtype=np.float64).reshape(-1, 2)
+    elif t in ("Polygon", "MultiLineString"):
+        for part in c:
+            yield np.asarray(part, dtype=np.float64).reshape(-1, 2)
+    elif t == "MultiPolygon":
+        for poly in c:
+            for ring in poly:
+                yield np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    else:
+        for g in geom["geometries"]:
+            yield from _iter_coord_arrays(g)
+
+
+def bounds(geom: dict) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) — the R-tree key of the reference (model.py:142-150)."""
+    mnx = mny = np.inf
+    mxx = mxy = -np.inf
+    for arr in _iter_coord_arrays(geom):
+        if len(arr) == 0:
+            continue
+        mnx = min(mnx, float(arr[:, 0].min())); mxx = max(mxx, float(arr[:, 0].max()))
+        mny = min(mny, float(arr[:, 1].min())); mxy = max(mxy, float(arr[:, 1].max()))
+    return (mnx, mny, mxx, mxy)
+
+
+def transform_geom(geom: dict, fn) -> dict:
+    """Apply ``fn(x_array, y_array) -> (x, y)`` to every vertex."""
+    t = geom["type"]
+    if t == "GeometryCollection":
+        return {"type": t, "geometries": [transform_geom(g, fn) for g in geom["geometries"]]}
+
+    def tx(arr):
+        arr = np.asarray(arr, dtype=np.float64)
+        single = arr.ndim == 1
+        pts = arr.reshape(-1, 2)
+        x, y = fn(pts[:, 0], pts[:, 1])
+        out = np.column_stack([x, y])
+        return out[0] if single else out
+
+    c = geom["coordinates"]
+    if t == "Point":
+        return {"type": t, "coordinates": tx(c)}
+    if t in ("LineString", "MultiPoint"):
+        return {"type": t, "coordinates": tx(c)}
+    if t in ("Polygon", "MultiLineString"):
+        return {"type": t, "coordinates": [tx(p) for p in c]}
+    if t == "MultiPolygon":
+        return {"type": t, "coordinates": [[tx(r) for r in poly] for poly in c]}
+    raise ValueError(t)
+
+
+def clean_geom(geom: dict) -> dict:
+    """Validity repair (reference clean_geom, utils/geometry.py:22-28).
+
+    We close open polygon rings and drop degenerate (<4 point) rings;
+    GEOS buffer(0) has no pure-python equivalent, so dirtier invalidity
+    (self-intersection) passes through and is tolerated downstream by
+    even-odd tests.
+    """
+    t = geom["type"]
+    if t == "Polygon":
+        rings = []
+        for ring in geom["coordinates"]:
+            r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+            if len(r) and not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[0]])
+            if len(r) >= 4:
+                rings.append(r)
+        return {"type": t, "coordinates": rings}
+    if t == "MultiPolygon":
+        polys = []
+        for poly in geom["coordinates"]:
+            cleaned = clean_geom({"type": "Polygon", "coordinates": poly})["coordinates"]
+            if cleaned:
+                polys.append(cleaned)
+        return {"type": t, "coordinates": polys}
+    return geom
+
+
+# --------------------------------------------------------------------------
+# Decomposition to kind-parts (recursive_geom_finder equivalent)
+# --------------------------------------------------------------------------
+
+def extract_kind_parts(geom: dict, kind: str) -> list:
+    """All components of ``kind`` inside ``geom``, recursing into
+    collections (reference recursive_geom_finder, utils/geometry.py:31-71).
+
+    Returns a list of "part" coordinate payloads: points -> (2,) arrays,
+    lines -> (N,2) arrays, polygons -> [rings].
+    """
+    t = geom["type"]
+    if t == "GeometryCollection":
+        parts = []
+        for g in geom["geometries"]:
+            parts.extend(extract_kind_parts(g, kind))
+        return parts
+    if KIND[t] != kind:
+        return []
+    if t in ("Point", "LineString", "Polygon"):
+        return [geom["coordinates"]]
+    return list(geom["coordinates"])  # Multi*
+
+
+def as_multi(kind: str, parts: list) -> dict | None:
+    """Wrap kind-parts as the Multi* geometry the reference emits
+    (core.py:163-172, test_multiprocess.py:31-39). None if empty."""
+    if not parts:
+        return None
+    t = {"point": "MultiPoint", "line": "MultiLineString", "polygon": "MultiPolygon"}[kind]
+    if kind == "point":
+        return {"type": t, "coordinates": np.asarray(parts, dtype=np.float64).reshape(-1, 2)}
+    return {"type": t, "coordinates": parts}
+
+
+# --------------------------------------------------------------------------
+# Measures (Mollweide-projected, reference utils/geometry.py:149-174)
+# --------------------------------------------------------------------------
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area of a closed ring (planar coordinates)."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_area(rings: list) -> float:
+    """Unsigned area: |exterior| - sum(|holes|)."""
+    if not rings:
+        return 0.0
+    a = abs(ring_area(rings[0]))
+    for h in rings[1:]:
+        a -= abs(ring_area(h))
+    return a
+
+
+def line_length(line: np.ndarray) -> float:
+    arr = np.asarray(line, dtype=np.float64).reshape(-1, 2)
+    if len(arr) < 2:
+        return 0.0
+    d = np.diff(arr, axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def measure(geom: dict, kind: str | None = None, to_meters: bool = True) -> float:
+    """polygon -> Mollweide m², line -> Mollweide m, point -> count.
+
+    Matches get_geom_measure (utils/geometry.py:149-174): projection is
+    applied at measure time only (docs/index.rst "Projections through
+    the calculation chain").
+    """
+    kind = kind or geom_kind(geom)
+    g = transform_geom(geom, mollweide_forward) if (to_meters and kind != "point") else geom
+    t = g["type"]
+    if kind == "point":
+        if t == "Point":
+            return 1.0
+        if t == "MultiPoint":
+            return float(np.asarray(g["coordinates"]).reshape(-1, 2).shape[0])
+        return float(len(extract_kind_parts(g, "point")))
+    if kind == "line":
+        return float(sum(line_length(p) for p in extract_kind_parts(g, "line")))
+    return float(sum(polygon_area(p) for p in extract_kind_parts(g, "polygon")))
+
+
+# --------------------------------------------------------------------------
+# Predicates & clipping
+# --------------------------------------------------------------------------
+
+_EPS = 1e-12
+
+
+def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd point-in-ring test, boundary-INCLUSIVE.
+
+    Boundary inclusivity implements the reference's documented border
+    double-count (utils/geometry.py:107-110): a point on a shared cell
+    edge is inside both cells.
+    """
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+
+    # boundary test: point within eps of segment
+    dx, dy = x2 - x1, y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    t = np.where(seg_len2 > 0, ((x - x1) * dx + (y - y1) * dy) / np.where(seg_len2 == 0, 1, seg_len2), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    px, py = x1 + t * dx, y1 + t * dy
+    on_boundary = ((x - px) ** 2 + (y - py) ** 2 <= (1e-9) ** 2).any(axis=1)
+
+    # even-odd crossing count
+    cond = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (y - y1) * dx / np.where(dy == 0, 1, dy)
+    crossings = (cond & (x < xint)).sum(axis=1)
+    return on_boundary | (crossings % 2 == 1)
+
+
+def points_in_polygon(pts: np.ndarray, rings: list) -> np.ndarray:
+    """Even-odd over all rings (holes flip parity), boundary-inclusive."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if not rings:
+        return np.zeros(len(pts), dtype=bool)
+    inside = points_in_ring(pts, rings[0])
+    for hole in rings[1:]:
+        on_b = _on_ring_boundary(pts, hole)
+        inside &= on_b | ~points_in_ring(pts, hole) | on_b
+        inside |= on_b  # hole boundary still belongs to the polygon
+    return inside
+
+
+def _on_ring_boundary(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    dx, dy = x2 - x1, y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    t = np.where(seg_len2 > 0, ((x - x1) * dx + (y - y1) * dy) / np.where(seg_len2 == 0, 1, seg_len2), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    px, py = x1 + t * dx, y1 + t * dy
+    return ((x - px) ** 2 + (y - py) ** 2 <= (1e-9) ** 2).any(axis=1)
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    n = len(r)
+    if n < 3:
+        return False
+    v1 = np.roll(r, -1, axis=0) - r
+    v2 = np.roll(r, -2, axis=0) - np.roll(r, -1, axis=0)
+    cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
+    pos, neg = (cross > _EPS).any(), (cross < -_EPS).any()
+    return not (pos and neg)
+
+
+def clip_ring_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray | None:
+    """Sutherland–Hodgman: clip a (closed) subject ring by a convex clip
+    ring. Returns a closed ring or None if empty. Exact for the
+    shared-edge / corner-touch degeneracies in the fixture grids."""
+    clip = np.asarray(clip, dtype=np.float64).reshape(-1, 2)
+    if np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    if ring_area(np.vstack([clip, clip[0]])) < 0:
+        clip = clip[::-1]  # ensure CCW so "inside" is left of each edge
+    out = np.asarray(subject, dtype=np.float64).reshape(-1, 2)
+    if np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    n = len(clip)
+    for i in range(n):
+        if len(out) == 0:
+            return None
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        px, py = out[:, 0], out[:, 1]
+        side = ex * (py - ay) - ey * (px - ax)  # >=0 -> inside (left)
+        nxt = np.roll(out, -1, axis=0)
+        res = []
+        for j in range(len(out)):
+            cur_in = side[j] >= -_EPS
+            nj = (j + 1) % len(out)
+            nxt_in = side[nj] >= -_EPS
+            if cur_in:
+                res.append(out[j])
+            if cur_in != nxt_in:
+                d = side[j] - side[nj]
+                t = side[j] / d if abs(d) > _EPS else 0.0
+                res.append(out[j] + t * (nxt[j] - out[j]))
+        if not res:
+            return None
+        out = np.asarray(res)
+        # drop consecutive duplicates
+        keep = np.ones(len(out), dtype=bool)
+        keep[1:] = np.any(np.abs(np.diff(out, axis=0)) > 1e-12, axis=1)
+        out = out[keep]
+        if len(out) and np.allclose(out[0], out[-1], atol=1e-12):
+            out = out[:-1]
+    if len(out) < 3:
+        return None
+    return np.vstack([out, out[0]])
+
+
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (hole-free) ring.
+
+    Used to decompose a non-convex clip polygon into convex pieces so
+    Sutherland–Hodgman applies piecewise; piece areas sum exactly in the
+    plane (interior edges cancel in the shoelace sum)."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if ring_area(np.vstack([r, r[0]])) < 0:
+        r = r[::-1]
+    idx = list(range(len(r)))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        ear_found = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= _EPS:
+                continue  # reflex or degenerate
+            tri = np.array([a, b, c, a])
+            others = r[[i for i in idx if i not in (i0, i1, i2)]]
+            if len(others) and points_in_ring(others, tri).any():
+                continue
+            tris.append(np.array([a, b, c, a]))
+            idx.pop(k)
+            ear_found = True
+            break
+        if not ear_found:
+            break  # fall back: give up on remainder (degenerate input)
+    if len(idx) >= 3:
+        a, b, c = r[idx[0]], r[idx[1]], r[idx[2]]
+        tris.append(np.array([a, b, c, a]))
+    return tris
+
+
+def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]:
+    """Intersection of two polygons -> list of polygon part payloads.
+
+    Strategy: convex clip ring -> single Sutherland–Hodgman pass (exact
+    for the reference fixtures, which are axis-aligned boxes); concave
+    clip -> ear-clip triangulation + piecewise S-H. Clip-side holes are
+    subtracted the same way. Subject holes are clipped and re-attached."""
+    clip_ext = clip_rings[0]
+    if is_convex(clip_ext):
+        convex_pieces = [clip_ext]
+    else:
+        convex_pieces = triangulate_ring(clip_ext)
+    parts = []
+    for piece in convex_pieces:
+        ext = clip_ring_convex(subject_rings[0], piece)
+        if ext is None or abs(ring_area(ext)) <= 1e-18:
+            continue
+        rings = [ext]
+        for hole in subject_rings[1:]:
+            h = clip_ring_convex(hole, piece)
+            if h is not None and abs(ring_area(h)) > 1e-18:
+                rings.append(h)
+        parts.append(rings)
+    # subtract clip-side holes by clipping parts against each hole and
+    # re-expressing: area(part) - area(part ∩ hole). Geometry output keeps
+    # the hole as an inner ring when fully contained.
+    for hole in clip_rings[1:]:
+        new_parts = []
+        for rings in parts:
+            inter = clip_ring_convex(hole, rings[0]) if is_convex(rings[0]) else None
+            if inter is None:
+                hpts = np.asarray(hole, dtype=np.float64).reshape(-1, 2)
+                if points_in_polygon(hpts, rings).all():
+                    rings = rings + [np.asarray(hole, dtype=np.float64)]
+            else:
+                rings = rings + [inter]
+            new_parts.append(rings)
+        parts = new_parts
+    return parts
+
+
+def clip_line_by_polygon(line: np.ndarray, rings: list) -> list[np.ndarray]:
+    """Clip a polyline by an arbitrary polygon (holes supported).
+
+    Per segment: gather intersection parameters with every polygon edge,
+    split, keep sub-segments whose midpoint is inside (boundary counts
+    as inside — reference border semantics). Adjacent kept sub-segments
+    are merged back into maximal polylines."""
+    line = np.asarray(line, dtype=np.float64).reshape(-1, 2)
+    edges = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+        edges.append((r[:-1], r[1:]))
+    if not edges:
+        return []
+    e1 = np.vstack([a for a, _ in edges])
+    e2 = np.vstack([b for _, b in edges])
+
+    kept: list[np.ndarray] = []
+    current: list[np.ndarray] = []
+
+    def flush():
+        nonlocal current
+        if len(current) >= 2:
+            kept.append(np.asarray(current))
+        current = []
+
+    for s in range(len(line) - 1):
+        p, q = line[s], line[s + 1]
+        d = q - p
+        # param t of intersections with polygon edges
+        r = e2 - e1
+        denom = d[0] * r[:, 1] - d[1] * r[:, 0]
+        diff = e1 - p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (diff[:, 0] * r[:, 1] - diff[:, 1] * r[:, 0]) / np.where(denom == 0, np.nan, denom)
+            u = (diff[:, 0] * d[1] - diff[:, 1] * d[0]) / np.where(denom == 0, np.nan, denom)
+        valid = np.isfinite(t) & (t > 1e-12) & (t < 1 - 1e-12) & (u >= -1e-12) & (u <= 1 + 1e-12)
+        ts = np.unique(np.concatenate([[0.0, 1.0], t[valid]]))
+        ts.sort()
+        for a, b in zip(ts[:-1], ts[1:]):
+            mid = p + (a + b) / 2.0 * d
+            if points_in_polygon(mid[None, :], rings)[0]:
+                pa, pb = p + a * d, p + b * d
+                if not current:
+                    current = [pa, pb]
+                elif np.allclose(current[-1], pa, atol=1e-12):
+                    current.append(pb)
+                else:
+                    flush()
+                    current = [pa, pb]
+            else:
+                flush()
+    flush()
+    return kept
+
+
+def bbox_intersects(b1, b2) -> bool:
+    return not (b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1])
+
+
+def intersection(from_geom: dict, from_kind: str, to_polygon: dict) -> dict | None:
+    """Exact refine: intersection of ``from_geom`` with a polygonal
+    to-feature, keeping only components of ``from_kind`` and wrapping as
+    Multi* (reference get_intersection, utils/geometry.py:74-131).
+
+    Returns the Multi* geometry dict or None when empty (caller drops
+    the candidate pair)."""
+    to_parts = extract_kind_parts(to_polygon, "polygon")
+    if not to_parts:
+        return None
+    if from_kind == "point":
+        pts = np.asarray(extract_kind_parts(from_geom, "point"), dtype=np.float64).reshape(-1, 2)
+        if len(pts) == 0:
+            return None
+        mask = np.zeros(len(pts), dtype=bool)
+        for rings in to_parts:
+            mask |= points_in_polygon(pts, rings)
+        sel = pts[mask]
+        return as_multi("point", list(sel)) if len(sel) else None
+    if from_kind == "line":
+        out = []
+        for seg in extract_kind_parts(from_geom, "line"):
+            for rings in to_parts:
+                out.extend(clip_line_by_polygon(seg, rings))
+        out = [o for o in out if line_length(o) > 0]
+        return as_multi("line", out) if out else None
+    # polygon ∩ polygon
+    out = []
+    for subj in extract_kind_parts(from_geom, "polygon"):
+        for rings in to_parts:
+            out.extend(p for p in clip_polygon_by_polygon(subj, rings) if polygon_area(p) > 1e-18)
+    return as_multi("polygon", out) if out else None
+
+
+def intersects(a: dict, b_polygon: dict) -> bool:
+    """Spatial intersects predicate against a polygonal second side."""
+    return intersection(a, geom_kind(a), b_polygon) is not None

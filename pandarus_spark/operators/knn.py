@@ -1,0 +1,138 @@
+"""Nearest-feature kNN matching (graft addition — the reference has no
+nearest/kNN operator; semantics defined by our own fixtures, see
+SURVEY.md §2 row 8).
+
+Given query points and a feature table, return the k nearest features
+per query by planar WGS84-degree distance (0 when the point is inside a
+polygon).  Plan:
+
+1. queries land in a tiling cell; the cell's k-ring (Chebyshev radius
+   ``ring``) is exploded → candidate join against the features' cell
+   cover — a hash join, exactly like the overlay join;
+2. exact point→geometry distance in an Arrow batch;
+3. per-query top-k via ``Window.partitionBy(query).orderBy(dist)`` +
+   ``row_number() <= k``;
+4. queries that found fewer than k candidates inside the ring are
+   re-matched with a broadcast brute-force pass (correctness backstop;
+   at scale the ring radius is tuned so this path is ~empty).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..geometry import geom as G
+from ..tiling import cells as C
+
+DIST_SCHEMA = "query_id bigint, feature_id bigint, dist double"
+
+
+def point_geom_distance(px: float, py: float, geom: dict) -> float:
+    """Exact planar distance point -> geometry (0 inside polygons)."""
+    best = np.inf
+    for t, payload in _parts(geom):
+        if t == "point":
+            q = np.asarray(payload, dtype=np.float64).reshape(-1, 2)
+            best = min(best, float(np.min(np.hypot(q[:, 0] - px, q[:, 1] - py))))
+        elif t == "line":
+            best = min(best, _dist_to_path(px, py, payload))
+        else:
+            rings = payload
+            if G.points_in_polygon(np.array([[px, py]]), rings)[0]:
+                return 0.0
+            for ring in rings:
+                best = min(best, _dist_to_path(px, py, ring))
+    return float(best)
+
+
+def _parts(geom: dict):
+    for p in G.extract_kind_parts(geom, "point"):
+        yield "point", p
+    for p in G.extract_kind_parts(geom, "line"):
+        yield "line", p
+    for p in G.extract_kind_parts(geom, "polygon"):
+        yield "polygon", p
+
+
+def _dist_to_path(px: float, py: float, path) -> float:
+    arr = np.asarray(path, dtype=np.float64).reshape(-1, 2)
+    if len(arr) == 1:
+        return float(np.hypot(arr[0, 0] - px, arr[0, 1] - py))
+    a, b = arr[:-1], arr[1:]
+    d = b - a
+    L2 = (d ** 2).sum(axis=1)
+    t = np.clip(((px - a[:, 0]) * d[:, 0] + (py - a[:, 1]) * d[:, 1]) / np.where(L2 == 0, 1, L2), 0, 1)
+    cx, cy = a[:, 0] + t * d[:, 0], a[:, 1] + t * d[:, 1]
+    return float(np.min(np.hypot(cx - px, cy - py)))
+
+
+def _exact_distances(cand: DataFrame) -> DataFrame:
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            dists = []
+            cache: dict[bytes, dict] = {}
+            for qx, qy, wkb in zip(pdf["qx"], pdf["qy"], pdf["geom_wkb"]):
+                b = bytes(wkb)
+                geom = cache.get(b)
+                if geom is None:
+                    geom = cache[b] = G.wkb_loads(b)
+                dists.append(point_geom_distance(float(qx), float(qy), geom))
+            yield pd.DataFrame({"query_id": pdf["query_id"].astype("int64"),
+                                "feature_id": pdf["feature_id"].astype("int64"),
+                                "dist": pd.Series(dists, dtype="float64")})
+
+    return cand.mapInPandas(gen, schema=DIST_SCHEMA)
+
+
+def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
+                        res: int = 6, ring: int = 1) -> DataFrame:
+    """queries(query_id, qx, qy) × features(feature_id, label, geom_wkb,
+    bbox) → (query_id, feature_id, label, dist, rank), rank 1..k."""
+    from ..operators.intersect import cover_features
+
+    qcells_rows = queries.select(
+        "query_id", "qx", "qy",
+        _cell_udf(res)(F.col("qx"), F.col("qy")).alias("cells"))
+    qcells = qcells_rows.select("query_id", "qx", "qy", F.explode("cells").alias("cell"))
+
+    fcells = cover_features(features, res, max_cells=256)
+    cand = (qcells.join(fcells, "cell")
+            .select("query_id", "qx", "qy", "feature_id").dropDuplicates(["query_id", "feature_id"])
+            .join(features.select("feature_id", "geom_wkb"), "feature_id"))
+    dists = _exact_distances(cand)
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("feature_id").asc())
+    ranked = dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    # backstop: queries with < k matches fall back to brute force
+    short = (queries.join(ranked.groupBy("query_id").agg(F.count("*").alias("n")), "query_id", "left")
+             .filter((F.col("n").isNull()) | (F.col("n") < k)).select("query_id", "qx", "qy"))
+    if short.limit(1).count() > 0:
+        brute = short.crossJoin(F.broadcast(features.select("feature_id", "geom_wkb")))
+        bdists = _exact_distances(brute)
+        ranked = (_dedup_union(ranked.drop("rank"), bdists)
+                  .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
+
+    return ranked.join(features.select("feature_id", "label"), "feature_id") \
+                 .select("query_id", "feature_id", "label", "dist", "rank")
+
+
+def _dedup_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b).dropDuplicates(["query_id", "feature_id"])
+
+
+def _cell_udf(res: int, ring: int = 1):
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("array<bigint>")
+    def cells_for_point(qx, qy):
+        import pandas as pd
+        out = []
+        ix, iy = C.lonlat_to_xy(qx.to_numpy(), qy.to_numpy(), res)
+        for x, y in zip(ix, iy):
+            out.append(C.kring(C.cell_id(res, int(x), int(y)), ring))
+        return pd.Series(out)
+
+    return cells_for_point

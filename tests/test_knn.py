@@ -1,0 +1,37 @@
+"""kNN nearest-feature matching — graft addition, fixtures are our own
+(the reference has no kNN operator; SURVEY.md §2 row 8)."""
+
+import pytest
+
+from pandarus_spark.operators.knn import knn_nearest_feature, point_geom_distance
+from pandarus_spark.sources.pages import FIXTURES, _box, extract_features, pages_df
+
+
+def test_point_geom_distance():
+    box = _box(0, 0, 1, 1)
+    assert point_geom_distance(0.5, 0.5, box) == 0.0  # inside
+    assert point_geom_distance(2.0, 0.5, box) == pytest.approx(1.0)
+    assert point_geom_distance(2.0, 2.0, box) == pytest.approx(2 ** 0.5)
+
+
+def test_knn_against_grid(spark):
+    grid = extract_features(pages_df(spark, "grid"))
+    q = spark.createDataFrame(
+        [(1, 0.25, 0.25), (2, 1.75, 1.75), (3, 5.0, 0.5)],
+        "query_id long, qx double, qy double")
+    out = knn_nearest_feature(q, grid, k=1, res=6, ring=1)
+    got = {r["query_id"]: (r["label"], r["dist"]) for r in out.collect()}
+    assert got[1][0] == "grid cell 0" and got[1][1] == 0.0
+    assert got[2][0] == "grid cell 3" and got[2][1] == 0.0
+    assert got[3][0] == "grid cell 2"  # nearest cell to (5, 0.5)
+    assert got[3][1] == pytest.approx(3.0)
+
+
+def test_knn_k2_ordering(spark):
+    grid = extract_features(pages_df(spark, "grid"))
+    q = spark.createDataFrame([(1, -0.5, 0.5)], "query_id long, qx double, qy double")
+    out = knn_nearest_feature(q, grid, k=2, res=6, ring=1).collect()
+    ranked = sorted(((r["rank"], r["label"], r["dist"]) for r in out))
+    assert ranked[0][1] == "grid cell 0" and ranked[0][2] == pytest.approx(0.5)
+    assert ranked[1][1] == "grid cell 1"  # next nearest
+    assert ranked[1][2] <= 2 ** 0.5 / 2 + 1e-9

@@ -1,0 +1,106 @@
+"""Raster-side goldens: zonal statistics (both engine variants,
+reference test_raster_statistics.py:76-113 & :145-182 — exact values),
+round/clean transforms, polygonization schema."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandarus_spark.geometry import geom as G
+from pandarus_spark.operators.raster_stats import RasterSpec, raster_cells_df, raster_statistics
+from pandarus_spark.operators.raster_transform import clean_raster, convert_to_vector, round_raster
+from pandarus_spark.sources.pages import extract_features, pages_df
+
+
+@pytest.fixture(scope="module")
+def range_cells(spark):
+    """range.tif: np.arange(50).reshape(10,5) float32, rows 4-5 = -1
+    nodata, Affine(0.4,0,0, 0,-0.2,2) (reference
+    scripts/create_test_data.py:221-224)."""
+    arr = np.arange(50, dtype=np.float32).reshape(10, 5).astype(np.float64)
+    arr[4, :] = -1.0
+    arr[5, :] = -1.0
+    spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0)
+    return raster_cells_df(spark, spec, arr).cache()
+
+
+GOLDEN_COVERAGE = {
+    "grid cell 0": (30.0, 47.0, 38.29999923706055, 10.0),
+    "grid cell 1": (0.0, 17.0, 8.300000190734863, 10.0),
+    "grid cell 2": (32.0, 49.0, 40.70000076293945, 10.0),
+    "grid cell 3": (2.0, 19.0, 10.699999809265137, 10.0),
+}
+GOLDEN_CENTERS = {
+    "grid cell 0": (30.0, 47.0, 38.5, 12.0),
+    "grid cell 1": (0.0, 17.0, 8.5, 12.0),
+    "grid cell 2": (33.0, 49.0, 41.0, 8.0),
+    "grid cell 3": (3.0, 19.0, 11.0, 8.0),
+}
+
+
+def _check(df, golden):
+    got = {r["label"]: (r["min"], r["max"], r["mean"], r["count"]) for r in df.collect()}
+    assert set(got) == set(golden)
+    for k, exp in golden.items():
+        assert got[k] == pytest.approx(exp, rel=1e-12), k
+
+
+def test_zonal_stats_coverage_exact_goldens(spark, range_cells):
+    grid = extract_features(pages_df(spark, "grid"))
+    _check(raster_statistics(grid, range_cells, method="coverage"), GOLDEN_COVERAGE)
+
+
+def test_zonal_stats_centers_exact_goldens(spark, range_cells):
+    grid = extract_features(pages_df(spark, "grid"))
+    _check(raster_statistics(grid, range_cells, method="centers"), GOLDEN_CENTERS)
+
+
+def test_round_raster_sig_digits(spark):
+    spec = RasterSpec(4, 1, (1, 0, 0, 0, -1, 1), nodata=None)
+    vals = np.array([[1.4678e-7, 123456.0, 0.0, -0.0034567]])
+    cells = raster_cells_df(spark, spec, vals)
+    out = {r["col"]: r["value"] for r in round_raster(cells, 3).collect()}
+    assert out[0] == pytest.approx(1.47e-7, rel=1e-6)
+    assert out[1] == pytest.approx(123000.0, rel=1e-6)
+    assert out[2] == 0.0
+    assert out[3] == pytest.approx(-0.00346, rel=1e-6)
+
+
+def test_clean_raster_nodata_selection(spark):
+    """First unused candidate of [user, -1, -99, -999, -9999]
+    (reference core.py:608-632)."""
+    spec = RasterSpec(4, 1, (1, 0, 0, 0, -1, 1), nodata=None)
+    vals = np.array([[-1.0, 5.0, np.nan, -1e50]])
+    cells = raster_cells_df(spark, spec, vals, drop_nodata=False)
+    cleaned, nd, downcast = clean_raster(cells, nodata=-1e50)
+    assert nd == -99.0  # -1 is a data value, so next candidate
+    got = {r["col"]: r["value"] for r in cleaned.collect()}
+    assert got[2] == -99.0  # NaN -> nodata
+    assert got[3] == -99.0  # old sentinel -> nodata
+    assert got[1] == 5.0
+    assert not downcast  # -1e50 was replaced AFTER the probe ran on raw values
+
+
+def test_clean_raster_all_candidates_taken(spark):
+    spec = RasterSpec(4, 1, (1, 0, 0, 0, -1, 1), nodata=None)
+    vals = np.array([[-1.0, -99.0, -999.0, -9999.0]])
+    cells = raster_cells_df(spark, spec, vals, drop_nodata=False)
+    with pytest.raises(ValueError, match="candidate"):
+        clean_raster(cells, nodata=None)
+
+
+def test_convert_to_vector_regions(spark):
+    """Two contiguous regions of value 7 separated by value 3."""
+    spec = RasterSpec(5, 1, (1, 0, 0, 0, -1, 1), nodata=None)
+    vals = np.array([[7.0, 7.0, 3.0, 7.0, 7.0]])
+    cells = raster_cells_df(spark, spec, vals)
+    out = convert_to_vector(cells)
+    rows = out.collect()
+    assert out.columns == ["id", "val", "geom_wkb"]
+    by_val = {}
+    for r in rows:
+        by_val.setdefault(r["val"], []).append(r)
+        g = G.wkb_loads(bytes(r["geom_wkb"]))
+        assert g["type"] in ("Polygon", "MultiPolygon")
+    assert len(by_val[7.0]) == 2  # two disjoint regions
+    assert len(by_val[3.0]) == 1

@@ -1,0 +1,63 @@
+"""Cell-index unit tests, including SQL-parity: the tile id of a point
+computed by the numpy path must equal the ANSI-SQL rendering evaluated
+by DuckDB (the independent-oracle contract)."""
+
+import duckdb
+import numpy as np
+
+from pandarus_spark.tiling import cells as C
+
+
+def test_point_cell_roundtrip():
+    ix, iy = C.lonlat_to_xy(np.array([0.3]), np.array([45.0]), 8)
+    cid = C.cell_id(8, int(ix[0]), int(iy[0]))
+    b = C.cell_bounds(cid)
+    assert b[0] <= 0.3 <= b[2] and b[1] <= 45.0 <= b[3]
+    assert C.cell_res(cid) == 8
+    assert C.cell_xy(cid) == (int(ix[0]), int(iy[0]))
+
+
+def test_cover_bbox_superset():
+    cover = C.cover_bbox(0.0, 0.0, 2.0, 2.0, 8)
+    for lon, lat in [(0.0, 0.0), (1.99, 1.99), (1.0, 0.5)]:
+        ix, iy = C.lonlat_to_xy(np.array([lon]), np.array([lat]), 8)
+        assert C.cell_id(8, int(ix[0]), int(iy[0])) in cover
+
+
+def test_parent_chain():
+    ix, iy = C.lonlat_to_xy(np.array([10.0]), np.array([10.0]), 10)
+    cid = C.cell_id(10, int(ix[0]), int(iy[0]))
+    p = C.parent(cid, 7)
+    assert C.cell_res(p) == 7
+    pb, cb = C.cell_bounds(p), C.cell_bounds(cid)
+    assert pb[0] <= cb[0] and pb[1] <= cb[1] and pb[2] >= cb[2] and pb[3] >= cb[3]
+
+
+def test_pick_resolution_bounds_fanout():
+    # world-sized bbox -> res 0; tiny bbox -> target res
+    assert C.pick_resolution(-180, -90, 180, 90, target_res=12, max_cells=64) <= 3
+    assert C.pick_resolution(0, 0, 0.001, 0.001, target_res=12, max_cells=64) == 12
+    for res in range(13):
+        cover = C.cover_bbox(-120, -60, 130, 70, C.pick_resolution(-120, -60, 130, 70, res, 64), )
+        assert len(cover) <= 64
+
+
+def test_kring():
+    ix, iy = C.lonlat_to_xy(np.array([0.0]), np.array([0.0]), 6)
+    cid = C.cell_id(6, int(ix[0]), int(iy[0]))
+    ring = C.kring(cid, 1)
+    assert len(ring) == 9 and cid in ring
+
+
+def test_sql_parity_with_duckdb():
+    res = 9
+    rng = np.random.default_rng(42)
+    lons = rng.uniform(-179.9, 179.9, 200)
+    lats = rng.uniform(-89.9, 89.9, 200)
+    ix, iy = C.lonlat_to_xy(lons, lats, res)
+    py_cells = [(res << C.RES_SHIFT) | (int(y) << C.Y_SHIFT) | int(x) for x, y in zip(ix, iy)]
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lon": lons, "lat": lats}))
+    expr = C.point_cell_sql("lon", "lat", res)
+    sql_cells = [r[0] for r in con.execute(f"SELECT {expr} FROM pts").fetchall()]
+    assert py_cells == sql_cells
