@@ -1,0 +1,99 @@
+"""Embedding similarity search (graft addition for training-data
+pipelines): brute-force cosine top-k as the exactness baseline, and an
+LSH-bucketed approximate variant as the 100 TB scale path.
+
+The embedding column is ``array<float>``; all arithmetic is cast to
+double and stays JVM-side (``zip_with`` + ``aggregate`` — no Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id", qvec_col: str = "qvec",
+                exclude_self: bool = True) -> DataFrame:
+    """Exact brute-force top-k by cosine: broadcast the query side,
+    JVM-side dot products, per-query window top-k.
+
+    Output: (query_id, neighbor_id, cos, rank). At 100 TB this is the
+    verification baseline; :func:`ann_lsh_topk` is the scale path."""
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                   _as_double(F.col(qvec_col)).alias("qv")))
+    scored = e.crossJoin(q).select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic signed-random-projection planes (seeded numpy)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(vec·plane_i)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                 n_planes: int = 8, seed: int = 7, dim: int | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id", qvec_col: str = "qvec") -> DataFrame:
+    """Approximate top-k: hash both sides into signed-random-projection
+    buckets, join on bucket id, exact cosine within the bucket.
+
+    Recall < 1 by construction (multi-probe = run with several seeds and
+    union). At scale the bucket join replaces the cross join — shuffle
+    on a 2^n_planes-ary key instead of |E|×|Q| pairs."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    q = queries.select(F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv"))
+    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    scored = (e.join(q, "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))

@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines (graft addition):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure Catalyst expressions (whole-stage codegen) —
+no UDFs — and every formula is reproducible in ANSI SQL for
+independent-oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import hash60
+
+# small marker sets per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "no"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-ish token count (BPE-ish word splitting: runs of
+    word chars or single non-space punctuation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[\w]+|[^\w\s]"), 0))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(text, " "))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.split(F.lower(text), " ")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.array_intersect(F.array_distinct(toks), arr))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language guess; deterministic tie-break by the
+    fixed language order; 'und' (undetermined) when nothing matches."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:  # fixed order => deterministic ties
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: unique-token ratio, length saturation,
+    mean token length saturation (deterministic, SQL-expressible)."""
+    toks = F.split(F.lower(text), " ")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    unique_ratio = uniq / F.greatest(n, F.lit(1))
+    len_sat = F.least(n / F.lit(200.0), F.lit(1.0))
+    avg_len = F.length(text) / F.greatest(n, F.lit(1))
+    len_tok_sat = F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    return F.round(0.5 * unique_ratio + 0.3 * len_sat + 0.2 * len_tok_sat, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Selective document fingerprint: min over char-8-gram hashes of
+    the text (a 1-permutation MinHash — robust to small edits, unlike
+    md5-of-document)."""
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(F.length(text) - 7, F.lit(1))),
+                        lambda i: F.substring(text, i, 8))
+    return F.array_min(F.transform(grams, hash60))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        whitespace_token_count(t).alias("n_words"),
+        F.length(t).alias("n_chars"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL renderings (DuckDB oracle parity)
+# ---------------------------------------------------------------------------
+
+def quality_score_sql(t: str) -> str:
+    toks = f"string_split(lower({t}), ' ')"
+    return ("round(0.5 * (len(list_distinct({toks})) / greatest(len({toks}),1)) "
+            "+ 0.3 * least(len({toks}) / 200.0, 1.0) "
+            "+ 0.2 * least((length({t}) / greatest(len({toks}),1)) / 8.0, 1.0), 6)"
+            ).format(toks=toks, t=t)
+
+
+def lang_id_sql(t: str) -> str:
+    toks = f"list_distinct(string_split(lower({t}), ' '))"
+    score = {lang: f"len(list_intersect({toks}, {_sql_list(m)}))" for lang, m in LANG_MARKERS.items()}
+    # same fold as lang_id(): strictly-greater replaces, fixed order
+    expr_lang, expr_score = "'und'", "0"
+    for lang in LANG_MARKERS:
+        s = score[lang]
+        expr_lang = f"CASE WHEN {s} > ({expr_score}) THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > ({expr_score}) THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+def _sql_list(markers: tuple[str, ...]) -> str:
+    return "[" + ",".join(f"'{m}'" for m in markers) + "]"
+
+
+def fingerprint_sql(t: str) -> str:
+    from .dedup import hash60_sql
+    gram = f"substr({t}, i, 8)"
+    return (f"list_min([{hash60_sql(gram)} "
+            f"for i in range(1, greatest(length({t})-7,1)+1)])")

@@ -1,0 +1,95 @@
+"""Checkpoint/resume ledger + Structured Streaming tile assignments."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandarus_spark.plans.checkpoint import CheckpointLedger, intersect_partitioned, run_partitioned
+from pandarus_spark.sources import pages as P
+from pandarus_spark.streaming.stream import stream_cell_counts, stream_tile_assignments
+
+
+def test_ledger_roundtrip(tmp_path):
+    led = CheckpointLedger(str(tmp_path))
+    assert not led.done("ds", "p=1")
+    led.mark("ds", "p=1", {"rows": 5})
+    assert led.done("ds", "p=1")
+    assert led.metrics("ds", "p=1") == {"rows": 5}
+    assert led.pending("ds", ["p=1", "p=2"]) == ["p=2"]
+
+
+def test_run_partitioned_resumes(tmp_path):
+    led = CheckpointLedger(str(tmp_path))
+    calls = []
+
+    def run_one(p):
+        calls.append(p)
+        if p == "b":
+            raise RuntimeError("crash")
+        return {"rows": 1}
+
+    with pytest.raises(RuntimeError):
+        run_partitioned(led, "ds", ["a", "b"], run_one)
+    assert calls == ["a", "b"]
+    calls.clear()
+
+    def run_one_fixed(p):
+        calls.append(p)
+        return {"rows": 2}
+
+    out = run_partitioned(led, "ds", ["a", "b"], run_one_fixed)
+    assert calls == ["b"]                 # "a" skipped (resumed from marker)
+    assert out["a"] == {"rows": 1}        # original metrics preserved
+    assert out["b"] == {"rows": 2}
+
+
+def test_intersect_partitioned_lineage(spark, tmp_path):
+    # two-lang pages table: same grid features under two partition keys
+    rows = []
+    for lang, ds in (("en", "grid"), ("fr", "big-grid")):
+        for url, ts, html, text, _ in P.page_rows(ds, P.FIXTURES[ds]()):
+            rows.append((url, ts, html, text, lang))
+    pages = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+    square = P.extract_features(P.pages_df(spark, "square"))
+    led = CheckpointLedger(str(tmp_path / "ledger"))
+    out = intersect_partitioned(spark, pages, square, led, "run1",
+                                partition_col="lang", out_dir=str(tmp_path / "out"))
+    assert out["en"]["rows"] == 4          # grid ∩ square
+    assert out["fr"]["rows"] == 0          # big-grid is disjoint
+    assert out["en"]["sum_measure"] > 0
+    assert out["en"]["input_rows"] == 4
+    # resumability: a second run touches nothing but returns the same
+    out2 = intersect_partitioned(spark, pages, square, led, "run1",
+                                 partition_col="lang", out_dir=str(tmp_path / "out2"))
+    assert out2 == out
+    assert not os.path.exists(str(tmp_path / "out2"))  # skipped, not rewritten
+
+
+def test_streaming_tile_assignments(spark, tmp_path):
+    src = str(tmp_path / "pages_in")
+    P.pages_df(spark, "grid").write.parquet(src)
+    stream = spark.readStream.schema(P.PAGES_SCHEMA).parquet(src)
+    assert stream.isStreaming
+    tiled = stream_tile_assignments(stream, res=8)
+    q = (tiled.writeStream.format("memory").queryName("tiles_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tiles_t").collect()
+    assert len(got) >= 4                       # every grid cell got >=1 tile
+    assert {r["label"] for r in got} == {f"grid cell {i}" for i in range(4)}
+    batch = stream_tile_assignments(P.pages_df(spark, "grid"), res=8).collect()
+    assert {(r["feature_id"], r["cell"]) for r in got} == \
+           {(r["feature_id"], r["cell"]) for r in batch}  # stream == batch
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "pages_in2")
+    P.pages_df(spark, "grid").write.parquet(src)
+    stream = spark.readStream.schema(P.PAGES_SCHEMA).parquet(src)
+    counts = stream_cell_counts(stream, res=4, window="1 minute")
+    q = (counts.writeStream.format("memory").queryName("cellcounts_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cellcounts_t").collect()
+    assert sum(r["n_features"] for r in got) >= 4

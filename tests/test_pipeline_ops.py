@@ -1,0 +1,138 @@
+"""Training-data pipeline operators: dedup suite, similarity search,
+text stats, multimodal plumbing — including cross-engine (DuckDB)
+value parity for the md5-derived hashes."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandarus_spark.operators import dedup as D
+from pandarus_spark.operators import similarity as S
+from pandarus_spark.operators import textstats as T
+from pandarus_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text with unique words here"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "der hund ist nicht der gleiche wie die katze und das"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["group_size"] for r in D.exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0 and 3 collapse; min id kept
+    assert 3 not in out
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_minhash_duckdb_parity(spark, docs):
+    got = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(docs, num_hashes=4).collect()}
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    sh = D.shingles_sql("text")
+    sql_sigs = {}
+    # sig_i = list_min([hash60(i||':'||s) for s in shingles])
+    exprs = ", ".join(
+        "list_min([{h} for s in {sh}]) AS s{i}".format(
+            h=D.hash60_sql(f"'{i}:'||s"), sh=sh, i=i)
+        for i in range(4))
+    for row in con.execute(f"SELECT doc_id, {exprs} FROM docs").fetchall():
+        sql_sigs[row[0]] = list(row[1:])
+    for d in got:
+        assert got[d] == sql_sigs[d], d
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0          # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0    # near dup
+    assert not any({a, b} & {2} for a, b in pairs)
+
+
+def test_ngram_jaccard_is_exact_oracle(spark, docs):
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.5).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact  # at this band setting recall is 1.0 on the fixture
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    h01 = bin(out[0] ^ out[1]).count("1")
+    h02 = bin(out[0] ^ out[2]).count("1")
+    assert out[0] == out[3]          # identical text -> identical simhash
+    assert h01 < h02                 # near dup closer than unrelated
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], "query_id long, qvec array<float>")
+    out = S.cosine_topk(emb, q, k=2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 1), (2, 2)]
+
+
+def test_ann_lsh_self_retrieval(spark):
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    out = S.ann_lsh_topk(emb, q, k=3, n_planes=4)
+    rows = out.collect()
+    assert all(r["cos"] <= 1.0 + 1e-9 for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    # bucketed candidates are a subset of brute force
+    brute = S.cosine_topk(emb, q, k=50)
+    bcos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in brute.collect()}
+    for r in rows:
+        assert bcos[(r["query_id"], r["neighbor_id"])] == pytest.approx(r["cos"], abs=1e-6)
+
+
+def test_textstats_and_duckdb_parity(spark, docs):
+    out = T.text_stats(docs)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["n_words"] == 9
+    assert got[0]["lang_guess"] == "en"
+    assert got[4]["lang_guess"] == "de"
+    assert 0.0 <= got[0]["quality"] <= 1.0
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    q = (f"SELECT doc_id, {T.quality_score_sql('text')} AS q, {T.lang_id_sql('text')} AS lg, "
+         f"{T.fingerprint_sql('text')} AS fp FROM docs")
+    for doc_id, qv, lg, fp in con.execute(q).fetchall():
+        assert got[doc_id]["quality"] == pytest.approx(qv, abs=1e-9)
+        assert got[doc_id]["lang_guess"] == lg
+        assert got[doc_id]["fp"] == fp
+
+
+def test_multimodal_plumbing(spark):
+    media = M.synthetic_media_df(spark, n=12)
+    meta = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    assert len(meta) == 12
+    for mid, r in meta.items():
+        assert r["format"] == "fake"
+        assert r["n_bytes"] == 12 + r["width"] * r["height"]
+        assert 0 <= r["mean_value"] <= 255
+    resized = M.resize_stub(media, 4, 4)
+    meta2 = M.decode_media(resized).collect()
+    assert all(r["width"] == 4 and r["height"] == 4 for r in meta2)
+    frames = M.frame_sample_stub(media, every_n=4).collect()
+    assert all(f["frame_no"] % 4 == 0 for f in frames)
+
+
+def test_decode_rejects_real_codecs(spark):
+    with pytest.raises(NotImplementedError):
+        M._decode_one(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(ValueError):
+        M._decode_one(b"garbage")
