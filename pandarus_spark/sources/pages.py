@@ -173,6 +173,56 @@ def _np_geometry(g: dict) -> dict:
     raise ValueError(t)
 
 
+GRID_COLS = 1024
+CELL_DEG = 0.05
+GRID_X0, GRID_Y0 = -60.0, -30.0
+
+
+def doc_box(doc_id: int, probe: bool) -> tuple[float, float, float, float]:
+    """Deterministic doc_id → lon/lat box: documents land on a dense
+    grid; 'probe' boxes are offset half a cell so each probe overlaps
+    up to 4 base boxes (the web-scale overlay-join workload shape)."""
+    i = doc_id % GRID_COLS
+    j = doc_id // GRID_COLS
+    off = 0.5 * CELL_DEG if probe else 0.0
+    x = GRID_X0 + i * CELL_DEG + off
+    y = GRID_Y0 + j * CELL_DEG + off
+    return (x, y, x + CELL_DEG, y + CELL_DEG)
+
+
+def pages_from_documents(docs, role: str = "base"):
+    """documents table → pages table (url, warc_ts, html, text, lang):
+    each document becomes one synthetic crawl page embedding the
+    deterministic grid geometry of its doc_id.  Fully distributed
+    (mapInPandas) — this is how sf-scaled spatial benchmarks derive
+    their input from the driver's parquet without external data."""
+    probe = role == "probe"
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                x0, y0, x1, y1 = doc_box(d, probe)
+                geom = _box(x0, y0, x1, y1)
+                url = f"https://example.test/{role}/{d}"
+                label_json = json.dumps(f"{role} {d}", separators=(",", ":"))
+                text = (f"Synthetic crawl page for dataset {role}, feature {d}.\n"
+                        f"NAME:{label_json}\n"
+                        f"{GEO_MARK}{_geo_json(geom)}\n")
+                html = ("<html><head><title>" + url + "</title></head><body><pre>"
+                        + text + "</pre></body></html>").encode("utf-8")
+                rows["url"].append(url)
+                rows["warc_ts"].append(_EPOCH + _dt.timedelta(seconds=d))
+                rows["html"].append(html)
+                rows["text"].append(text)
+                rows["lang"].append("en")
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Spark DataFrame constructors
 # ---------------------------------------------------------------------------
