@@ -367,10 +367,7 @@ SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS group_size
 FROM documents GROUP BY md5(text)"""
 
     sh = D.shingles_sql("text")
-    minhash = ("SELECT doc_id, " + ", ".join(
-        "list_min([{h} for s in {sh}]) AS s{i}".format(
-            h=D.hash60_sql(f"'{i}:'||s"), sh=sh, i=i) for i in range(4))
-        + " FROM documents WHERE doc_id < 50")
+    minhash = D.minhash_sql(4, where="WHERE doc_id < 50")
 
     ngram_jaccard = f"""
 WITH sh AS (SELECT doc_id, unnest({sh}) AS g FROM documents WHERE doc_id < 200),

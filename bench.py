@@ -1,0 +1,221 @@
+"""Benchmark harness for pandarus_spark (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"overlay_intersect": sec, ...}, "sf": 0.1, ...}
+
+The headline metric follows BASELINE.json: intersection rows + tile
+(cell) assignments per second, measured on the overlay-join pipeline
+(documents parquet -> synthetic pages -> extract -> cell join ->
+refine -> measure) plus the tiling pass.
+
+Modes
+-----
+``python bench.py``                   — full headline suite at sf dir.
+``python bench.py --job overlay_scale --n 250000``
+    — the single scale job used for the N-vs-4N parallelism sweep
+      (tools/scaling_bench.py): synthetic documents of size n**,
+      same job at two ``SPARK_GRAFT_CPUS`` values on identical input.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pandarus_spark.session import build_session  # noqa: E402
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame without collecting to the driver.
+
+    ``noop`` write computes every column (no pruning shortcut the way a
+    bare count could take for narrow plans); returns -1 (unknown rows).
+    """
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+# ---------------------------------------------------------------------------
+# headline jobs
+# ---------------------------------------------------------------------------
+
+def overlay_features(spark, sf_dir: str):
+    from pandarus_spark.sources.pages import extract_features, pages_from_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = extract_features(pages_from_documents(docs, "base"), validate_unique=False)
+    probe = extract_features(pages_from_documents(docs, "probe"), validate_unique=False)
+    return base, probe
+
+
+def job_overlay_intersect(spark, sf_dir: str) -> int:
+    import pandarus_spark as ps
+    base, probe = overlay_features(spark, sf_dir)
+    return ps.intersect(probe, base, broadcast_features=False).count()
+
+
+def job_tile_assignments(spark, sf_dir: str) -> int:
+    import pandarus_spark as ps
+    base, _ = overlay_features(spark, sf_dir)
+    return ps.cover_features(base, res=8, max_cells=64).count()
+
+
+def job_exact_dedup(spark, sf_dir: str) -> int:
+    from pandarus_spark.operators import dedup as D
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.exact_dedup(docs).count()
+
+
+def job_minhash_lsh(spark, sf_dir: str) -> int:
+    from pandarus_spark.operators import dedup as D
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.2).count()
+
+
+def job_simhash(spark, sf_dir: str) -> int:
+    from pandarus_spark.operators import dedup as D
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _force(D.simhash(docs, bits=32))
+
+
+def job_text_stats(spark, sf_dir: str) -> int:
+    from pandarus_spark.operators import textstats as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _force(T.text_stats(docs))
+
+
+def job_cosine_topk(spark, sf_dir: str) -> int:
+    from pandarus_spark.operators import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return S.cosine_topk(emb, q, k=10).count()
+
+
+def job_round_raster(spark, sf_dir: str) -> int:
+    from pandarus_spark.operators.raster_transform import round_raster
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("value"))
+    return _force(round_raster(li, sig_digits=3))
+
+
+def job_knn(spark, sf_dir: str) -> int:
+    import pandarus_spark as ps
+    from pandarus_spark.sources.pages import CELL_DEG, GRID_COLS, GRID_X0, GRID_Y0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base, _ = overlay_features(spark, sf_dir)
+    q = docs.select(
+        F.col("doc_id").alias("query_id"),
+        (F.lit(GRID_X0) + (F.col("doc_id") % GRID_COLS + 0.75) * CELL_DEG).alias("qx"),
+        (F.lit(GRID_Y0) + (F.floor(F.col("doc_id") / GRID_COLS) + 0.75) * CELL_DEG).alias("qy"))
+    # res 12 ≈ 0.09° cells vs 0.05° features: ~couple dozen candidates
+    # per query from the ring join instead of a near-cross-join
+    return ps.knn_nearest_feature(q, base, k=3, res=12, ring=1).count()
+
+
+HEADLINE = {
+    "overlay_intersect": job_overlay_intersect,
+    "tile_assignments": job_tile_assignments,
+    "knn": job_knn,
+    "exact_dedup": job_exact_dedup,
+    "minhash_lsh": job_minhash_lsh,
+    "simhash": job_simhash,
+    "text_stats": job_text_stats,
+    "cosine_topk": job_cosine_topk,
+    "round_raster": job_round_raster,
+}
+
+
+# ---------------------------------------------------------------------------
+# scale job (identical input, swept over SPARK_GRAFT_CPUS)
+# ---------------------------------------------------------------------------
+
+def synthetic_documents(spark, n: int, partitions: int = 64):
+    """documents-shaped input of n rows, deterministic, no external data."""
+    return spark.range(0, n, 1, partitions).select(F.col("id").alias("doc_id"))
+
+
+def job_overlay_scale(spark, n: int) -> tuple[int, int]:
+    """The north-rule job: overlay intersect + tiling over n synthetic
+    pages per side.  Returns (intersection_rows, tile_assignments)."""
+    import pandarus_spark as ps
+    from pandarus_spark.sources.pages import extract_features, pages_from_documents
+    docs = synthetic_documents(spark, n)
+    base = extract_features(pages_from_documents(docs, "base"), validate_unique=False)
+    probe = extract_features(pages_from_documents(docs, "probe"), validate_unique=False)
+    inter_rows = ps.intersect(probe, base, broadcast_features=False).count()
+    tile_rows = ps.cover_features(base, res=8, max_cells=64).count()
+    return inter_rows, tile_rows
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--job", default="headline", choices=["headline", "overlay_scale"])
+    ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(app=f"pandarus-bench-{args.job}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.job == "overlay_scale":
+        t0 = time.perf_counter()
+        inter_rows, tile_rows = job_overlay_scale(spark, args.n)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "intersection_rows_plus_tile_assignments_per_sec",
+            "value": round(dt, 3), "unit": "sec",
+            "queries": {"overlay_scale": round(dt, 3)},
+            "sf": args.n, "cpus": cpus,
+            "intersection_rows": inter_rows, "tile_assignments": tile_rows,
+            "throughput_rows_per_sec": round((inter_rows + tile_rows) / dt, 1),
+        }))
+        spark.stop()
+        return
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.perf_counter()
+        rows[name] = fn(spark, sf_dir)
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    core_rows = rows["overlay_intersect"] + rows["tile_assignments"]
+    core_sec = times["overlay_intersect"] + times["tile_assignments"]
+    print(json.dumps({
+        "metric": "intersection_rows_plus_tile_assignments_per_sec",
+        "value": total, "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir), "cpus": cpus,
+        "rows": rows,
+        "throughput_rows_per_sec": round(core_rows / core_sec, 1) if core_sec else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

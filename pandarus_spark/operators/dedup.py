@@ -83,21 +83,59 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; A*h + B stays < 2^62
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (A_i, B_i), A_i != 0,
+    identical literals on the Spark and DuckDB sides."""
+    out = []
+    x = 88172645463325252  # xorshift64 seed (public-domain Marsaglia PRNG)
+    for _ in range(num_hashes):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        a = x % (MINHASH_P - 1) + 1
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sig array<long>): sig[i] = min over shingles of
-    hash60(f"{i}:{shingle}") — pure Catalyst, no UDF."""
-    sh = word_shingles(F.col(text_col), k)
+    """(doc_id, sig array<long>): sig[i] = min over shingles s of
+    (A_i * h(s) + B_i) mod P, h = md5-derived base hash mod P — pure
+    Catalyst, no UDF.
 
-    def seed_hash(seed: int):
-        # NB: a 2-arg lambda would make transform() bind the array index
-        # to the second parameter — keep arity 1.
-        prefix = f"{seed}:"
-        return lambda s: hash60(F.concat(F.lit(prefix), s))
+    The base hash is computed ONCE per shingle in its own projection
+    (md5 is the expensive part; the num_hashes permutations are integer
+    arithmetic over the materialized hash array — the classic
+    one-hash+affine-permutations MinHash construction)."""
+    hs = F.transform(word_shingles(F.col(text_col), k),
+                     lambda s: hash60(s) % MINHASH_P)
+    hashed = docs.select(F.col(id_col), hs.alias("_hs"))
+    def perm(a: int, b: int):
+        # keep arity 1 — transform() binds extra params to the array index
+        return lambda h: (a * h + b) % MINHASH_P
 
-    sigs = F.array(*[F.array_min(F.transform(sh, seed_hash(i)))
-                     for i in range(num_hashes)])
-    return docs.select(F.col(id_col), sigs.alias("sig"))
+    sigs = F.array(*[F.array_min(F.transform(F.col("_hs"), perm(a, b)))
+                     for a, b in minhash_coeffs(num_hashes)])
+    return hashed.select(F.col(id_col), sigs.alias("sig"))
+
+
+def minhash_sql(num_hashes: int, source: str = "documents", where: str = "",
+                text_expr: str = "text", id_col: str = "doc_id", k: int = 3) -> str:
+    """DuckDB rendering of :func:`minhash_signatures` (one s{i} column
+    per hash) — the independent oracle for the one-hash+affine scheme."""
+    hs = f"[{hash60_sql('s')} % {MINHASH_P} for s in {shingles_sql(text_expr, k)}]"
+    sigs = ", ".join(
+        f"list_min([({a}*h+{b})%{MINHASH_P} for h in hs]) AS s{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes)))
+    return (f"SELECT {id_col}, {sigs} FROM "
+            f"(SELECT {id_col}, {hs} AS hs FROM {source} {where})")
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8, k: int = 3,

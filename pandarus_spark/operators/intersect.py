@@ -156,17 +156,38 @@ def refine_pairs(pairs_with_geoms: DataFrame) -> DataFrame:
     return pairs_with_geoms.mapInPandas(gen, schema=PAIR_REFINE_SCHEMA)
 
 
+def _ensure_persisted(df: DataFrame) -> DataFrame:
+    """Persist a feature table that the plan references several times
+    (cover, geometry join-back, label join).  Without this, a feature
+    side derived from an expensive ingest (pages → extract) would be
+    recomputed once per plan occurrence.  MEMORY_AND_DISK: at cluster
+    scale the normalized feature table is the thing you'd materialize
+    to parquet/Iceberg between ingest and join anyway."""
+    from pyspark import StorageLevel
+    if df.storageLevel == StorageLevel.NONE:
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def intersect(features1: DataFrame, features2: DataFrame,
               res: int = DEFAULT_TARGET_RES, max_cells: int = DEFAULT_MAX_CELLS,
               salt_buckets: int = 0, salt_threshold: int = 50_000,
-              broadcast_features: bool | None = None) -> DataFrame:
+              broadcast_features: bool | None = None,
+              ids: str = "sorted", refine_partitions: int | None = None) -> DataFrame:
     """The overlay join. Returns
     ``(id, from_label, to_label, measure, geom_wkb)`` matching the
     reference's fixed output schema (core.py:153-161).
 
     The second side must be polygonal (core.py:51-53) — enforced here
     with a distributed assert, non-overlap stays a documented
-    precondition."""
+    precondition.
+
+    ``ids="sorted"`` reproduces the reference's enumeration-order ids
+    via a global window (single-partition sort — fixture/report scale);
+    ``ids="fast"`` uses ``monotonically_increasing_id`` (unique, not
+    dense/ordered) and keeps the plan fully parallel for big outputs."""
+    features1 = _ensure_persisted(features1)
+    features2 = _ensure_persisted(features2)
     bad = features2.filter(F.col("kind") != "polygon").limit(1).collect()
     if bad:
         raise ValueError("second dataset must contain only polygons "
@@ -188,15 +209,20 @@ def intersect(features1: DataFrame, features2: DataFrame,
     else:
         f1b, f2b = f1, f2
 
-    enriched = pairs.join(f1b, "from_id").join(f2b, "to_id")
+    # the refine is CPU-bound Python — partition by task-count, not bytes
+    # (AQE would coalesce these tiny-by-bytes partitions onto few cores)
+    nparts = refine_partitions or features1.sparkSession.sparkContext.defaultParallelism * 2
+    enriched = pairs.join(f1b, "from_id").join(f2b, "to_id").repartition(nparts)
     refined = refine_pairs(enriched)
 
     labels = (refined
               .join(f1b.select("from_id", "from_label"), "from_id")
               .join(f2b.select("to_id", "to_label"), "to_id"))
-    return labels.select(
-        F.row_number().over(_det_window()).cast("long").alias("id"),
-        "from_label", "to_label", "measure", "geom_wkb")
+    if ids == "fast":
+        id_col = F.monotonically_increasing_id().alias("id")
+    else:
+        id_col = F.row_number().over(_det_window()).cast("long").alias("id")
+    return labels.select(id_col, "from_label", "to_label", "measure", "geom_wkb")
 
 
 def _det_window():

@@ -90,8 +90,9 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
                         res: int = 6, ring: int = 1) -> DataFrame:
     """queries(query_id, qx, qy) × features(feature_id, label, geom_wkb,
     bbox) → (query_id, feature_id, label, dist, rank), rank 1..k."""
-    from ..operators.intersect import cover_features
+    from ..operators.intersect import _ensure_persisted, cover_features
 
+    features = _ensure_persisted(features)
     qcells_rows = queries.select(
         "query_id", "qx", "qy",
         _cell_udf(res)(F.col("qx"), F.col("qy")).alias("cells"))
@@ -105,6 +106,9 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("feature_id").asc())
     ranked = dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # the backstop existence check below is an action — persist so the
+    # candidate+refine pipeline isn't executed twice
+    ranked = _ensure_persisted(ranked)
 
     # backstop: queries with < k matches fall back to brute force
     short = (queries.join(ranked.groupBy("query_id").agg(F.count("*").alias("n")), "query_id", "left")

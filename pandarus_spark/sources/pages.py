@@ -190,7 +190,7 @@ def doc_box(doc_id: int, probe: bool) -> tuple[float, float, float, float]:
     return (x, y, x + CELL_DEG, y + CELL_DEG)
 
 
-def pages_from_documents(docs, role: str = "base"):
+def pages_from_documents(docs, role: str = "base", partitions: int | None = None):
     """documents table → pages table (url, warc_ts, html, text, lang):
     each document becomes one synthetic crawl page embedding the
     deterministic grid geometry of its doc_id.  Fully distributed
@@ -220,7 +220,14 @@ def pages_from_documents(docs, role: str = "base"):
                 rows["lang"].append("en")
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(gen, schema=PAGES_SCHEMA)
+    ids = docs.select("doc_id")
+    if partitions is None:
+        # page synthesis + downstream extraction are CPU-bound Python;
+        # a small parquet reads as 1 split — spread over the cluster
+        partitions = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < partitions:
+        ids = ids.repartition(partitions)
+    return ids.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

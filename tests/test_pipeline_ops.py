@@ -36,14 +36,9 @@ def test_minhash_duckdb_parity(spark, docs):
     got = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(docs, num_hashes=4).collect()}
     con = duckdb.connect()
     con.register("docs", docs.toPandas())
-    sh = D.shingles_sql("text")
     sql_sigs = {}
-    # sig_i = list_min([hash60(i||':'||s) for s in shingles])
-    exprs = ", ".join(
-        "list_min([{h} for s in {sh}]) AS s{i}".format(
-            h=D.hash60_sql(f"'{i}:'||s"), sh=sh, i=i)
-        for i in range(4))
-    for row in con.execute(f"SELECT doc_id, {exprs} FROM docs").fetchall():
+    # sig_i = list_min([(A_i*h + B_i) % P for h in base-hash list])
+    for row in con.execute(D.minhash_sql(4, source="docs")).fetchall():
         sql_sigs[row[0]] = list(row[1:])
     for d in got:
         assert got[d] == sql_sigs[d], d
