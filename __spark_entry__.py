@@ -64,14 +64,15 @@ def _intersect_fixture(spark, first: str, second: str) -> DataFrame:
               .orderBy("from_label", "to_label")
 
 
-def _range_cells(spark):
+def _range_cells(spark, drop_nodata: bool = True):
     import numpy as np
 
     from pandarus_spark.operators.raster_stats import RasterSpec, raster_cells_df
     arr = np.arange(50, dtype=np.float32).reshape(10, 5).astype(np.float64)
     arr[4, :] = -1.0
     arr[5, :] = -1.0
-    return raster_cells_df(spark, RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0), arr)
+    return raster_cells_df(spark, RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0), arr,
+                           drop_nodata=drop_nodata)
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +189,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ps.convert_to_vector(_range_cells(spark))
         return out.groupBy("val").agg(F.count("*").alias("n_regions"))
 
+    def q_clean_raster_range(spark, sf_dir):
+        from pandarus_spark.operators.raster_transform import clean_raster
+        cells = _range_cells(spark, drop_nodata=False)
+        cleaned, new_nodata, downcast = clean_raster(cells, nodata=-1.0)
+        assert new_nodata == -99.0 and downcast
+        return cleaned.select("row", "col", "value")
+
     def q_round_raster_lineitem(spark, sf_dir):
         from pandarus_spark.operators.raster_transform import round_raster
         li = _li(spark, sf_dir).select("l_orderkey", "l_linenumber",
@@ -220,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = F.col("text")
         return _docs(spark, sf_dir).select(
             "doc_id",
+            T.token_count(t).alias("n_tokens"),
             T.whitespace_token_count(t).alias("n_words"),
             F.length(t).alias("n_chars2"),
             T.lang_id(t).alias("lang_guess"),
@@ -231,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
         return S.cosine_topk(emb, q, k=3)
+
+    def q_cosine_neardup_embeddings(spark, sf_dir):
+        return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
     def q_ann_lsh_embeddings(spark, sf_dir):
         # approximate by construction — rows-only check; subset-of-bruteforce
@@ -258,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_coverage": q_zonal_coverage,
         "zonal_centers": q_zonal_centers,
         "vectorize_range": q_vectorize_range,
+        "clean_raster_range": q_clean_raster_range,
         "round_raster_lineitem": q_round_raster_lineitem,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_sigs_docs": q_minhash_sigs_docs,
@@ -266,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "text_stats_docs": q_text_stats_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "multimodal_decode": q_multimodal_decode,
         "flagship_overlay": q_flagship_overlay,
@@ -354,6 +368,11 @@ FROM r WHERE rank <= 2"""
 SELECT CAST(i AS DOUBLE) AS val, CAST(1 AS BIGINT) AS n_regions
 FROM range(50) t(i) WHERE i // 5 NOT IN (4, 5)"""
 
+    clean_range = """
+SELECT CAST(i // 5 AS BIGINT) AS "row", CAST(i % 5 AS BIGINT) AS col,
+       CASE WHEN i // 5 IN (4, 5) THEN -99.0 ELSE CAST(i AS DOUBLE) END AS "value"
+FROM range(50) t(i)"""
+
     round_li = """
 SELECT l_orderkey, l_linenumber,
   CAST(CAST(CASE WHEN l_extendedprice = 0 THEN 0
@@ -393,6 +412,7 @@ SELECT doc_id, CAST({bit_comb} AS BIGINT) AS simhash FROM agg"""
 
     text_stats = f"""
 SELECT doc_id,
+  len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS n_tokens,
   len(string_split(text, ' ')) AS n_words,
   length(text) AS n_chars2,
   {T.lang_id_sql('text')} AS lang_guess,
@@ -412,6 +432,15 @@ r AS (SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored)
 SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3"""
+
+    cosine_neardup = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
 
     # deterministic synthetic media: precompute expected metadata rows
     media_rows = []
@@ -437,6 +466,7 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <
         "zonal_coverage": zonal_coverage,
         "zonal_centers": zonal_centers,
         "vectorize_range": vectorize,
+        "clean_raster_range": clean_range,
         "round_raster_lineitem": round_li,
         "exact_dedup_docs": exact_dedup,
         "minhash_sigs_docs": minhash,
@@ -444,6 +474,7 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <
         "simhash_docs": simhash,
         "text_stats_docs": text_stats,
         "cosine_topk_embeddings": cosine_topk,
+        "cosine_neardup_embeddings": cosine_neardup,
         "multimodal_decode": multimodal,
         "flagship_overlay": _flagship_oracle(),
         # omitted (approximate / non-SQL-expressible): lsh_pairs_docs,

@@ -153,16 +153,31 @@ def synthetic_documents(spark, n: int, partitions: int = 64):
     return spark.range(0, n, 1, partitions).select(F.col("id").alias("doc_id"))
 
 
-def job_overlay_scale(spark, n: int) -> tuple[int, int]:
+def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, int]:
     """The north-rule job: overlay intersect + tiling over n synthetic
     pages per side.  Returns (intersection_rows, tile_assignments)."""
     import pandarus_spark as ps
     from pandarus_spark.sources.pages import extract_features, pages_from_documents
+
+    def mark(key, t0):
+        if phases is not None:
+            phases[key] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter()
+
     docs = synthetic_documents(spark, n)
+    t = time.perf_counter()
     base = extract_features(pages_from_documents(docs, "base"), validate_unique=False)
     probe = extract_features(pages_from_documents(docs, "probe"), validate_unique=False)
-    inter_rows = ps.intersect(probe, base, broadcast_features=False).count()
+    base.persist().count()
+    probe.persist().count()
+    t = mark("extract", t)
+    # ids="fast": the reference-parity global id sort is a deliberate
+    # single-partition stage for small report outputs — at bench scale it
+    # would serialize the whole job
+    inter_rows = ps.intersect(probe, base, broadcast_features=False, ids="fast").count()
+    t = mark("intersect", t)
     tile_rows = ps.cover_features(base, res=8, max_cells=64).count()
+    mark("tiles", t)
     return inter_rows, tile_rows
 
 
@@ -182,13 +197,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.job == "overlay_scale":
+        phases: dict = {}
         t0 = time.perf_counter()
-        inter_rows, tile_rows = job_overlay_scale(spark, args.n)
+        inter_rows, tile_rows = job_overlay_scale(spark, args.n, phases)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": "intersection_rows_plus_tile_assignments_per_sec",
             "value": round(dt, 3), "unit": "sec",
             "queries": {"overlay_scale": round(dt, 3)},
+            "phases": phases,
             "sf": args.n, "cpus": cpus,
             "intersection_rows": inter_rows, "tile_assignments": tile_rows,
             "throughput_rows_per_sec": round((inter_rows + tile_rows) / dt, 1),

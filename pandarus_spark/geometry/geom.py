@@ -269,6 +269,28 @@ def as_multi(kind: str, parts: list) -> dict | None:
 # Measures (Mollweide-projected, reference utils/geometry.py:149-174)
 # --------------------------------------------------------------------------
 
+def is_axis_rect(geom: dict) -> bool:
+    """True when the geometry is a single-ring axis-aligned rectangle
+    (closed 5-point ring whose vertices are exactly the four bbox
+    corners).  Such features take the fully vectorized refine fast path
+    (operators/intersect.py) — the dominant shape in gridded web-scale
+    workloads; anything else falls back to the general clip kernel."""
+    if geom.get("type") != "Polygon" or len(geom["coordinates"]) != 1:
+        return False
+    r = np.asarray(geom["coordinates"][0], dtype=np.float64)
+    if r.shape != (5, 2) or not np.array_equal(r[0], r[4]):
+        return False
+    corners = r[:4]
+    xs, ys = np.unique(corners[:, 0]), np.unique(corners[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    expected = {(x, y) for x in xs for y in ys}
+    if {(p[0], p[1]) for p in corners} != expected:
+        return False
+    d = np.diff(r, axis=0)
+    return bool(np.all((d[:, 0] == 0) ^ (d[:, 1] == 0)))
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area of a closed ring (planar coordinates)."""
     r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)

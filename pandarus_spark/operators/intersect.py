@@ -35,29 +35,35 @@ Scale design (north_rule):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..geometry import geom as G
+from ..geometry.projection import mollweide_forward
 from ..tiling import cells as C
 
-PAIR_REFINE_SCHEMA = "from_id bigint, to_id bigint, measure double, geom_wkb binary"
+PAIR_REFINE_SCHEMA = ("from_id bigint, to_id bigint, from_label string, to_label string, "
+                      "measure double, geom_wkb binary")
 
 DEFAULT_TARGET_RES = 12
 DEFAULT_MAX_CELLS = 64
 
 
 def cover_features(features: DataFrame, res: int, max_cells: int = DEFAULT_MAX_CELLS,
-                   with_parents_to: int | None = None) -> DataFrame:
+                   with_parents_to: int | None = None, with_meta: bool = False) -> DataFrame:
     """(feature_id, cell) tile-assignment relation for one side.
 
     Cover at ``res`` (per-feature coarser when the bbox would exceed
     ``max_cells``); optionally also emit the ancestor chain down to
-    ``with_parents_to`` so mixed-resolution sides still collide."""
+    ``with_parents_to`` so mixed-resolution sides still collide.
+
+    ``with_meta`` adds (native_res, minx, miny) per row — required by
+    the reference-point pair dedup in :func:`candidate_pairs`."""
 
     def gen(batches):
         import pandas as pd
         for pdf in batches:
-            ids, cids = [], []
+            ids, cids, nres, mnxs, mnys = [], [], [], [], []
             for fid, mnx, mny, mxx, mxy in zip(pdf["feature_id"], pdf["minx"], pdf["miny"],
                                                pdf["maxx"], pdf["maxy"]):
                 r = C.pick_resolution(mnx, mny, mxx, mxy, target_res=res, max_cells=max_cells)
@@ -66,11 +72,23 @@ def cover_features(features: DataFrame, res: int, max_cells: int = DEFAULT_MAX_C
                     cover = C.cover_with_parents(mnx, mny, mxx, mxy, r, min_res=with_parents_to)
                 ids.extend([fid] * len(cover))
                 cids.extend(int(c) for c in cover)
-            yield pd.DataFrame({"feature_id": pd.Series(ids, dtype="int64"),
-                                "cell": pd.Series(cids, dtype="int64")})
+                if with_meta:
+                    nres.extend([r] * len(cover))
+                    mnxs.extend([mnx] * len(cover))
+                    mnys.extend([mny] * len(cover))
+            out = {"feature_id": pd.Series(ids, dtype="int64"),
+                   "cell": pd.Series(cids, dtype="int64")}
+            if with_meta:
+                out["native_res"] = pd.Series(nres, dtype="int32")
+                out["minx"] = pd.Series(mnxs, dtype="float64")
+                out["miny"] = pd.Series(mnys, dtype="float64")
+            yield pd.DataFrame(out)
 
+    schema = "feature_id bigint, cell bigint"
+    if with_meta:
+        schema += ", native_res int, minx double, miny double"
     return features.select("feature_id", "minx", "miny", "maxx", "maxy") \
-                   .mapInPandas(gen, schema="feature_id bigint, cell bigint")
+                   .mapInPandas(gen, schema=schema)
 
 
 def _min_emit_res(features: DataFrame, res: int, max_cells: int) -> int:
@@ -88,17 +106,52 @@ def _min_emit_res(features: DataFrame, res: int, max_cells: int) -> int:
     return int(row[0]["r"]) if row and row[0]["r"] is not None else res
 
 
+def _owner_cell_filter():
+    """Reference-point dedup (the standard PBSM/Sedona trick, here
+    generalized to the multi-resolution grid): a candidate pair is kept
+    ONLY by the unique cell that (a) sits at the pair's coarsest native
+    resolution rr = min(from_native, to_native) and (b) contains the
+    reference point (max of the two bbox minima).  Both sides are
+    guaranteed to emit that cell (native cover on the coarser side, the
+    ancestor chain on the finer side), so every bbox-overlapping pair
+    survives exactly once — no dropDuplicates shuffle at all."""
+    rr = F.least(F.col("f_native"), F.col("t_native"))
+    # 2^rr (exact in double for rr <= 20; shiftleft needs a literal count)
+    n = F.pow(F.lit(2.0), rr.cast("double")).cast("long")
+    gx = F.greatest(F.col("f_minx"), F.col("t_minx"))
+    gy = F.greatest(F.col("f_miny"), F.col("t_miny"))
+    # must mirror tiling.cells.lonlat_to_xy exactly: floor((v-min)/span*n), clipped
+    oix = F.least(F.greatest(F.floor((gx - F.lit(C.LON_MIN)) / F.lit(C.LON_SPAN) * n),
+                             F.lit(0).cast("long")), n - 1)
+    oiy = F.least(F.greatest(F.floor((gy - F.lit(C.LAT_MIN)) / F.lit(C.LAT_SPAN) * n),
+                             F.lit(0).cast("long")), n - 1)
+    mask = F.lit((1 << C.Y_SHIFT) - 1).cast("long")
+    return ((F.shiftright(F.col("cell"), C.RES_SHIFT) == rr.cast("long"))
+            & (F.col("cell").bitwiseAND(mask) == oix)
+            & (F.shiftright(F.col("cell"), C.Y_SHIFT).bitwiseAND(mask) == oiy))
+
+
 def candidate_pairs(features1: DataFrame, features2: DataFrame,
                     res: int = DEFAULT_TARGET_RES, max_cells: int = DEFAULT_MAX_CELLS,
                     salt_buckets: int = 0, salt_threshold: int = 50_000) -> DataFrame:
-    """Distinct (from_id, to_id) candidate pairs via the cell-key join."""
+    """Distinct (from_id, to_id) candidate pairs via the cell-key join.
+
+    Multi-cell double-matches are eliminated by the owner-cell filter
+    (:func:`_owner_cell_filter`) — a codegen'd predicate on the join
+    output — instead of a ``dropDuplicates`` shuffle."""
     lo1 = _min_emit_res(features1, res, max_cells)
     lo2 = _min_emit_res(features2, res, max_cells)
     # each side emits ancestors down to the other side's coarsest level,
     # guaranteeing a shared key for any bbox overlap without emitting the
     # root cell globally (tiling/cells.py docstring).
-    c1 = cover_features(features1, res, max_cells, with_parents_to=min(lo2, res)).withColumnRenamed("feature_id", "from_id")
-    c2 = cover_features(features2, res, max_cells, with_parents_to=min(lo1, res)).withColumnRenamed("feature_id", "to_id")
+    c1 = (cover_features(features1, res, max_cells, with_parents_to=min(lo2, res), with_meta=True)
+          .withColumnRenamed("feature_id", "from_id")
+          .withColumnRenamed("native_res", "f_native")
+          .withColumnRenamed("minx", "f_minx").withColumnRenamed("miny", "f_miny"))
+    c2 = (cover_features(features2, res, max_cells, with_parents_to=min(lo1, res), with_meta=True)
+          .withColumnRenamed("feature_id", "to_id")
+          .withColumnRenamed("native_res", "t_native")
+          .withColumnRenamed("minx", "t_minx").withColumnRenamed("miny", "t_miny"))
 
     if salt_buckets > 1:
         hot = (c1.groupBy("cell").count().filter(F.col("count") >= salt_threshold)
@@ -114,25 +167,88 @@ def candidate_pairs(features1: DataFrame, features2: DataFrame,
                          F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
                   .otherwise(F.array(F.lit(0)))))
               .drop("hot"))
-        pairs = c1.join(c2, ["cell", "salt"]).select("from_id", "to_id")
+        pairs = c1.join(c2, ["cell", "salt"])
     else:
-        pairs = c1.join(c2, "cell").select("from_id", "to_id")
-    return pairs.dropDuplicates(["from_id", "to_id"])
+        pairs = c1.join(c2, "cell")
+    return pairs.filter(_owner_cell_filter()).select("from_id", "to_id")
 
 
-def refine_pairs(pairs_with_geoms: DataFrame) -> DataFrame:
-    """Exact refine in Arrow batches: decode WKB, clip, Mollweide measure.
+# WKB prefix of MultiPolygon[1 Polygon[1 ring[5 pts]]] (little-endian):
+# (01, uint32 6, uint32 1) (01, uint32 3, uint32 1, uint32 5) + 10 doubles
+_RECT_WKB_PREFIX = (b"\x01\x06\x00\x00\x00\x01\x00\x00\x00"
+                    b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00")
 
-    Input columns: from_id, to_id, from_wkb, from_kind, to_wkb.
-    Topology errors are skipped per row, like the reference
-    (utils/multiprocess.py:102-104)."""
+
+def _refine_rects(fminx, fminy, fmaxx, fmaxy, tminx, tminy, tmaxx, tmaxy):
+    """Vectorized rect×rect refine: bbox clip + Mollweide shoelace area
+    + bulk WKB assembly — zero per-row Python.  Returns (keep_mask,
+    measures, wkb_list) where measures/wkbs align with keep_mask's True
+    entries.  Same math as the general kernel (project ring corners,
+    shoelace) so results agree to fp round-off."""
+    ix0 = np.maximum(fminx, tminx); iy0 = np.maximum(fminy, tminy)
+    ix1 = np.minimum(fmaxx, tmaxx); iy1 = np.minimum(fmaxy, tmaxy)
+    keep = (ix1 > ix0) & (iy1 > iy0)  # degenerate edge/corner touches drop
+    ix0, iy0, ix1, iy1 = ix0[keep], iy0[keep], ix1[keep], iy1[keep]
+    n = len(ix0)
+    if n == 0:
+        return keep, np.empty(0), []
+    # closed CCW ring (minx,miny)->(maxx,miny)->(maxx,maxy)->(minx,maxy)
+    lons = np.stack([ix0, ix1, ix1, ix0, ix0], axis=1)
+    lats = np.stack([iy0, iy0, iy1, iy1, iy0], axis=1)
+    X, Y = mollweide_forward(lons, lats)
+    area = 0.5 * np.abs(np.sum(X[:, :-1] * Y[:, 1:] - X[:, 1:] * Y[:, :-1], axis=1))
+    buf = np.empty((n, 22 + 80), dtype=np.uint8)
+    buf[:, :22] = np.frombuffer(_RECT_WKB_PREFIX, dtype=np.uint8)
+    pts = np.empty((n, 10), dtype="<f8")
+    pts[:, 0::2] = lons
+    pts[:, 1::2] = lats
+    buf[:, 22:] = pts.view(np.uint8).reshape(n, 80)
+    raw = buf.tobytes()
+    wkbs = [raw[i * 102:(i + 1) * 102] for i in range(n)]
+    return keep, area, wkbs
+
+
+def refine_pairs(pairs_with_geoms: DataFrame, rect_fast: bool = True) -> DataFrame:
+    """Exact refine in Arrow batches: clip + Mollweide measure.
+
+    Input columns: from_id, to_id, from_wkb, from_kind, to_wkb, plus
+    bbox columns (f_minx..t_maxy) and from_rect/to_rect flags.
+    Rect×rect polygon pairs (the dominant gridded-web-workload shape)
+    take a fully vectorized numpy path; everything else decodes WKB and
+    runs the general clip kernel per row.  Topology errors are skipped
+    per row, like the reference (utils/multiprocess.py:102-104)."""
 
     def gen(batches):
         import pandas as pd
         for pdf in batches:
-            out = {"from_id": [], "to_id": [], "measure": [], "geom_wkb": []}
-            for fid, tid, fwkb, kind, twkb in zip(pdf["from_id"], pdf["to_id"], pdf["from_wkb"],
-                                                  pdf["from_kind"], pdf["to_wkb"]):
+            frames = []
+            rect = (pdf["from_rect"].to_numpy(dtype=bool)
+                    & pdf["to_rect"].to_numpy(dtype=bool)
+                    & (pdf["from_kind"] == "polygon").to_numpy())
+            if not rect_fast:
+                rect = np.zeros(len(pdf), dtype=bool)
+            if rect.any():
+                r = pdf[rect]
+                keep, area, wkbs = _refine_rects(
+                    r["f_minx"].to_numpy(), r["f_miny"].to_numpy(),
+                    r["f_maxx"].to_numpy(), r["f_maxy"].to_numpy(),
+                    r["t_minx"].to_numpy(), r["t_miny"].to_numpy(),
+                    r["t_maxx"].to_numpy(), r["t_maxy"].to_numpy())
+                kept = r[keep]
+                frames.append(pd.DataFrame({
+                    "from_id": kept["from_id"].to_numpy(dtype="int64"),
+                    "to_id": kept["to_id"].to_numpy(dtype="int64"),
+                    "from_label": kept["from_label"].to_numpy(),
+                    "to_label": kept["to_label"].to_numpy(),
+                    "measure": area,
+                    "geom_wkb": wkbs}))
+            gen_rows = pdf[~rect]
+            out = {"from_id": [], "to_id": [], "from_label": [], "to_label": [],
+                   "measure": [], "geom_wkb": []}
+            for fid, tid, flab, tlab, fwkb, kind, twkb in zip(
+                    gen_rows["from_id"], gen_rows["to_id"],
+                    gen_rows["from_label"], gen_rows["to_label"],
+                    gen_rows["from_wkb"], gen_rows["from_kind"], gen_rows["to_wkb"]):
                 try:
                     fg = G.wkb_loads(bytes(fwkb))
                     tg = G.wkb_loads(bytes(twkb))
@@ -146,12 +262,17 @@ def refine_pairs(pairs_with_geoms: DataFrame) -> DataFrame:
                     continue
                 out["from_id"].append(fid)
                 out["to_id"].append(tid)
+                out["from_label"].append(flab)
+                out["to_label"].append(tlab)
                 out["measure"].append(m)
                 out["geom_wkb"].append(G.wkb_dumps(inter))
-            yield pd.DataFrame({"from_id": pd.Series(out["from_id"], dtype="int64"),
-                                "to_id": pd.Series(out["to_id"], dtype="int64"),
-                                "measure": pd.Series(out["measure"], dtype="float64"),
-                                "geom_wkb": out["geom_wkb"]})
+            frames.append(pd.DataFrame({"from_id": pd.Series(out["from_id"], dtype="int64"),
+                                        "to_id": pd.Series(out["to_id"], dtype="int64"),
+                                        "from_label": out["from_label"],
+                                        "to_label": out["to_label"],
+                                        "measure": pd.Series(out["measure"], dtype="float64"),
+                                        "geom_wkb": out["geom_wkb"]}))
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     return pairs_with_geoms.mapInPandas(gen, schema=PAIR_REFINE_SCHEMA)
 
@@ -166,6 +287,11 @@ def _ensure_persisted(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
     if df.storageLevel == StorageLevel.NONE:
         df.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager materialization: the join plan references this table from
+        # several concurrent subtrees (cover × 2 sides, geometry join,
+        # label join) — populating the cache lazily would recompute the
+        # ingest once per subtree racing ahead of the cache
+        df.count()
     return df
 
 
@@ -173,7 +299,8 @@ def intersect(features1: DataFrame, features2: DataFrame,
               res: int = DEFAULT_TARGET_RES, max_cells: int = DEFAULT_MAX_CELLS,
               salt_buckets: int = 0, salt_threshold: int = 50_000,
               broadcast_features: bool | None = None,
-              ids: str = "sorted", refine_partitions: int | None = None) -> DataFrame:
+              ids: str = "sorted", refine_partitions: int | None = None,
+              rect_fast: bool = True) -> DataFrame:
     """The overlay join. Returns
     ``(id, from_label, to_label, measure, geom_wkb)`` matching the
     reference's fixed output schema (core.py:153-161).
@@ -195,13 +322,22 @@ def intersect(features1: DataFrame, features2: DataFrame,
 
     pairs = candidate_pairs(features1, features2, res, max_cells, salt_buckets, salt_threshold)
 
+    def rect_col(df):
+        return F.col("is_rect") if "is_rect" in df.columns else F.lit(False)
+
     f1 = features1.select(F.col("feature_id").alias("from_id"),
                           F.col("geom_wkb").alias("from_wkb"),
                           F.col("kind").alias("from_kind"),
-                          F.col("label").alias("from_label"))
+                          F.col("label").alias("from_label"),
+                          rect_col(features1).alias("from_rect"),
+                          F.col("minx").alias("f_minx"), F.col("miny").alias("f_miny"),
+                          F.col("maxx").alias("f_maxx"), F.col("maxy").alias("f_maxy"))
     f2 = features2.select(F.col("feature_id").alias("to_id"),
                           F.col("geom_wkb").alias("to_wkb"),
-                          F.col("label").alias("to_label"))
+                          F.col("label").alias("to_label"),
+                          rect_col(features2).alias("to_rect"),
+                          F.col("minx").alias("t_minx"), F.col("miny").alias("t_miny"),
+                          F.col("maxx").alias("t_maxx"), F.col("maxy").alias("t_maxy"))
     if broadcast_features is None:
         broadcast_features = True  # fixture/dim-table scale; flip off for big-big
     if broadcast_features:
@@ -209,20 +345,34 @@ def intersect(features1: DataFrame, features2: DataFrame,
     else:
         f1b, f2b = f1, f2
 
-    # the refine is CPU-bound Python — partition by task-count, not bytes
-    # (AQE would coalesce these tiny-by-bytes partitions onto few cores)
-    nparts = refine_partitions or features1.sparkSession.sparkContext.defaultParallelism * 2
-    enriched = pairs.join(f1b, "from_id").join(f2b, "to_id").repartition(nparts)
-    refined = refine_pairs(enriched)
+    enriched = pairs.join(f1b, "from_id").join(f2b, "to_id")
+    if rect_fast:
+        # rect×rect rows are refined from their bboxes alone — null the
+        # WKB payloads JVM-side so the Arrow exchange into the Python
+        # refine doesn't ship geometry bytes it will never read
+        both_rect = (F.col("from_rect") & F.col("to_rect")
+                     & (F.col("from_kind") == "polygon"))
+        enriched = (enriched
+                    .withColumn("from_wkb", F.when(both_rect, F.lit(None))
+                                .otherwise(F.col("from_wkb")))
+                    .withColumn("to_wkb", F.when(both_rect, F.lit(None))
+                                .otherwise(F.col("to_wkb"))))
+    if refine_partitions:
+        # opt-in for Python-heavy (non-rect) workloads: the general clip
+        # kernel is CPU-bound per row, so partition by task-count rather
+        # than letting AQE coalesce the tiny-by-bytes join output onto a
+        # few cores.  Rect-dominated workloads skip the extra shuffle —
+        # the vectorized refine is cheap wherever it lands.
+        enriched = enriched.repartition(refine_partitions)
+    # labels ride through the refine (they're already in the join output),
+    # so no post-refine label joins are needed
+    refined = refine_pairs(enriched, rect_fast=rect_fast)
 
-    labels = (refined
-              .join(f1b.select("from_id", "from_label"), "from_id")
-              .join(f2b.select("to_id", "to_label"), "to_id"))
     if ids == "fast":
         id_col = F.monotonically_increasing_id().alias("id")
     else:
         id_col = F.row_number().over(_det_window()).cast("long").alias("id")
-    return labels.select(id_col, "from_label", "to_label", "measure", "geom_wkb")
+    return refined.select(id_col, "from_label", "to_label", "measure", "geom_wkb")
 
 
 def _det_window():

@@ -54,6 +54,22 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
+    threshold) — the exact all-pairs baseline for embedding dedup.
+
+    Broadcast-self-join at verification scale; at 100 TB you bucket with
+    :func:`lsh_bucket` first (same exact-cosine verify inside buckets),
+    which turns the |E|² cross join into a shuffle on the bucket key."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+            .filter(F.col("cos") >= F.lit(threshold)))
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic signed-random-projection planes (seeded numpy)."""
     rng = np.random.default_rng(seed)

@@ -13,9 +13,18 @@ def build_session(app: str = "pandarus-spark", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus if str(cpus).isdigit() else 32)
+    ncpu = int(cpus if str(cpus).isdigit() else 32)
+    # 4 waves per shuffle: single-wave scheduling (partitions == cores)
+    # makes every straggler task extend the stage by its full duration
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", ncpu * 4))
+    # local[N] runs executors inside the driver JVM; the 1g default heap
+    # OOMs real workloads — size it from the env (128 GiB box here)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     return (
         SparkSession.builder.master(master).appName(app)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         # AQE: runtime re-plan, skew-join splitting, partition coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

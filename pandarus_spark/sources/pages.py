@@ -237,7 +237,7 @@ def pages_from_documents(docs, role: str = "base", partitions: int | None = None
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, lang string")
 
 FEATURES_SCHEMA = ("feature_id bigint, label string, geom_wkb binary, kind string, "
-                   "minx double, miny double, maxx double, maxy double")
+                   "minx double, miny double, maxx double, maxy double, is_rect boolean")
 
 
 def pages_df(spark, dataset: str, features: list[dict] | None = None, partitions: int | None = None):
@@ -269,7 +269,8 @@ def extract_features(pages, validate_unique: bool = True, allow_collections: boo
     def gen(batches):
         import pandas as pd
         for pdf in batches:
-            out = {k: [] for k in ("feature_id", "label", "geom_wkb", "kind", "minx", "miny", "maxx", "maxy")}
+            out = {k: [] for k in ("feature_id", "label", "geom_wkb", "kind",
+                                   "minx", "miny", "maxx", "maxy", "is_rect")}
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 extracted = extract_text(bytes(html))
                 if extracted != text:
@@ -285,6 +286,7 @@ def extract_features(pages, validate_unique: bool = True, allow_collections: boo
                 out["kind"].append(G.geom_kind(geometry))
                 out["minx"].append(mnx); out["miny"].append(mny)
                 out["maxx"].append(mxx); out["maxy"].append(mxy)
+                out["is_rect"].append(G.is_axis_rect(geometry))
             yield pd.DataFrame(out)
 
     feats = pages.mapInPandas(gen, schema=FEATURES_SCHEMA)

@@ -75,6 +75,17 @@ def test_single_point_touches_all_four(spark, grid):
     assert all(v == 1.0 for v in got.values())
 
 
+def test_rect_fast_path_matches_general_kernel(spark, grid):
+    """The vectorized rect×rect refine must agree with the general clip
+    kernel to fp round-off (same corners, same Mollweide shoelace)."""
+    square = extract_features(pages_df(spark, "square"))
+    fast = _rows(ps.intersect(square, grid))
+    slow = _rows(ps.intersect(square, grid, rect_fast=False))
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert fast[k] == pytest.approx(slow[k], rel=1e-12)
+
+
 def test_non_polygon_second_side_rejected(spark, grid):
     lines = extract_features(pages_df(spark, "lines"))
     with pytest.raises(ValueError, match="polygon"):
