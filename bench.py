@@ -173,8 +173,10 @@ def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, i
     t = mark("extract", t)
     # ids="fast": the reference-parity global id sort is a deliberate
     # single-partition stage for small report outputs — at bench scale it
-    # would serialize the whole job
-    inter_rows = ps.intersect(probe, base, broadcast_features=False, ids="fast").count()
+    # would serialize the whole job.  broadcast_features=None lets the
+    # planner broadcast the feature tables while they fit (the plan Spark
+    # itself would pick; SMJ fallback beyond the threshold).
+    inter_rows = ps.intersect(probe, base, ids="fast").count()
     t = mark("intersect", t)
     tile_rows = ps.cover_features(base, res=8, max_cells=64).count()
     mark("tiles", t)
@@ -193,6 +195,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if args.job == "overlay_scale":
+        # straggler smoothing for the long scale job: 4 waves per shuffle
+        os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus * 4))
     spark = build_session(app=f"pandarus-bench-{args.job}")
     spark.sparkContext.setLogLevel("ERROR")
 
