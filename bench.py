@@ -157,7 +157,7 @@ def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, i
     """The north-rule job: overlay intersect + tiling over n synthetic
     pages per side.  Returns (intersection_rows, tile_assignments)."""
     import pandarus_spark as ps
-    from pandarus_spark.sources.pages import extract_features, pages_from_documents
+    from pandarus_spark.sources.pages import features_from_documents
 
     def mark(key, t0):
         if phases is not None:
@@ -166,8 +166,10 @@ def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, i
 
     docs = synthetic_documents(spark, n)
     t = time.perf_counter()
-    base = extract_features(pages_from_documents(docs, "base"), validate_unique=False)
-    probe = extract_features(pages_from_documents(docs, "probe"), validate_unique=False)
+    # fused synth+extract: one Arrow pass per side (equivalence with the
+    # two-step pages path is pinned by tests/test_pages.py)
+    base = features_from_documents(docs, "base")
+    probe = features_from_documents(docs, "probe")
     base.persist().count()
     probe.persist().count()
     t = mark("extract", t)

@@ -277,18 +277,21 @@ def is_axis_rect(geom: dict) -> bool:
     workloads; anything else falls back to the general clip kernel."""
     if geom.get("type") != "Polygon" or len(geom["coordinates"]) != 1:
         return False
-    r = np.asarray(geom["coordinates"][0], dtype=np.float64)
-    if r.shape != (5, 2) or not np.array_equal(r[0], r[4]):
+    r = geom["coordinates"][0]
+    if len(r) != 5:
         return False
-    corners = r[:4]
-    xs, ys = np.unique(corners[:, 0]), np.unique(corners[:, 1])
-    if len(xs) != 2 or len(ys) != 2:
+    # scalar checks — numpy constant overhead dominates at this size
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3), (x4, y4) = \
+        ((float(p[0]), float(p[1])) for p in r)
+    if x0 != x4 or y0 != y4:
         return False
-    expected = {(x, y) for x in xs for y in ys}
-    if {(p[0], p[1]) for p in corners} != expected:
-        return False
-    d = np.diff(r, axis=0)
-    return bool(np.all((d[:, 0] == 0) ^ (d[:, 1] == 0)))
+    # closed 4-gon with alternating axis-parallel non-degenerate edges
+    # == axis-aligned rectangle (either edge orientation order)
+    horiz_first = (y0 == y1 and x1 == x2 and y2 == y3 and x3 == x0
+                   and x0 != x1 and y1 != y2)
+    vert_first = (x0 == x1 and y1 == y2 and x2 == x3 and y3 == y0
+                  and y0 != y1 and x1 != x2)
+    return horiz_first or vert_first
 
 
 def ring_area(ring: np.ndarray) -> float:

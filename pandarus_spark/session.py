@@ -12,23 +12,41 @@ from pyspark.sql import SparkSession
 def build_session(app: str = "pandarus-spark", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     ncpu = int(cpus if str(cpus).isdigit() else 32)
     # default one wave per shuffle (best latency for small/medium jobs);
     # long straggler-prone jobs can ask for more waves via the env knob
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", ncpu))
+    cluster = master.startswith("spark://")
     # local[N] runs executors inside the driver JVM; the 1g default heap
-    # OOMs real workloads — size it from the env (128 GiB box here)
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-    return (
+    # OOMs real workloads — size it from the env (128 GiB box here).
+    # Against a standalone cluster the executors hold the data instead.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g" if cluster else "48g")
+    builder = (
         SparkSession.builder.master(master).appName(app)
         .config("spark.driver.memory", driver_mem)
-        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.driver.maxResultSize", "4g"))
+    if cluster:
+        builder = (builder
+                   .config("spark.executor.cores",
+                           os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
+                   .config("spark.executor.memory",
+                           os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "10g"))
+                   # total cores cap -> executor count = cores.max / executor.cores
+                   .config("spark.cores.max", str(ncpu))
+                   .config("spark.executorEnv.PYTHONPATH",
+                           os.environ.get("SPARK_GRAFT_PYTHONPATH", os.getcwd())))
+    return (
+        builder
         # dim-sized tables (feature covers, label maps) should broadcast:
         # the 10MB default forces sort-merge exchanges for tables that fit
-        # executor memory easily; truly big sides still fall back to SMJ
-        .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+        # executor memory easily.  In local mode a broadcast is an
+        # in-process reference so the threshold can be generous; on a real
+        # cluster each executor pays a network copy, so keep it moderate.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD",
+                               "64m" if cluster else "256m"))
         # AQE: runtime re-plan, skew-join splitting, partition coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

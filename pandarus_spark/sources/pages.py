@@ -111,8 +111,7 @@ def _geo_json(geometry: dict) -> str:
         if isinstance(o, np.ndarray):
             return o.tolist()
         raise TypeError(type(o))
-    g = json.loads(json.dumps(geometry, default=conv))
-    return json.dumps(g, sort_keys=True, separators=(",", ":"))
+    return json.dumps(geometry, default=conv, sort_keys=True, separators=(",", ":"))
 
 
 def page_rows(dataset: str, features: list[dict]) -> list[tuple]:
@@ -202,7 +201,7 @@ def pages_from_documents(docs, role: str = "base", partitions: int | None = None
         import pandas as pd
         for pdf in batches:
             rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-            for doc_id in pdf["doc_id"]:
+            for doc_id in pdf["doc_id"].tolist():
                 d = int(doc_id)
                 x0, y0, x1, y1 = doc_box(d, probe)
                 geom = _box(x0, y0, x1, y1)
@@ -271,7 +270,8 @@ def extract_features(pages, validate_unique: bool = True, allow_collections: boo
         for pdf in batches:
             out = {k: [] for k in ("feature_id", "label", "geom_wkb", "kind",
                                    "minx", "miny", "maxx", "maxy", "is_rect")}
-            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            for url, html, text in zip(pdf["url"].tolist(), pdf["html"].tolist(),
+                                       pdf["text"].tolist()):
                 extracted = extract_text(bytes(html))
                 if extracted != text:
                     raise ValueError(f"extraction drift for {url!r}: not byte-identical")
@@ -296,6 +296,59 @@ def extract_features(pages, validate_unique: bool = True, allow_collections: boo
             raise ValueError(f"duplicate identifying field value {dup[0]['label']!r} "
                              "(reference DuplicateFieldIDError, model.py:126-127)")
     return feats
+
+
+def features_from_documents(docs, role: str = "base", partitions: int | None = None):
+    """documents → features in ONE Arrow pass: synthesize the page row,
+    run the deterministic extractor on its html, assert the byte-identity
+    invariant, and emit the normalized feature — without materializing
+    the intermediate pages table across a second Python↔JVM boundary.
+
+    Semantically identical to
+    ``extract_features(pages_from_documents(docs, role))`` (it calls the
+    same synthesis and extraction code per row; asserted in
+    tests/test_pages.py), but with half the Arrow traffic — the shape an
+    ingest of 10^12 pages needs."""
+    import datetime as _dt2  # noqa: F401  (kept local like the page gen)
+
+    def gen(batches):
+        import pandas as pd
+        probe = role == "probe"
+        for pdf in batches:
+            out = {k: [] for k in ("feature_id", "label", "geom_wkb", "kind",
+                                   "minx", "miny", "maxx", "maxy", "is_rect")}
+            for doc_id in pdf["doc_id"].tolist():
+                d = int(doc_id)
+                x0, y0, x1, y1 = doc_box(d, probe)
+                geom = _box(x0, y0, x1, y1)
+                url = f"https://example.test/{role}/{d}"
+                label_json = json.dumps(f"{role} {d}", separators=(",", ":"))
+                text = (f"Synthetic crawl page for dataset {role}, feature {d}.\n"
+                        f"NAME:{label_json}\n"
+                        f"{GEO_MARK}{_geo_json(geom)}\n")
+                html = ("<html><head><title>" + url + "</title></head><body><pre>"
+                        + text + "</pre></body></html>").encode("utf-8")
+                extracted = extract_text(html)
+                if extracted != text:
+                    raise ValueError(f"extraction drift for {url!r}: not byte-identical")
+                label, geometry = parse_feature_text(extracted)
+                geometry = G.clean_geom(geometry)
+                mnx, mny, mxx, mxy = G.bounds(geometry)
+                out["feature_id"].append(_stable_id(url))
+                out["label"].append(label if isinstance(label, str) else json.dumps(label))
+                out["geom_wkb"].append(G.wkb_dumps(geometry))
+                out["kind"].append(G.geom_kind(geometry))
+                out["minx"].append(mnx); out["miny"].append(mny)
+                out["maxx"].append(mxx); out["maxy"].append(mxy)
+                out["is_rect"].append(G.is_axis_rect(geometry))
+            yield pd.DataFrame(out)
+
+    ids = docs.select("doc_id")
+    if partitions is None:
+        partitions = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < partitions:
+        ids = ids.repartition(partitions)
+    return ids.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
 def _stable_id(url: str) -> int:

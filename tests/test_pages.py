@@ -44,3 +44,20 @@ def test_int_labels_supported(spark):
     feats = P.extract_features(P.pages_df(spark, "grid-ints"))
     labels = sorted(r["label"] for r in feats.select("label").collect())
     assert labels == ["0", "1", "2", "3"]
+
+
+def test_fused_features_match_two_step(spark):
+    """features_from_documents == extract_features(pages_from_documents)
+    row for row (the fused single-Arrow-pass ingest is a pure fusion)."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.sources.pages import (
+        extract_features, features_from_documents, pages_from_documents,
+    )
+    docs = spark.range(0, 500, 1, 4).select(F.col("id").alias("doc_id"))
+    for role in ("base", "probe"):
+        two = extract_features(pages_from_documents(docs, role), validate_unique=False)
+        one = features_from_documents(docs, role)
+        a = sorted(tuple(r) for r in two.collect())
+        b = sorted(tuple(r) for r in one.collect())
+        assert a == b
