@@ -224,6 +224,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_docs(spark, sf_dir):
         return D.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100), bits=32)
 
+    def q_simhash_neardup_docs(spark, sf_dir):
+        return D.simhash_neardup_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 150),
+                                       max_hamming=3, bands=4)
+
+    def q_events_hourly(spark, sf_dir):
+        from pandarus_spark.operators.windows import hourly_rollup
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return hourly_rollup(ev)
+
+    def q_events_sessions(spark, sf_dir):
+        from pandarus_spark.operators.windows import sessionize
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return sessionize(ev, gap_seconds=1800.0)
+
     def q_text_stats_docs(spark, sf_dir):
         t = F.col("text")
         return _docs(spark, sf_dir).select(
@@ -277,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lsh_pairs_docs": q_lsh_pairs_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "text_stats_docs": q_text_stats_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
@@ -399,16 +416,27 @@ SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
 FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2"""
 
-    tok = "list_distinct(string_split(lower(text), ' '))"
-    h = D.hash60_sql("t")
-    bit_sums = ", ".join(
-        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}" for j in range(32))
-    bit_comb = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
-    simhash = f"""
-WITH toks AS (SELECT doc_id, {h} AS h
-              FROM (SELECT doc_id, unnest({tok}) AS t FROM documents WHERE doc_id < 100)),
-agg AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
-SELECT doc_id, CAST({bit_comb} AS BIGINT) AS simhash FROM agg"""
+    simhash = D.simhash_sql(where="WHERE doc_id < 100")
+
+    sh150 = D.simhash_sql(where="WHERE doc_id < 150")
+    simhash_neardup = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM ({sh150}) a JOIN ({sh150}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    events_hourly = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum("value"), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    events_sessions = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+GROUP BY user_id"""
 
     text_stats = f"""
 SELECT doc_id,
@@ -472,6 +500,9 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "minhash_sigs_docs": minhash,
         "ngram_jaccard_docs": ngram_jaccard,
         "simhash_docs": simhash,
+        "simhash_neardup_docs": simhash_neardup,
+        "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
         "text_stats_docs": text_stats,
         "cosine_topk_embeddings": cosine_topk,
         "cosine_neardup_embeddings": cosine_neardup,

@@ -217,3 +217,47 @@ def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance via bit_count(xor) — for simhash near-dup
     banding."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_sql(source: str = "documents", where: str = "", bits: int = 32,
+                text_expr: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`simhash` (bit parity)."""
+    tok = f"list_distinct(string_split(lower({text_expr}), ' '))"
+    h = hash60_sql("t")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits))
+    bit_comb = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return (f"WITH toks AS (SELECT {id_col}, {h} AS h FROM "
+            f"(SELECT {id_col}, unnest({tok}) AS t FROM {source} {where})), "
+            f"agg AS (SELECT {id_col}, {bit_sums} FROM toks GROUP BY {id_col}) "
+            f"SELECT {id_col}, CAST({bit_comb} AS BIGINT) AS simhash FROM agg")
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32,
+                          bands: int = 4, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-duplicate pairs: band the hash into ``bands`` equal
+    slices, bucket-join on (band, slice), verify candidates with exact
+    Hamming distance.  Recall is EXACT (pigeonhole) when
+    ``max_hamming < bands`` — at most max_hamming bands can differ, so
+    at least one band matches.  Output: (doc_a, doc_b, hamming)."""
+    assert max_hamming < bands, "pigeonhole exactness needs max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits, text_col, id_col)
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(bands)])).alias("bk")) \
+        .select(id_col, "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    return (cand.select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
