@@ -185,14 +185,88 @@ def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, i
     return inter_rows, tile_rows
 
 
+def clustered_features(spark, n: int, side: str, x0: float = 10.0, y0: float = 10.0,
+                       partitions: int = 32):
+    """n nearly-coincident rectangles — a synthetic 'dense urban cluster'
+    that lands every feature in the same few cells (the north-rule skew
+    shape the reference has no answer to)."""
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.sources.pages import FEATURES_SCHEMA, _box
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {k: [] for k in ("feature_id", "label", "geom_wkb", "kind",
+                                   "minx", "miny", "maxx", "maxy", "is_rect")}
+            for i in pdf["id"].tolist():
+                d = int(i)
+                # jitter ~1e-6 deg: all boxes overlap pairwise, same cell
+                ox = (d % 97) * 1e-8
+                oy = (d % 89) * 1e-8
+                geom = _box(x0 + ox, y0 + oy, x0 + 0.01 + ox, y0 + 0.01 + oy)
+                mnx, mny, mxx, mxy = G.bounds(geom)
+                out["feature_id"].append((2_000_000 if side == "probe" else 1_000_000) + d)
+                out["label"].append(f"{side}-cluster {d}")
+                out["geom_wkb"].append(G.wkb_dumps(geom))
+                out["kind"].append("polygon")
+                out["minx"].append(mnx); out["miny"].append(mny)
+                out["maxx"].append(mxx); out["maxy"].append(mxy)
+                out["is_rect"].append(True)
+            yield pd.DataFrame(out)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+def job_overlay_skew(spark, n_uniform: int, n_cluster: int) -> dict:
+    """Skew study: uniform workload + one hot cell holding n_cluster
+    features on BOTH sides (n_cluster² real intersections in one join
+    key).  Runs unsalted vs salted on identical input; returns timings.
+
+    AQE skew-join can't split a broadcast-join stream, so the hot cell
+    rides one task unsalted; salting shards it across salt_buckets."""
+    import pandarus_spark as ps
+    from pandarus_spark.sources.pages import features_from_documents
+
+    docs = synthetic_documents(spark, n_uniform)
+    base = features_from_documents(docs, "base") \
+        .unionByName(clustered_features(spark, n_cluster, "base"))
+    probe = features_from_documents(docs, "probe") \
+        .unionByName(clustered_features(spark, n_cluster, "probe"))
+    base.persist().count(); probe.persist().count()
+
+    # The skew pathology lives in the shuffle-join path (the only option
+    # at 10^12 scale): cell-hash partitioning sends BOTH sides of the hot
+    # cell to one reducer, whose join-output amplification (n_cluster²
+    # pairs) AQE cannot see — skew detection keys on shuffle-INPUT size.
+    # (A broadcast cell join spreads the hot key across probe partitions
+    # naturally, which is why the broadcast plan is kept for dim-sized
+    # sides.)  Force the shuffle plan for the study:
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = {}
+        for tag, salt in (("unsalted", 0), ("salted", 16)):
+            t0 = time.perf_counter()
+            rows = ps.intersect(probe, base, ids="fast", salt_buckets=salt,
+                                salt_threshold=max(1000, n_cluster // 4)).count()
+            out[tag] = round(time.perf_counter() - t0, 3)
+            out[f"{tag}_rows"] = rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert out["unsalted_rows"] == out["salted_rows"], "salting changed results"
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--job", default="headline", choices=["headline", "overlay_scale"])
+    ap.add_argument("--job", default="headline",
+                    choices=["headline", "overlay_scale", "overlay_skew"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
+    ap.add_argument("--n-cluster", type=int, default=3000)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,6 +276,20 @@ def main() -> None:
         os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus * 4))
     spark = build_session(app=f"pandarus-bench-{args.job}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.job == "overlay_skew":
+        res = job_overlay_skew(spark, args.n, args.n_cluster)
+        print(json.dumps({
+            "metric": "skew_salting_speedup",
+            "value": res["unsalted"], "unit": "sec",
+            "queries": {"overlay_skew_unsalted": res["unsalted"],
+                        "overlay_skew_salted": res["salted"]},
+            "sf": args.n, "n_cluster": args.n_cluster, "cpus": cpus,
+            "rows": res["unsalted_rows"],
+            "speedup": round(res["unsalted"] / res["salted"], 2),
+        }))
+        spark.stop()
+        return
 
     if args.job == "overlay_scale":
         phases: dict = {}

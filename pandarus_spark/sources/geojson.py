@@ -1,0 +1,172 @@
+"""GeoJSON source/sink + file-level API parity with the reference.
+
+The reference's public surface is file-in/file-out: ``intersect()``
+takes two fiona-readable vector files and writes a geo file plus a JSON
+extract with a metadata envelope (core.py:31-187, output schema
+core.py:153-161, JSON shape core.py:95-126; metadata fields
+model.py:93-105; sha256 identity utils/io.py:11-19; bz2 JSON
+utils/io.py:22-35).  This module reproduces that surface on the Spark
+engine for GeoJSON (the format the reference's own tests exercise,
+tests/__init__.py:8,26), without GDAL:
+
+* :func:`read_geojson` — FeatureCollection file → feature DataFrame
+  (same normalize pass as ``extract_features``: WKB + kind + bbox +
+  is_rect, stable integer feature ids).
+* :func:`write_geojson` — intersections DataFrame → FeatureCollection
+  with properties ``{id, from_label, to_label, measure}`` (the
+  reference's fixed output schema).
+* :func:`export_json` / :func:`intersections_json_extract` — the
+  ``{'metadata': …, 'data': [[from, to, measure]]}`` extract, optional
+  bz2.
+* :func:`intersect_files` — the reference's flagship signature:
+  ``(first_path, first_field, second_path, second_field, out_dir=…)``
+  → ``(geojson_fp, json_fp)``.
+
+Driver-side file IO is deliberate: these are report-scale artifacts
+(the reference writes them on one machine too).  At cluster scale the
+same DataFrames sink to parquet/Iceberg instead.
+"""
+
+from __future__ import annotations
+
+import bz2
+import datetime as _dt
+import hashlib
+import json
+import os
+
+from ..geometry import geom as G
+
+
+def sha256_file(path: str) -> str:
+    """Content identity of an input file (reference utils/io.py:11-19)."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _open_maybe_bz2(path: str, mode: str):
+    if path.endswith(".bz2"):
+        return bz2.open(path, mode + "t" if "b" not in mode else mode)
+    return open(path, mode)
+
+
+def export_json(data: dict, path: str, compress: bool = True) -> str:
+    """(bz2-)JSON sink (reference utils/io.py:22-35)."""
+    if compress and not path.endswith(".bz2"):
+        path += ".bz2"
+    with _open_maybe_bz2(path, "w") as f:
+        json.dump(data, f, ensure_ascii=False)
+    return path
+
+
+def import_json(path: str) -> dict:
+    with _open_maybe_bz2(path, "r") as f:
+        return json.load(f)
+
+
+def file_metadata(path: str, field: str) -> dict:
+    """Reference Map.metadata (model.py:93-105)."""
+    return {"field": field, "path": os.path.abspath(path),
+            "filename": os.path.basename(path), "sha256": sha256_file(path)}
+
+
+def read_geojson(spark, path: str, identifying_field: str = "name",
+                 validate_unique: bool = True):
+    """GeoJSON FeatureCollection → feature DataFrame.
+
+    Feature ids are the enumeration order, like the reference's stable
+    integer row index (model.py:25-28); labels come from
+    ``identifying_field`` with the reference's uniqueness check
+    (DuplicateFieldIDError, model.py:126-127)."""
+    from .pages import FEATURES_SCHEMA, _np_geometry
+
+    with _open_maybe_bz2(path, "r") as f:
+        fc = json.load(f)
+    rows, seen = [], set()
+    for idx, feat in enumerate(fc["features"]):
+        label = feat["properties"][identifying_field]
+        if validate_unique:
+            if label in seen:
+                raise ValueError(f"duplicate identifying field value {label!r} "
+                                 "(reference DuplicateFieldIDError, model.py:126-127)")
+            seen.add(label)
+        geometry = G.clean_geom(_np_geometry(feat["geometry"]))
+        mnx, mny, mxx, mxy = G.bounds(geometry)
+        rows.append((idx, label if isinstance(label, str) else json.dumps(label),
+                     G.wkb_dumps(geometry), G.geom_kind(geometry),
+                     mnx, mny, mxx, mxy, G.is_axis_rect(geometry)))
+    return spark.createDataFrame(rows, FEATURES_SCHEMA)
+
+
+def _geojson_geometry(geom: dict) -> dict:
+    """Geometry dict (numpy coords) → plain-list GeoJSON geometry."""
+    def conv(c):
+        import numpy as np
+        if isinstance(c, np.ndarray):
+            return c.tolist()
+        if isinstance(c, (list, tuple)):
+            return [conv(x) for x in c]
+        return c
+    if geom["type"] == "GeometryCollection":
+        return {"type": "GeometryCollection",
+                "geometries": [_geojson_geometry(g) for g in geom["geometries"]]}
+    return {"type": geom["type"], "coordinates": conv(geom["coordinates"])}
+
+
+def write_geojson(intersections, path: str) -> str:
+    """Intersections DataFrame → GeoJSON FeatureCollection with the
+    reference's fixed property schema (core.py:153-161)."""
+    feats = []
+    for r in intersections.select("id", "from_label", "to_label", "measure",
+                                  "geom_wkb").collect():
+        feats.append({
+            "type": "Feature",
+            "geometry": _geojson_geometry(G.wkb_loads(bytes(r["geom_wkb"]))),
+            "properties": {"id": int(r["id"]), "from_label": r["from_label"],
+                           "to_label": r["to_label"], "measure": float(r["measure"])},
+        })
+    fc = {"type": "FeatureCollection", "features": feats}
+    with open(path, "w") as f:
+        json.dump(fc, f, ensure_ascii=False)
+    return path
+
+
+def intersections_json_extract(intersections, first_meta: dict, second_meta: dict,
+                               path: str, compress: bool = True,
+                               when: str | None = None) -> str:
+    """The reference's JSON extract (core.py:95-126, 174-185):
+    ``{'metadata': {'first','second','when'}, 'data': [[from,to,measure]]}``."""
+    data = [[r["from_label"], r["to_label"], float(r["measure"])]
+            for r in intersections.select("from_label", "to_label", "measure")
+            .orderBy("from_label", "to_label").collect()]
+    payload = {"metadata": {"first": first_meta, "second": second_meta,
+                            "when": when or _dt.datetime.now().isoformat()},
+               "data": data}
+    return export_json(payload, path, compress=compress)
+
+
+def intersect_files(spark, first_path: str, first_field: str,
+                    second_path: str, second_field: str,
+                    out_dir: str, compress: bool = True,
+                    when: str | None = None, **intersect_kwargs) -> tuple[str, str]:
+    """The reference's flagship file API (core.py:31-187) on the Spark
+    engine: read both GeoJSON inputs, run the overlay join, write the
+    GeoJSON result + the JSON extract; output names are the
+    content-addressed ``{sha1}.{sha2}`` convention (core.py:140)."""
+    import pandarus_spark as ps
+
+    first_meta = file_metadata(first_path, first_field)
+    second_meta = file_metadata(second_path, second_field)
+    f1 = read_geojson(spark, first_path, first_field)
+    f2 = read_geojson(spark, second_path, second_field)
+    out = ps.intersect(f1, f2, **intersect_kwargs).persist()
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.join(out_dir, f"{first_meta['sha256']}.{second_meta['sha256']}")
+    geo_fp = write_geojson(out, base + ".geojson")
+    json_fp = intersections_json_extract(out, first_meta, second_meta,
+                                         base + ".json", compress=compress, when=when)
+    return geo_fp, json_fp
