@@ -457,7 +457,9 @@ def clip_ring_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray | None
         keep = np.ones(len(out), dtype=bool)
         keep[1:] = np.any(np.abs(np.diff(out, axis=0)) > 1e-12, axis=1)
         out = out[keep]
-        if len(out) and np.allclose(out[0], out[-1], atol=1e-12):
+        # rtol must be 0: the default 1e-5 relative tolerance swallows
+        # genuine sliver vertices ~1e-7 apart at coordinates O(1)
+        if len(out) and np.allclose(out[0], out[-1], rtol=0.0, atol=1e-12):
             out = out[:-1]
     if len(out) < 3:
         return None
@@ -590,7 +592,7 @@ def clip_line_by_polygon(line: np.ndarray, rings: list) -> list[np.ndarray]:
                 pa, pb = p + a * d, p + b * d
                 if not current:
                     current = [pa, pb]
-                elif np.allclose(current[-1], pa, atol=1e-12):
+                elif np.allclose(current[-1], pa, rtol=0.0, atol=1e-12):
                     current.append(pb)
                 else:
                     flush()

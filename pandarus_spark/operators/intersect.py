@@ -187,7 +187,10 @@ def _refine_rects(fminx, fminy, fmaxx, fmaxy, tminx, tminy, tmaxx, tmaxy):
     shoelace) so results agree to fp round-off."""
     ix0 = np.maximum(fminx, tminx); iy0 = np.maximum(fminy, tminy)
     ix1 = np.minimum(fmaxx, tmaxx); iy1 = np.minimum(fmaxy, tmaxy)
-    keep = (ix1 > ix0) & (iy1 > iy0)  # degenerate edge/corner touches drop
+    # degenerate edge/corner touches drop; the 1e-12° floor matches the
+    # general kernel's vertex-dedup epsilon so both paths agree on
+    # ulp-wide slivers
+    keep = (ix1 - ix0 > 1e-12) & (iy1 - iy0 > 1e-12)
     ix0, iy0, ix1, iy1 = ix0[keep], iy0[keep], ix1[keep], iy1[keep]
     n = len(ix0)
     if n == 0:
