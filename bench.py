@@ -185,6 +185,29 @@ def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, i
     return inter_rows, tile_rows
 
 
+def job_zonal_scale(spark, n_features: int, raster_side: int = 2000) -> dict:
+    """Cluster-scale zonal stats: a raster_side² synthetic raster (cells
+    generated distributively, pure Catalyst) against n_features page
+    features, candidates via the cell-key 'tiles' strategy (the
+    broadcast theta-join would be O(cells × features) here)."""
+    from pandarus_spark.operators.raster_stats import (
+        RasterSpec, raster_cells_range, raster_statistics,
+    )
+    from pandarus_spark.sources.pages import features_from_documents
+
+    docs = synthetic_documents(spark, n_features)
+    feats = features_from_documents(docs, "base")
+    # raster covering the doc-grid region (x -60..-8, y -31..-28)
+    spec = RasterSpec(raster_side, raster_side,
+                      (52.0 / raster_side, 0, -60.0, 0, 3.0 / raster_side, -31.0))
+    cells = raster_cells_range(spark, spec)
+    t0 = time.perf_counter()
+    out = raster_statistics(feats, cells, method="centers", strategy="tiles")
+    n = out.count()
+    return {"sec": round(time.perf_counter() - t0, 3), "features_with_stats": n,
+            "raster_cells": raster_side * raster_side}
+
+
 def clustered_features(spark, n: int, side: str, x0: float = 10.0, y0: float = 10.0,
                        partitions: int = 32):
     """n nearly-coincident rectangles — a synthetic 'dense urban cluster'
@@ -264,7 +287,7 @@ def job_overlay_skew(spark, n_uniform: int, n_cluster: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--job", default="headline",
-                    choices=["headline", "overlay_scale", "overlay_skew"])
+                    choices=["headline", "overlay_scale", "overlay_skew", "zonal_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     args = ap.parse_args()
@@ -276,6 +299,19 @@ def main() -> None:
         os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus * 4))
     spark = build_session(app=f"pandarus-bench-{args.job}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.job == "zonal_scale":
+        res = job_zonal_scale(spark, args.n)
+        print(json.dumps({
+            "metric": "zonal_stats_tiles_strategy",
+            "value": res["sec"], "unit": "sec",
+            "queries": {"zonal_scale": res["sec"]},
+            "sf": args.n, "cpus": cpus,
+            "raster_cells": res["raster_cells"],
+            "features_with_stats": res["features_with_stats"],
+        }))
+        spark.stop()
+        return
 
     if args.job == "overlay_skew":
         res = job_overlay_skew(spark, args.n, args.n_cluster)

@@ -78,21 +78,112 @@ def raster_cells_df(spark, spec: RasterSpec, values: np.ndarray,
 WEIGHT_SCHEMA = "label string, value double, weight double"
 
 
+def raster_cells_range(spark, spec: RasterSpec, value_expr: str = None,
+                       partitions: int = 64) -> DataFrame:
+    """Distributed cell-DataFrame constructor: ``spark.range`` over the
+    band's row-major index, bbox via the affine transform, value from a
+    SQL expression of (row, col) — all Catalyst, no driver-side array.
+    The cluster-scale twin of :func:`raster_cells_df` (whose docstring
+    notes it is bypassed at scale)."""
+    w, h = spec.width, spec.height
+    df = (spark.range(0, w * h, 1, partitions)
+          .select((F.col("id") / w).cast("long").alias("row"),
+                  (F.col("id") % w).alias("col")))
+    a, b, c, d, e, f0 = spec.a, spec.b, spec.c, spec.d, spec.e, spec.f
+    x0 = F.lit(a) * F.col("col") + F.lit(b) * F.col("row") + F.lit(c)
+    y0 = F.lit(d) * F.col("col") + F.lit(e) * F.col("row") + F.lit(f0)
+    x1 = F.lit(a) * (F.col("col") + 1) + F.lit(b) * (F.col("row") + 1) + F.lit(c)
+    y1 = F.lit(d) * (F.col("col") + 1) + F.lit(e) * (F.col("row") + 1) + F.lit(f0)
+    df = df.select(
+        "row", "col",
+        F.expr(value_expr or "CAST((row * 31 + col) % 1000 AS DOUBLE)").alias("value"),
+        F.least(x0, x1).alias("minx"), F.least(y0, y1).alias("miny"),
+        F.greatest(x0, x1).alias("maxx"), F.greatest(y0, y1).alias("maxy"))
+    if spec.nodata is not None:
+        df = df.filter(F.abs(F.col("value") - F.lit(spec.nodata)) > 1e-12)
+    return df
+
+
+def _tile_candidates(features: DataFrame, cells: DataFrame,
+                     res: int, max_cells: int) -> DataFrame:
+    """Cell-key candidate join for zonal stats at scale.
+
+    Feature side: adaptive native cover (cover_features with_meta).
+    Raster side: pure-Catalyst tile emission of each cell's bbox cover
+    at EVERY resolution in [coarsest feature native, res] — a join
+    match then implies tile res == that feature's native res, and the
+    owner-tile point filter (same reference-point trick as
+    operators/intersect.py) keeps each (cell, feature) pair exactly
+    once.  No broadcast of the feature side, no dedup shuffle."""
+    from ..tiling import cells as C
+    from .intersect import _min_emit_res, cover_features
+
+    lo = _min_emit_res(features, res, max_cells)
+    fcov = (cover_features(features, res, max_cells, with_meta=True)
+            .withColumnRenamed("native_res", "f_native")
+            .withColumnRenamed("minx", "f_minx").withColumnRenamed("miny", "f_miny"))
+    feats_geom = features.select("feature_id", "label", "geom_wkb")
+    fcov = fcov.join(feats_geom, "feature_id")
+
+    r = F.explode(F.array(*[F.lit(x) for x in range(lo, res + 1)])).alias("r")
+    tiles = cells.select("*", r)
+    n = F.pow(F.lit(2.0), F.col("r").cast("double")).cast("long")
+
+    def idx(v, mn, span):
+        return F.least(F.greatest(F.floor((v - F.lit(mn)) / F.lit(span) * n),
+                                  F.lit(0).cast("long")), n - 1)
+
+    tiles = (tiles
+             .withColumn("tx", F.explode(F.sequence(idx(F.col("minx"), C.LON_MIN, C.LON_SPAN),
+                                                    idx(F.col("maxx"), C.LON_MIN, C.LON_SPAN))))
+             .withColumn("ty", F.explode(F.sequence(idx(F.col("miny"), C.LAT_MIN, C.LAT_SPAN),
+                                                    idx(F.col("maxy"), C.LAT_MIN, C.LAT_SPAN))))
+             .withColumn("cell", (F.col("r").cast("long") * F.lit(1 << C.RES_SHIFT)
+                                  + F.col("ty") * F.lit(1 << C.Y_SHIFT) + F.col("tx")))
+             .drop("r"))
+
+    joined = tiles.join(fcov, "cell")
+    # owner-tile filter: keep only the tile containing the reference
+    # point (max of the two bbox minima) — mirrors lonlat_to_xy exactly
+    rr = F.shiftright(F.col("cell"), C.RES_SHIFT)
+    n2 = F.pow(F.lit(2.0), rr.cast("double")).cast("long")
+    gx = F.greatest(F.col("minx"), F.col("f_minx"))
+    gy = F.greatest(F.col("miny"), F.col("f_miny"))
+    oix = F.least(F.greatest(F.floor((gx - F.lit(C.LON_MIN)) / F.lit(C.LON_SPAN) * n2),
+                             F.lit(0).cast("long")), n2 - 1)
+    oiy = F.least(F.greatest(F.floor((gy - F.lit(C.LAT_MIN)) / F.lit(C.LAT_SPAN) * n2),
+                             F.lit(0).cast("long")), n2 - 1)
+    return joined.filter((F.col("tx") == oix) & (F.col("ty") == oiy)) \
+                 .drop("cell", "tx", "ty", "f_native", "f_minx", "f_miny", "feature_id")
+
+
 def raster_statistics(features: DataFrame, cells: DataFrame,
-                      method: str = "coverage") -> DataFrame:
+                      method: str = "coverage", strategy: str = "broadcast",
+                      res: int = 12, max_cells: int = 64) -> DataFrame:
     """Zonal stats: (label, min, max, mean, count).
 
     ``features``: the engine's feature DF (polygons). ``cells``: output
-    of :func:`raster_cells_df` (nodata already dropped)."""
+    of :func:`raster_cells_df` (nodata already dropped).
+
+    ``strategy="broadcast"`` (report scale): broadcast bbox theta-join —
+    O(cells × features) predicate evaluations, fine while the feature
+    side broadcasts.  ``strategy="tiles"`` (cluster scale): cell-key
+    hash join via :func:`_tile_candidates` — identical results, no
+    broadcast, no quadratic predicate work."""
     if method not in ("coverage", "centers"):
         raise ValueError(method)
+    if strategy not in ("broadcast", "tiles"):
+        raise ValueError(strategy)
 
-    feats = F.broadcast(features.select("label", "geom_wkb", "minx", "miny", "maxx", "maxy")
-                        .withColumnRenamed("minx", "fminx").withColumnRenamed("miny", "fminy")
-                        .withColumnRenamed("maxx", "fmaxx").withColumnRenamed("maxy", "fmaxy"))
-    # bbox-overlap candidate join (pushes down as range predicates)
-    cand = cells.join(feats, (F.col("minx") < F.col("fmaxx")) & (F.col("maxx") > F.col("fminx"))
-                      & (F.col("miny") < F.col("fmaxy")) & (F.col("maxy") > F.col("fminy")))
+    if strategy == "tiles":
+        cand = _tile_candidates(features, cells, res, max_cells)
+    else:
+        feats = F.broadcast(features.select("label", "geom_wkb", "minx", "miny", "maxx", "maxy")
+                            .withColumnRenamed("minx", "fminx").withColumnRenamed("miny", "fminy")
+                            .withColumnRenamed("maxx", "fmaxx").withColumnRenamed("maxy", "fmaxy"))
+        # bbox-overlap candidate join (pushes down as range predicates)
+        cand = cells.join(feats, (F.col("minx") < F.col("fmaxx")) & (F.col("maxx") > F.col("fminx"))
+                          & (F.col("miny") < F.col("fmaxy")) & (F.col("maxy") > F.col("fminy")))
 
     centers = method == "centers"
 

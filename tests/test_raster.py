@@ -104,3 +104,33 @@ def test_convert_to_vector_regions(spark):
         assert g["type"] in ("Polygon", "MultiPolygon")
     assert len(by_val[7.0]) == 2  # two disjoint regions
     assert len(by_val[3.0]) == 1
+
+
+def test_tiles_strategy_matches_broadcast(spark, range_cells):
+    """The cell-key candidate join (cluster scale) must reproduce the
+    broadcast theta-join exactly, both weighting semantics."""
+    from pandarus_spark.operators.raster_stats import raster_statistics
+    grid = extract_features(pages_df(spark, "grid"))
+    for method in ("coverage", "centers"):
+        a = {r["label"]: (r["min"], r["max"], r["mean"], r["count"])
+             for r in raster_statistics(grid, range_cells, method=method).collect()}
+        b = {r["label"]: (r["min"], r["max"], r["mean"], r["count"])
+             for r in raster_statistics(grid, range_cells, method=method,
+                                        strategy="tiles").collect()}
+        assert a == b
+
+
+def test_raster_cells_range_matches_df(spark):
+    """Distributed constructor == driver-side constructor on the same
+    spec (value from the same formula)."""
+    import numpy as np
+
+    from pandarus_spark.operators.raster_stats import (
+        RasterSpec, raster_cells_df, raster_cells_range,
+    )
+    spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=None)
+    vals = ((np.arange(50).reshape(10, 5) // 5 * 31
+             + np.arange(50).reshape(10, 5) % 5) % 1000).astype(np.float64)
+    a = sorted(tuple(r) for r in raster_cells_df(spark, spec, vals).collect())
+    b = sorted(tuple(r) for r in raster_cells_range(spark, spec).collect())
+    assert a == b
