@@ -269,6 +269,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_multimodal_decode(spark, sf_dir):
         return M.decode_media(M.synthetic_media_df(spark, n=16))
 
+    def q_multimodal_resize(spark, sf_dir):
+        return M.decode_media(M.resize_stub(M.synthetic_media_df(spark, n=16), 4, 4))
+
+    def q_multimodal_frames(spark, sf_dir):
+        frames = M.frame_sample_stub(M.synthetic_media_df(spark, n=16), every_n=2)
+        return frames.groupBy("media_id").agg(
+            F.count("*").alias("n_frames"),
+            F.max("frame_no").alias("last_frame"))
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -299,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "flagship_overlay": q_flagship_overlay,
     }
 
@@ -482,6 +493,34 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
                   "FROM (VALUES " + ", ".join(media_rows)
                   + ") AS t(media_id, kind, format, width, height, n_bytes, mean_value)")
 
+    # resize + frame-sample oracles: recompute expected rows from the
+    # deterministic fake codec driver-side (same functions, no Spark)
+    import struct as _struct
+
+    import numpy as _np
+    resize_rows, frame_rows = [], []
+    for i in range(16):
+        b = M.encode_fake(8 + i % 8, 8 + (i * 3) % 8, seed=i)
+        fmt, w, h, _ = M._decode_one(b)
+        payload = _np.frombuffer(b, dtype=_np.uint8, offset=12, count=w * h).reshape(h, w)
+        yi = (_np.arange(4) * h // 4); xi = (_np.arange(4) * w // 4)
+        resized = payload[_np.ix_(yi, xi)]
+        rb = M.MAGIC + _struct.pack(">II", 4, 4) + resized.tobytes()
+        _, rw, rh, rmean = M._decode_one(rb)
+        resize_rows.append(f"({i}, 'image', 'fake', {rw}, {rh}, {len(rb)}, {rmean!r})")
+        n_frames = len(range(0, h, 2))
+        frame_rows.append(f"({i}, {n_frames}, {max(range(0, h, 2))})")
+    multimodal_resize = ("SELECT CAST(media_id AS BIGINT) AS media_id, kind, format, "
+                         "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+                         "CAST(n_bytes AS INT) AS n_bytes, CAST(mean_value AS DOUBLE) AS mean_value "
+                         "FROM (VALUES " + ", ".join(resize_rows)
+                         + ") AS t(media_id, kind, format, width, height, n_bytes, mean_value)")
+    multimodal_frames = ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+                         "CAST(n_frames AS BIGINT) AS n_frames, "
+                         "CAST(last_frame AS INT) AS last_frame "
+                         "FROM (VALUES " + ", ".join(frame_rows)
+                         + ") AS t(media_id, n_frames, last_frame)")
+
     return {
         "intersect_grid_square": grid_square,
         "intersect_outside_grid": outside_grid,
@@ -507,6 +546,8 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "cosine_topk_embeddings": cosine_topk,
         "cosine_neardup_embeddings": cosine_neardup,
         "multimodal_decode": multimodal,
+        "multimodal_resize": multimodal_resize,
+        "multimodal_frames": multimodal_frames,
         "flagship_overlay": _flagship_oracle(),
         # omitted (approximate / non-SQL-expressible): lsh_pairs_docs,
         # ann_lsh_embeddings
