@@ -131,16 +131,56 @@ def _owner_cell_filter():
             & (F.shiftright(F.col("cell"), C.Y_SHIFT).bitwiseAND(mask) == oiy))
 
 
+def _prepare_sides(features1: DataFrame, features2: DataFrame,
+                   res: int, max_cells: int) -> tuple[int, int]:
+    """One combined Spark job that (a) materializes both persisted
+    feature tables (so concurrent plan subtrees don't race the cache),
+    (b) computes each side's coarsest native resolution, and (c)
+    validates the second side is polygonal (reference core.py:51-53) —
+    replacing five separate driver actions."""
+    from pyspark import StorageLevel
+    for df in (features1, features2):
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+    cols = ["kind", "minx", "miny", "maxx", "maxy"]
+    u = (features1.select(F.lit(0).alias("side"), *cols)
+         .unionByName(features2.select(F.lit(1).alias("side"), *cols)))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rs = [C.pick_resolution(a, b, c, d, target_res=res, max_cells=max_cells)
+                  for a, b, c, d in zip(pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"])]
+            yield pd.DataFrame({
+                "side": pdf["side"].astype("int32"),
+                "r": pd.Series(rs, dtype="int32"),
+                "bad": ((pdf["side"] == 1) & (pdf["kind"] != "polygon")).astype("int32")})
+
+    rows = (u.mapInPandas(gen, schema="side int, r int, bad int")
+            .groupBy("side").agg(F.min("r").alias("lo"), F.max("bad").alias("bad"))
+            .collect())
+    d = {row["side"]: row for row in rows}
+    if 1 in d and d[1]["bad"]:
+        raise ValueError("second dataset must contain only polygons "
+                         "(reference core.py:51-53)")
+    lo1 = int(d[0]["lo"]) if 0 in d else res
+    lo2 = int(d[1]["lo"]) if 1 in d else res
+    return lo1, lo2
+
+
 def candidate_pairs(features1: DataFrame, features2: DataFrame,
                     res: int = DEFAULT_TARGET_RES, max_cells: int = DEFAULT_MAX_CELLS,
-                    salt_buckets: int = 0, salt_threshold: int = 50_000) -> DataFrame:
+                    salt_buckets: int = 0, salt_threshold: int = 50_000,
+                    lo1: int | None = None, lo2: int | None = None) -> DataFrame:
     """Distinct (from_id, to_id) candidate pairs via the cell-key join.
 
     Multi-cell double-matches are eliminated by the owner-cell filter
     (:func:`_owner_cell_filter`) — a codegen'd predicate on the join
     output — instead of a ``dropDuplicates`` shuffle."""
-    lo1 = _min_emit_res(features1, res, max_cells)
-    lo2 = _min_emit_res(features2, res, max_cells)
+    if lo1 is None:
+        lo1 = _min_emit_res(features1, res, max_cells)
+    if lo2 is None:
+        lo2 = _min_emit_res(features2, res, max_cells)
     # each side emits ancestors down to the other side's coarsest level,
     # guaranteeing a shared key for any bbox overlap without emitting the
     # root cell globally (tiling/cells.py docstring).
@@ -316,14 +356,12 @@ def intersect(features1: DataFrame, features2: DataFrame,
     via a global window (single-partition sort — fixture/report scale);
     ``ids="fast"`` uses ``monotonically_increasing_id`` (unique, not
     dense/ordered) and keeps the plan fully parallel for big outputs."""
-    features1 = _ensure_persisted(features1)
-    features2 = _ensure_persisted(features2)
-    bad = features2.filter(F.col("kind") != "polygon").limit(1).collect()
-    if bad:
-        raise ValueError("second dataset must contain only polygons "
-                         "(reference core.py:51-53)")
+    # one combined job: persist+materialize both sides, min native res
+    # per side, polygonal assert on the second side
+    lo1, lo2 = _prepare_sides(features1, features2, res, max_cells)
 
-    pairs = candidate_pairs(features1, features2, res, max_cells, salt_buckets, salt_threshold)
+    pairs = candidate_pairs(features1, features2, res, max_cells,
+                            salt_buckets, salt_threshold, lo1=lo1, lo2=lo2)
 
     def rect_col(df):
         return F.col("is_rect") if "is_rect" in df.columns else F.lit(False)
