@@ -74,17 +74,31 @@ def file_metadata(path: str, field: str) -> dict:
 
 
 def read_geojson(spark, path: str, identifying_field: str = "name",
-                 validate_unique: bool = True):
+                 validate_unique: bool = True, crs: str | None = None):
     """GeoJSON FeatureCollection → feature DataFrame.
 
     Feature ids are the enumeration order, like the reference's stable
     integer row index (model.py:25-28); labels come from
     ``identifying_field`` with the reference's uniqueness check
-    (DuplicateFieldIDError, model.py:126-127)."""
+    (DuplicateFieldIDError, model.py:126-127).
+
+    ``crs`` names the file's coordinate system; geometries are
+    normalized to WGS84 at ingest, the Spark analogue of the
+    reference's ``Map.iter_latlong`` re-projection pass
+    (model.py:130-140) that its projected-CRS test variants exercise
+    (tests/integration/test_intersect.py:288-356).  If omitted, the
+    file-level ``crs`` member is honoured when present (legacy GeoJSON),
+    else WGS84 per RFC 7946."""
+    from ..geometry.projection import to_wgs84
     from .pages import FEATURES_SCHEMA, _np_geometry
 
     with _open_maybe_bz2(path, "r") as f:
         fc = json.load(f)
+    if crs is None:
+        crs = _file_crs(fc)
+    project = None
+    if crs is not None and crs.upper() not in ("EPSG:4326", "WGS84", "OGC:CRS84"):
+        project = lambda x, y: to_wgs84(x, y, crs)  # noqa: E731
     rows, seen = [], set()
     for idx, feat in enumerate(fc["features"]):
         label = feat["properties"][identifying_field]
@@ -93,12 +107,35 @@ def read_geojson(spark, path: str, identifying_field: str = "name",
                 raise ValueError(f"duplicate identifying field value {label!r} "
                                  "(reference DuplicateFieldIDError, model.py:126-127)")
             seen.add(label)
-        geometry = G.clean_geom(_np_geometry(feat["geometry"]))
+        geometry = _np_geometry(feat["geometry"])
+        if project is not None:
+            geometry = G.transform_geom(geometry, project)
+        geometry = G.clean_geom(geometry)
         mnx, mny, mxx, mxy = G.bounds(geometry)
         rows.append((idx, label if isinstance(label, str) else json.dumps(label),
                      G.wkb_dumps(geometry), G.geom_kind(geometry),
                      mnx, mny, mxx, mxy, G.is_axis_rect(geometry)))
     return spark.createDataFrame(rows, FEATURES_SCHEMA)
+
+
+def _file_crs(fc: dict) -> str | None:
+    """Legacy GeoJSON ``crs`` member → authority string (e.g.
+    'EPSG:3857'), or None.  RFC 7946 removed the member; files the
+    pre-RFC tooling wrote (and fiona still reads) carry
+    ``{"crs": {"type": "name", "properties": {"name": "urn:ogc:def:crs:EPSG::3857"}}}``."""
+    crs = fc.get("crs")
+    if not isinstance(crs, dict):
+        return None
+    name = (crs.get("properties") or {}).get("name", "")
+    if not isinstance(name, str) or not name:
+        return None
+    up = name.upper()
+    if "CRS84" in up:
+        return None  # CRS84 is WGS84 lon/lat
+    if "EPSG" in up:
+        code = up.rsplit(":", 1)[-1]
+        return f"EPSG:{code}"
+    return name
 
 
 def _geojson_geometry(geom: dict) -> dict:
@@ -151,17 +188,20 @@ def intersections_json_extract(intersections, first_meta: dict, second_meta: dic
 def intersect_files(spark, first_path: str, first_field: str,
                     second_path: str, second_field: str,
                     out_dir: str, compress: bool = True,
-                    when: str | None = None, **intersect_kwargs) -> tuple[str, str]:
+                    when: str | None = None, first_crs: str | None = None,
+                    second_crs: str | None = None, **intersect_kwargs) -> tuple[str, str]:
     """The reference's flagship file API (core.py:31-187) on the Spark
     engine: read both GeoJSON inputs, run the overlay join, write the
     GeoJSON result + the JSON extract; output names are the
-    content-addressed ``{sha1}.{sha2}`` convention (core.py:140)."""
+    content-addressed ``{sha1}.{sha2}`` convention (core.py:140).
+    ``first_crs``/``second_crs`` normalize projected inputs to WGS84 at
+    ingest (reference projected-CRS variants, test_intersect.py:288-356)."""
     import pandarus_spark as ps
 
     first_meta = file_metadata(first_path, first_field)
     second_meta = file_metadata(second_path, second_field)
-    f1 = read_geojson(spark, first_path, first_field)
-    f2 = read_geojson(spark, second_path, second_field)
+    f1 = read_geojson(spark, first_path, first_field, crs=first_crs)
+    f2 = read_geojson(spark, second_path, second_field, crs=second_crs)
     out = ps.intersect(f1, f2, **intersect_kwargs).persist()
 
     os.makedirs(out_dir, exist_ok=True)

@@ -13,16 +13,29 @@ from pandarus_spark.sources.pages import FIXTURES, _geo_json
 from tests.conftest import GOLDEN_GRID_SQUARE
 
 
-def _write_fixture(tmp_path, name):
+def _write_fixture(tmp_path, name, transform=None, crs_member=None):
     feats = []
     for f in FIXTURES[name]():
-        feats.append({"type": "Feature",
-                      "geometry": json.loads(_geo_json(f["geometry"])),
+        geom = json.loads(_geo_json(f["geometry"]))
+        if transform is not None:
+            geom = _map_coords(geom, transform)
+        feats.append({"type": "Feature", "geometry": geom,
                       "properties": {"name": f["name"]}})
+    fc = {"type": "FeatureCollection", "features": feats}
+    if crs_member:
+        fc["crs"] = {"type": "name", "properties": {"name": crs_member}}
     p = str(tmp_path / f"{name}.geojson")
     with open(p, "w") as fh:
-        json.dump({"type": "FeatureCollection", "features": feats}, fh)
+        json.dump(fc, fh)
     return p
+
+
+def _map_coords(geom, fn):
+    def walk(c):
+        if isinstance(c[0], (int, float)):
+            return list(fn(c[0], c[1]))
+        return [walk(x) for x in c]
+    return {"type": geom["type"], "coordinates": walk(geom["coordinates"])}
 
 
 def test_read_geojson_roundtrip(spark, tmp_path):
@@ -37,6 +50,37 @@ def test_read_geojson_duplicate_labels_raise(spark, tmp_path):
     p = _write_fixture(tmp_path, "duplicates")
     with pytest.raises(ValueError, match="duplicate"):
         read_geojson(spark, p)
+
+
+def test_projected_crs_ingest_matches_wgs84_goldens(spark, tmp_path):
+    """Reference projected-CRS variants (test_intersect.py:288-356):
+    a square stored in EPSG:3857 must intersect the WGS84 grid with the
+    same golden Mollweide areas after normalize-at-ingest
+    (Map.iter_latlong parity, model.py:130-140)."""
+    import numpy as np
+
+    from pandarus_spark.geometry.projection import web_mercator_forward
+
+    def fwd(lon, lat):
+        x, y = web_mercator_forward(np.array([lon]), np.array([lat]))
+        return float(x[0]), float(y[0])
+
+    # explicit crs= argument
+    first = _write_fixture(tmp_path, "square", transform=fwd)
+    square = read_geojson(spark, first, crs="EPSG:3857")
+    grid = read_geojson(spark, _write_fixture(tmp_path, "grid"))
+    out = {(r["from_label"], r["to_label"]): r["measure"]
+           for r in ps.intersect(square, grid).collect()}
+    for (g_lab, s_lab), golden in GOLDEN_GRID_SQUARE.items():
+        assert out[(s_lab, g_lab)] == pytest.approx(golden, rel=1e-6)
+
+    # legacy file-level crs member, no argument
+    first2 = _write_fixture(tmp_path, "square", transform=fwd,
+                            crs_member="urn:ogc:def:crs:EPSG::3857")
+    square2 = read_geojson(spark, first2)
+    out2 = {(r["from_label"], r["to_label"]): r["measure"]
+            for r in ps.intersect(square2, grid).collect()}
+    assert out2 == pytest.approx(out)
 
 
 def test_intersect_files_goldens_and_extract(spark, tmp_path):
