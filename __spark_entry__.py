@@ -228,6 +228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash_neardup_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 150),
                                        max_hamming=3, bands=4)
 
+    def q_dup_clusters_docs(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+        pairs = D.simhash_neardup_pairs(docs, max_hamming=3, bands=4)
+        return D.duplicate_clusters(pairs, universe=docs)
+
     def q_events_hourly(spark, sf_dir):
         from pandarus_spark.operators.windows import hourly_rollup
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -301,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs_docs": q_lsh_pairs_docs,
         "simhash_docs": q_simhash_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
+        "dup_clusters_docs": q_dup_clusters_docs,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "text_stats_docs": q_text_stats_docs,
@@ -436,6 +442,13 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM ({sh150}) a JOIN ({sh150}) b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
+    dup_pairs = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({sh150}) a JOIN ({sh150}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    dup_clusters = D.duplicate_clusters_sql(
+        dup_pairs, "SELECT doc_id FROM documents WHERE doc_id < 150")
+
     events_hourly = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum("value"), 6) AS sum_value
@@ -540,6 +553,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "ngram_jaccard_docs": ngram_jaccard,
         "simhash_docs": simhash,
         "simhash_neardup_docs": simhash_neardup,
+        "dup_clusters_docs": dup_clusters,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "text_stats_docs": text_stats,

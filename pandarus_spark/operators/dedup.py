@@ -193,6 +193,98 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, universe: DataFrame | None = None,
+                       a_col: str = "doc_a", b_col: str = "doc_b",
+                       id_col: str = "doc_id", max_iterations: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs → duplicate
+    clusters: (doc_id, cluster_id) with cluster_id = min doc id in the
+    component.  Feed it pairs from :func:`minhash_lsh_pairs`,
+    :func:`simhash_neardup_pairs` or embedding near-dups; dedup keeps
+    one representative per cluster (``doc_id == cluster_id``).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two shuffles (groupBy min + join) of pure DataFrame ops,
+    converging in O(log n) rounds; near-dup clusters are shallow, so
+    2-3 rounds in practice.  ``localCheckpoint`` truncates lineage each
+    round so plans don't grow with iteration count — the standard
+    iterative-algorithm hygiene at cluster scale.
+
+    ``universe`` (any DataFrame with ``id_col``) adds singleton
+    clusters for ids that appear in no pair.
+    """
+    e = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                      F.col(b_col).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+
+    def _sym(df):  # both orientations
+        return df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(df):
+        # per node u over symmetric neighborhood: attach strictly-larger
+        # neighbors to min(N(u) ∪ {u})
+        s = _sym(df)
+        m = (s.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least("mv", "u").alias("m")))
+        return (s.join(m, "u").filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")).distinct())
+
+    def _small_star(df):
+        # orient edges large→small, then attach all smaller neighbors
+        # (and u itself) to the minimum
+        o = df.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = (o.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least("mv", "u").alias("m")))
+        s = o.join(m, "u")
+        out = (s.select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .unionByName(s.select("u", F.col("m").alias("v"))))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iterations):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged when every edge already points node→component-min:
+        # small-star is then a no-op (identical edge set)
+        changed = e2.exceptAll(e).limit(1).count()
+        e = e2
+        if changed == 0:
+            break
+
+    members = _sym(e).groupBy("u").agg(F.min("v").alias("m"))
+    comp = (members.select(F.col("u").alias(id_col),
+                           F.least("m", "u").alias("cluster_id")))
+    if universe is not None:
+        comp = (universe.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+                .join(comp, id_col, "left")
+                .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+    return comp
+
+
+def duplicate_clusters_sql(pairs_sql: str, universe_sql: str,
+                           a_col: str = "doc_a", b_col: str = "doc_b",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`duplicate_clusters`: transitive closure
+    by recursive CTE (UNION dedups, so it terminates), then
+    cluster_id = min reachable id.  Quadratic per component — oracle
+    scale only."""
+    return f"""
+WITH RECURSIVE
+base AS ({pairs_sql}),
+edges AS (SELECT {a_col} AS u, {b_col} AS v FROM base
+          UNION SELECT {b_col}, {a_col} FROM base),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a
+),
+comp AS (SELECT a AS {id_col}, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT u.{id_col}, coalesce(c.cluster_id, u.{id_col}) AS cluster_id
+FROM ({universe_sql}) u LEFT JOIN comp c USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

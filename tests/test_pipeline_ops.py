@@ -60,6 +60,57 @@ def test_ngram_jaccard_is_exact_oracle(spark, docs):
     assert lsh == exact  # at this band setting recall is 1.0 on the fixture
 
 
+def _brute_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """large-star/small-star connected components == driver union-find
+    on a seeded random graph (chains, cliques, singletons)."""
+    rng = np.random.default_rng(42)
+    n = 120
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(150, 2)) if a != b}
+    edges |= {(i, i + 1) for i in range(100, 110)}          # a long chain
+    expected = _brute_components(n, edges)
+
+    pairs = spark.createDataFrame([(a, b) for a, b in sorted(edges)],
+                                  "doc_a long, doc_b long")
+    universe = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.duplicate_clusters(pairs, universe=universe).collect()}
+    assert got == expected
+
+
+def test_duplicate_clusters_duckdb_oracle_parity(spark, docs):
+    """The recursive-CTE oracle and the Spark operator agree on the
+    simhash near-dup graph over the docs fixture."""
+    pairs = D.simhash_neardup_pairs(docs, max_hamming=16, bands=17)
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in D.duplicate_clusters(pairs, universe=docs).collect()}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    sh = D.simhash_sql()
+    pairs_sql = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({sh}) a JOIN ({sh}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16"""
+    sql = D.duplicate_clusters_sql(pairs_sql, "SELECT doc_id FROM documents")
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert len(got) == docs.count()
+
+
 def test_simhash_near_for_near_dups(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
     h01 = bin(out[0] ^ out[1]).count("1")
