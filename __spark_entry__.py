@@ -271,6 +271,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
         return S.ann_lsh_topk(emb, q, k=3, n_planes=6, dim=64)
 
+    def q_ann_ivf_embeddings(spark, sf_dir):
+        # full probe (nprobe == n_centroids) → exactly brute-force top-k,
+        # so the cosine_topk SQL is a full value oracle; partial-probe
+        # recall is covered in tests/test_pipeline_ops.py
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        return S.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=8)
+
     def q_multimodal_decode(spark, sf_dir):
         return M.decode_media(M.synthetic_media_df(spark, n=16))
 
@@ -313,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -559,6 +569,8 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "text_stats_docs": text_stats,
         "cosine_topk_embeddings": cosine_topk,
         "cosine_neardup_embeddings": cosine_neardup,
+        "ann_ivf_embeddings": cosine_topk,  # full probe == brute force
+
         "multimodal_decode": multimodal,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,

@@ -87,6 +87,90 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        iters: int = 10, sample_limit: int = 4096,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic spherical k-means codebook for IVF: train on a
+    bounded id-ordered sample (how IVF indexes are trained at 100 TB —
+    Faiss trains the coarse quantizer on a sample too), Lloyd
+    iterations in numpy, init = first ``n_centroids`` sample vectors.
+    No wall-clock or RNG — identical codebook on every run.
+
+    Returns ``(n_centroids, dim)`` unit-norm float64 array."""
+    rows = (embeddings.select(F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("v"))
+            .orderBy("i").limit(sample_limit).collect())
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _centroid_sims(vec_col: Column, centroids: np.ndarray) -> Column:
+    """array<double> of cosine(vec, centroid_j) — pure Catalyst (the
+    centroids are unit-norm, so dot/|v| suffices)."""
+    nv = norm(vec_col)
+    return F.array(*[
+        dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / nv
+        for c in centroids])
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             n_centroids: int = 8, nprobe: int = 2, iters: int = 10,
+             centroids: np.ndarray | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "qvec",
+             exclude_self: bool = True) -> DataFrame:
+    """IVF approximate top-k: assign every embedding to its nearest
+    codebook centroid (the inverted file), probe the ``nprobe`` most
+    similar centroids per query, exact cosine within the probed
+    buckets, per-query window top-k.
+
+    ``nprobe == n_centroids`` probes everything — results are then
+    EXACTLY brute-force top-k (the driver-gate configuration); smaller
+    nprobe trades recall for a 1/(C/nprobe) candidate-set cut, which at
+    100 TB turns the |E|×|Q| cross join into a bucket-key shuffle join
+    scanning only nprobe/C of the corpus per query.  Assignment and
+    probing are Catalyst expressions over centroid literals (no Python
+    in the per-row path); training cost is one bounded sample scan."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, iters,
+                                        id_col=id_col, vec_col=vec_col)
+    n_centroids = len(centroids)
+    nprobe = min(nprobe, n_centroids)
+
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    sims = _centroid_sims(F.col("v"), centroids)
+    # argmax via zip(sim, index): array_max of structs compares sim
+    # first, then index — deterministic tie-break toward larger index
+    zipped = F.arrays_zip(sims.alias("s"), F.sequence(F.lit(0), F.lit(n_centroids - 1)).alias("i"))
+    e = e.withColumn("bucket", F.array_max(zipped).getField("i"))
+
+    q = queries.select(F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv"))
+    qz = F.arrays_zip(_centroid_sims(F.col("qv"), centroids).alias("s"),
+                      F.sequence(F.lit(0), F.lit(n_centroids - 1)).alias("i"))
+    probes = F.transform(F.slice(F.reverse(F.array_sort(qz)), 1, nprobe),
+                         lambda s: s.getField("i"))
+    q = q.withColumn("bucket", F.explode(probes))
+
+    scored = (e.join(q, "bucket")
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos")))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
 def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                  n_planes: int = 8, seed: int = 7, dim: int | None = None,
                  id_col: str = "vec_id", vec_col: str = "embedding",

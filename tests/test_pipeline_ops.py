@@ -145,6 +145,54 @@ def test_ann_lsh_self_retrieval(spark):
         assert bcos[(r["query_id"], r["neighbor_id"])] == pytest.approx(r["cos"], abs=1e-6)
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe == n_centroids probes every bucket — IVF must reproduce
+    brute-force top-k exactly (the driver-gate configuration)."""
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    ivf = sorted(map(tuple, S.ivf_topk(emb, q, k=3, n_centroids=4, nprobe=4).collect()))
+    brute = sorted(map(tuple, S.cosine_topk(emb, q, k=3).collect()))
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_recall_on_clustered_data(spark):
+    """Two well-separated clusters, nprobe=1: every query must retrieve
+    only in-cluster neighbors, with cosines matching brute force."""
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal(12); a /= np.linalg.norm(a)
+    b = -a  # antipodal cluster centers
+    rows = []
+    for i in range(30):
+        center = a if i % 2 == 0 else b
+        v = center + 0.05 * rng.standard_normal(12)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    out = S.ivf_topk(emb, q, k=5, n_centroids=2, nprobe=1).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["neighbor_id"] % 2 == r["query_id"] % 2  # same cluster
+    bcos = {(r["query_id"], r["neighbor_id"]): r["cos"]
+            for r in S.cosine_topk(emb, q, k=30).collect()}
+    for r in out:
+        assert bcos[(r["query_id"], r["neighbor_id"])] == pytest.approx(r["cos"], abs=1e-6)
+
+
+def test_ivf_centroids_deterministic(spark):
+    rng = np.random.default_rng(9)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    c1 = S.train_ivf_centroids(emb, n_centroids=4, iters=5)
+    c2 = S.train_ivf_centroids(emb, n_centroids=4, iters=5)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_textstats_and_duckdb_parity(spark, docs):
     out = T.text_stats(docs)
     got = {r["doc_id"]: r for r in out.collect()}
