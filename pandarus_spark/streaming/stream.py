@@ -44,6 +44,81 @@ def stream_tile_assignments(pages_stream: DataFrame, res: int = 12,
     return pages_stream.select("url", "warc_ts", "html").mapInPandas(gen, schema=TILED_SCHEMA)
 
 
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
+                      "session_end timestamp, n_events bigint")
+SESSION_STATE_SCHEMA = "start double, last double, n bigint"
+
+
+def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming gap-based sessionization — the custom stateful
+    operator the batch :func:`~pandarus_spark.operators.windows.sessionize`
+    twins: per-key session state lives in the state store via
+    ``applyInPandasWithState`` (Arrow-batched; one state row per live
+    key, so state size is O(active users), not O(events)).
+
+    A session CLOSES (and is emitted, append-mode) when a later event
+    arrives more than ``gap_seconds`` after its last event, or when the
+    event-time timeout fires (watermark passed session_end + gap) — so
+    late data inside the watermark still extends the right session.
+    Output: (user_id, session_start, session_end, n_events).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = float(gap_seconds)
+
+    def fn(key, pdfs, state):
+        import datetime as _dt
+
+        import pandas as pd
+
+        def emit(rows):
+            return pd.DataFrame({
+                "user_id": pd.Series([key[0]] * len(rows), dtype="int64"),
+                "session_start": [_dt.datetime.fromtimestamp(s, _dt.timezone.utc)
+                                  .replace(tzinfo=None) for s, _, _ in rows],
+                "session_end": [_dt.datetime.fromtimestamp(e, _dt.timezone.utc)
+                                .replace(tzinfo=None) for _, e, _ in rows],
+                "n_events": pd.Series([n for _, _, n in rows], dtype="int64"),
+            })
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+
+        epochs = []
+        for pdf in pdfs:
+            epochs.extend(float(t.timestamp()) for t in pdf[ts_col])
+        epochs.sort()
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        closed = []
+        for t in epochs:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(int((last + gap) * 1000))
+        if closed:
+            yield emit(closed)
+
+    ev = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (ev.withWatermark(ts_col, watermark)
+            .groupBy(key_col)
+            .applyInPandasWithState(fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.EventTimeTimeout))
+
+
 def stream_cell_counts(pages_stream: DataFrame, res: int = 12,
                        window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Windowed cell activity with late-data tolerance: count features

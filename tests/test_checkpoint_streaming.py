@@ -83,6 +83,50 @@ def test_streaming_tile_assignments(spark, tmp_path):
            {(r["feature_id"], r["cell"]) for r in batch}  # stream == batch
 
 
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by a
+    later event are emitted; the per-user tail session stays in state.
+    Emitted sessions must equal the batch-computed closed sessions."""
+    from pandarus_spark.streaming.stream import stream_sessionize
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .filter(F.col("user_id") < 6))
+    src = str(tmp_path / "events_in")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_sessionize(stream, gap_seconds=1800.0)
+    q = (out.writeStream.format("memory").queryName("sessions_t")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sessions_t").collect()}
+
+    # batch expectation: every session closed by a later event, plus
+    # tail sessions the final watermark (global max ts - 10 min) passed
+    # by more than the gap (event-time timeout fired)
+    rows = sorted(ev.select("user_id", "ts").collect(),
+                  key=lambda r: (r["user_id"], r["ts"]))
+    gmax = max(r["ts"] for r in rows)
+    sessions, cur = {}, {}
+    for r in rows:
+        u, t = r["user_id"], r["ts"]
+        if u in cur and (t - cur[u][1]).total_seconds() <= 1800.0:
+            s, _, n = cur[u]
+            cur[u] = (s, t, n + 1)
+        else:
+            if u in cur:
+                sessions.setdefault(u, []).append(cur[u])
+            cur[u] = (t, t, 1)
+    want = {(u, s, e, n) for u, lst in sessions.items() for s, e, n in lst}
+    for u, (s, e, n) in cur.items():
+        if (gmax - e).total_seconds() - 600.0 > 1800.0:
+            want.add((u, s, e, n))
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     src = str(tmp_path / "pages_in2")
     P.pages_df(spark, "grid").write.parquet(src)
