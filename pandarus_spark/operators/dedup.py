@@ -105,7 +105,8 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       pre_shingled: bool = False) -> DataFrame:
     """(doc_id, sig array<long>): sig[i] = min over shingles s of
     (A_i * h(s) + B_i) mod P, h = md5-derived base hash mod P — pure
     Catalyst, no UDF.
@@ -114,8 +115,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     (md5 is the expensive part; the num_hashes permutations are integer
     arithmetic over the materialized hash array — the classic
     one-hash+affine-permutations MinHash construction)."""
-    hs = F.transform(word_shingles(F.col(text_col), k),
-                     lambda s: hash60(s) % MINHASH_P)
+    shingles = (F.col(text_col) if pre_shingled
+                else word_shingles(F.col(text_col), k))
+    hs = F.transform(shingles, lambda s: hash60(s) % MINHASH_P)
     hashed = docs.select(F.col(id_col), hs.alias("_hs"))
     def perm(a: int, b: int):
         # keep arity 1 — transform() binds extra params to the array index
@@ -142,33 +144,68 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8, k: 
                       threshold: float = 0.5, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate pairs: band the signature, bucket-join on
-    (band, band-hash), then verify candidates with EXACT shingle
-    Jaccard (so output is exact given LSH recall; bands/rows tune the
-    recall/cost point). Output: (doc_a, doc_b, jaccard)."""
+    band-hash, then verify candidates with EXACT shingle Jaccard (so
+    output is exact given LSH recall; bands/rows tune the recall/cost
+    point). Output: (doc_a, doc_b, jaccard).
+
+    Scale shape: exact duplicates are collapsed FIRST (one
+    representative per distinct text), so the signature/bucket/verify
+    pipeline runs over distinct texts only — a web corpus is ~30-50%
+    exact dups, and without the collapse every exact-dup cluster of
+    size d costs d² candidate verifications per colliding band.
+    Representative-level pairs expand back to member pairs at the end
+    (identical texts share every shingle, so rep-level Jaccard IS
+    member-level Jaccard), and intra-cluster pairs are emitted directly
+    with Jaccard 1.0 — recall 1 for exact dups, better than banding
+    them.  The shingle array is computed once and reused for both the
+    signatures and the verification join; band keys are ``xxhash64``
+    longs (cheap shuffle keys — a false collision just adds one
+    candidate that exact verification removes)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    members = docs.select(F.col(id_col),
+                          F.md5(F.encode(F.col(text_col), "utf-8")).alias("_t"))
+    reps = members.groupBy("_t").agg(F.min(id_col).alias(id_col))
+    rep_docs = reps.join(docs.select(id_col, text_col), id_col)
+    sh = rep_docs.select(F.col(id_col),
+                         word_shingles(F.col(text_col), k).alias("sh"))
+
+    sigs = minhash_signatures(sh.select(id_col, F.col("sh").alias("_sh")),
+                              num_hashes, k, text_col="_sh", id_col=id_col,
+                              pre_shingled=True)
     banded = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                                        for r in range(rows_per_band)]).alias("key"))
-            for b in range(bands)])).alias("bk"))
-    buckets = banded.select(id_col, "bk.band", "bk.key")
-    cand = (buckets.alias("a").join(buckets.alias("b"),
-                                    (F.col("a.band") == F.col("b.band"))
-                                    & (F.col("a.key") == F.col("b.key"))
-                                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r]
+                                   for r in range(rows_per_band)])
+            for b in range(bands)])).alias("key"))
+    cand = (banded.alias("a").join(banded.alias("b"),
+                                   (F.col("a.key") == F.col("b.key"))
+                                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
-    sh = docs.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
     joined = (cand
               .join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
               .join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")
-    return (joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    rep_pairs = (joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+    # expand representative pairs to member pairs + intra-cluster pairs
+    m = (members.alias("mm")
+         .join(reps.select("_t", F.col(id_col).alias("_rep")), "_t")
+         .select(F.col(f"mm.{id_col}").alias("_m"), "_rep"))
+    cross = (rep_pairs
+             .join(m.select(F.col("_rep").alias("doc_a"), F.col("_m").alias("_ma")), "doc_a")
+             .join(m.select(F.col("_rep").alias("doc_b"), F.col("_m").alias("_mb")), "doc_b")
+             .select(F.least("_ma", "_mb").alias("doc_a"),
+                     F.greatest("_ma", "_mb").alias("doc_b"), "jaccard"))
+    intra = (m.alias("x").join(m.alias("y"),
+                               (F.col("x._rep") == F.col("y._rep"))
+                               & (F.col("x._m") < F.col("y._m")))
+             .select(F.col("x._m").alias("doc_a"), F.col("y._m").alias("doc_b"),
+                     F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,

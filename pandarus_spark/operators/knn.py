@@ -86,6 +86,27 @@ def _exact_distances(cand: DataFrame) -> DataFrame:
     return cand.mapInPandas(gen, schema=DIST_SCHEMA)
 
 
+def _rect_distance_expr() -> "F.Column":
+    """Point→axis-rect distance in pure Catalyst (whole-stage codegen):
+    ``hypot(max(minx-qx, qx-maxx, 0), max(miny-qy, qy-maxy, 0))`` — 0
+    inside, edge distance outside.  Identical to the Python kernel on
+    rects (tests pin agreement), so the Arrow stage only sees the
+    non-rect residue."""
+    dx = F.greatest(F.col("minx") - F.col("qx"), F.col("qx") - F.col("maxx"), F.lit(0.0))
+    dy = F.greatest(F.col("miny") - F.col("qy"), F.col("qy") - F.col("maxy"), F.lit(0.0))
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def _split_distances(cand: DataFrame) -> DataFrame:
+    """Exact distances: JVM expression for axis-rect features, Arrow
+    kernel for the rest."""
+    rect = (cand.filter(F.col("is_rect"))
+            .select("query_id", "feature_id", _rect_distance_expr().alias("dist")))
+    other = cand.filter(~F.col("is_rect")) \
+                .select("query_id", "qx", "qy", "feature_id", "geom_wkb")
+    return rect.unionByName(_exact_distances(other))
+
+
 def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
                         res: int = 6, ring: int = 1) -> DataFrame:
     """queries(query_id, qx, qy) × features(feature_id, label, geom_wkb,
@@ -101,8 +122,9 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
     fcells = cover_features(features, res, max_cells=256)
     cand = (qcells.join(fcells, "cell")
             .select("query_id", "qx", "qy", "feature_id").dropDuplicates(["query_id", "feature_id"])
-            .join(features.select("feature_id", "geom_wkb"), "feature_id"))
-    dists = _exact_distances(cand)
+            .join(features.select("feature_id", "geom_wkb", "is_rect",
+                                  "minx", "miny", "maxx", "maxy"), "feature_id"))
+    dists = _split_distances(cand)
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("feature_id").asc())
     ranked = dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

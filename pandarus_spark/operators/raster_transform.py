@@ -74,54 +74,147 @@ def round_raster(cells: DataFrame, sig_digits: int = 3, value_col: str = "value"
 
 
 VECTORIZE_SCHEMA = "id bigint, val double, geom_wkb binary"
+_TILE_PART_SCHEMA = ("val double, rkey bigint, kind string, geom_wkb binary, "
+                     "row bigint, col bigint")
 
 
-def convert_to_vector(cells: DataFrame, value_col: str = "value") -> DataFrame:
+def _polygonize_group(pdf, value_col: str, emit_boundary_mod: int | None = None):
+    """Union-find polygonize of one (value[, tile]) cell group.
+
+    Returns (regions, boundary): regions = [(rkey, val, wkb)] with
+    rkey = min cell key (row*2^32+col) of the region — a canonical,
+    order-independent region id — and MultiPolygon parts sorted by
+    (minx, miny); boundary = [(rkey, row, col)] for cells on the tile
+    edge (``emit_boundary_mod`` = tile size) — the cells whose regions
+    may continue in a neighboring tile."""
+    val = float(pdf[value_col].iloc[0])
+    rows = pdf["row"].to_numpy(); cols = pdf["col"].to_numpy()
+    idx = {(int(r), int(c)): i for i, (r, c) in enumerate(zip(rows, cols))}
+    parent = list(range(len(pdf)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+
+    for (r, c), i in idx.items():
+        for nb in ((r + 1, c), (r, c + 1)):
+            if nb in idx:
+                union(i, idx[nb])
+    groups: dict[int, list[int]] = {}
+    for i in range(len(pdf)):
+        groups.setdefault(find(i), []).append(i)
+
+    mnx = pdf["minx"].to_numpy(); mny = pdf["miny"].to_numpy()
+    mxx = pdf["maxx"].to_numpy(); mxy = pdf["maxy"].to_numpy()
+    keys = rows.astype(np.int64) * (1 << 32) + cols.astype(np.int64)
+    regions, boundary = [], []
+    for members in groups.values():
+        rkey = int(min(keys[i] for i in members))
+        members = sorted(members, key=lambda i: (mnx[i], mny[i]))
+        polys = [[np.array([[mnx[i], mny[i]], [mxx[i], mny[i]], [mxx[i], mxy[i]],
+                            [mnx[i], mxy[i]], [mnx[i], mny[i]]])] for i in members]
+        regions.append((rkey, val,
+                        G.wkb_dumps({"type": "MultiPolygon", "coordinates": polys})))
+        if emit_boundary_mod is not None:
+            t = emit_boundary_mod
+            for i in members:
+                r, c = int(rows[i]), int(cols[i])
+                if r % t in (0, t - 1) or c % t in (0, t - 1):
+                    boundary.append((rkey, r, c))
+    return regions, boundary
+
+
+def convert_to_vector(cells: DataFrame, value_col: str = "value",
+                      strategy: str = "global", tile: int = 512) -> DataFrame:
     """Polygonize: contiguous (4-connected) same-value cell regions →
     MultiPolygon of cell boxes, properties (id, val) — the reference
     emits {filename, id, val} (helpers.py:63-72); filename is a sink
-    concern here.
+    concern here.  ``id`` is the region's minimum cell key
+    (row*2^32+col) — canonical across strategies.
 
-    groupBy(value) distributes safely (different values never share a
-    region); union-find joins touching cells inside each group."""
+    ``strategy="global"`` groups by value only (different values never
+    share a region) — right when no single value dominates the raster.
+    ``strategy="tiles"`` is the 100 TB path: polygonize each
+    ``tile``×``tile`` block independently (bounded memory per task, one
+    narrow shuffle on (value, tile)), then stitch regions that touch
+    across tile edges with the distributed connected-components pass
+    (`dedup.duplicate_clusters` — large-star/small-star), and merge
+    only the stitched regions' geometry.  Both strategies produce
+    byte-identical output (pinned by tests)."""
+    if strategy == "global":
+        def fn(pdf):
+            import pandas as pd
+            regions, _ = _polygonize_group(pdf, value_col)
+            regions.sort()
+            return pd.DataFrame({
+                "id": pd.Series([r[0] for r in regions], dtype="int64"),
+                "val": pd.Series([r[1] for r in regions], dtype="float64"),
+                "geom_wkb": [r[2] for r in regions]})
+        return cells.groupBy(value_col).applyInPandas(fn, schema=VECTORIZE_SCHEMA)
 
-    def fn(pdf):
+    if strategy != "tiles":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    t = int(tile)
+
+    def fn_tile(pdf):
         import pandas as pd
+        regions, boundary = _polygonize_group(pdf, value_col, emit_boundary_mod=t)
+        out = {"val": [], "rkey": [], "kind": [], "geom_wkb": [], "row": [], "col": []}
         val = float(pdf[value_col].iloc[0])
-        rows = pdf["row"].to_numpy(); cols = pdf["col"].to_numpy()
-        idx = {(int(r), int(c)): i for i, (r, c) in enumerate(zip(rows, cols))}
-        parent = list(range(len(pdf)))
+        for rkey, v, wkb in regions:
+            out["val"].append(v); out["rkey"].append(rkey); out["kind"].append("region")
+            out["geom_wkb"].append(wkb); out["row"].append(-1); out["col"].append(-1)
+        for rkey, r, c in boundary:
+            out["val"].append(val); out["rkey"].append(rkey); out["kind"].append("edge")
+            out["geom_wkb"].append(None); out["row"].append(r); out["col"].append(c)
+        return pd.DataFrame({"val": pd.Series(out["val"], dtype="float64"),
+                             "rkey": pd.Series(out["rkey"], dtype="int64"),
+                             "kind": out["kind"], "geom_wkb": out["geom_wkb"],
+                             "row": pd.Series(out["row"], dtype="int64"),
+                             "col": pd.Series(out["col"], dtype="int64")})
 
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
+    tile_id = (F.floor(F.col("row") / t) * F.lit(1 << 31) + F.floor(F.col("col") / t))
+    parts = (cells.withColumn("_tile", tile_id)
+             .groupBy(value_col, "_tile").applyInPandas(fn_tile, schema=_TILE_PART_SCHEMA)
+             .persist())
+    regions = parts.filter(F.col("kind") == "region").select("val", "rkey", "geom_wkb")
+    bd = parts.filter(F.col("kind") == "edge").select("val", "rkey", "row", "col")
 
-        def union(i, j):
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                parent[ri] = rj
+    # cross-tile adjacency: same value, 4-neighbor cells, different regions
+    def nb_join(dr: int, dc: int):
+        a = bd.select(F.col("val").alias("v"), F.col("rkey").alias("ra"),
+                      (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc"))
+        b = bd.select(F.col("val").alias("v"), F.col("rkey").alias("rb"),
+                      F.col("row").alias("nr"), F.col("col").alias("nc"))
+        return a.join(b, ["v", "nr", "nc"]).select("ra", "rb")
 
-        for (r, c), i in idx.items():
-            for nb in ((r + 1, c), (r, c + 1)):
-                if nb in idx:
-                    union(i, idx[nb])
-        groups: dict[int, list[int]] = {}
-        for i in range(len(pdf)):
-            groups.setdefault(find(i), []).append(i)
-        out_ids, out_vals, out_wkbs = [], [], []
-        mnx = pdf["minx"].to_numpy(); mny = pdf["miny"].to_numpy()
-        mxx = pdf["maxx"].to_numpy(); mxy = pdf["maxy"].to_numpy()
-        for root, members in sorted(groups.items()):
-            polys = [[np.array([[mnx[i], mny[i]], [mxx[i], mny[i]], [mxx[i], mxy[i]],
-                                [mnx[i], mxy[i]], [mnx[i], mny[i]]])] for i in members]
-            geom = {"type": "MultiPolygon", "coordinates": polys}
-            out_ids.append(int(rows[root]) * (1 << 32) + int(cols[root]))
-            out_vals.append(val)
-            out_wkbs.append(G.wkb_dumps(geom))
-        return pd.DataFrame({"id": pd.Series(out_ids, dtype="int64"),
-                             "val": pd.Series(out_vals, dtype="float64"),
-                             "geom_wkb": out_wkbs})
+    edges = (nb_join(1, 0).unionByName(nb_join(0, 1))
+             .filter(F.col("ra") != F.col("rb")))
 
-    return cells.groupBy(value_col).applyInPandas(fn, schema=VECTORIZE_SCHEMA)
+    from .dedup import duplicate_clusters
+    comp = duplicate_clusters(edges, a_col="ra", b_col="rb", id_col="rkey")         .withColumnRenamed("cluster_id", "_comp")
+
+    merged_members = regions.join(comp, "rkey")
+    untouched = regions.join(comp, "rkey", "left_anti")         .select(F.col("rkey").alias("id"), "val", "geom_wkb")
+
+    def fn_merge(pdf):
+        import pandas as pd
+        parts_all = []
+        for wkb in pdf["geom_wkb"]:
+            parts_all.extend(G.wkb_loads(bytes(wkb))["coordinates"])
+        parts_all.sort(key=lambda p: (float(p[0][0][0]), float(p[0][0][1])))
+        wkb = G.wkb_dumps({"type": "MultiPolygon", "coordinates": parts_all})
+        return pd.DataFrame({"id": pd.Series([int(pdf["_comp"].iloc[0])], dtype="int64"),
+                             "val": pd.Series([float(pdf["val"].iloc[0])], dtype="float64"),
+                             "geom_wkb": [wkb]})
+
+    stitched = merged_members.groupBy("_comp").applyInPandas(fn_merge,
+                                                             schema=VECTORIZE_SCHEMA)
+    return untouched.unionByName(stitched)

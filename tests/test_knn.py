@@ -27,6 +27,34 @@ def test_knn_against_grid(spark):
     assert got[3][1] == pytest.approx(3.0)
 
 
+def test_knn_mixed_rect_and_nonrect(spark):
+    """Rect features ride the JVM box-distance expression; non-rect
+    (triangle) features ride the Arrow kernel — ranks must interleave
+    correctly and agree with driver-side kernel distances."""
+    import json
+
+    from pandarus_spark.sources.pages import page_rows, PAGES_SCHEMA
+
+    tri = {"type": "Polygon",
+           "coordinates": [[[3.0, 0.0], [4.0, 0.0], [3.5, 1.0], [3.0, 0.0]]]}
+    feats = [{"name": "box", "geometry": _box(0, 0, 1, 1)},
+             {"name": "tri", "geometry": tri}]
+    pages = spark.createDataFrame(page_rows("mix", feats), PAGES_SCHEMA)
+    features = extract_features(pages)
+    by_label = {r["label"]: r["is_rect"] for r in features.collect()}
+    assert by_label == {"box": True, "tri": False}
+
+    q = spark.createDataFrame([(1, 2.0, 0.25)], "query_id long, qx double, qy double")
+    out = sorted(knn_nearest_feature(q, features, k=2, res=4, ring=2).collect(),
+                 key=lambda r: r["rank"])
+    # driver-side kernel distances as the oracle for both paths
+    want = sorted([("box", point_geom_distance(2.0, 0.25, _box(0, 0, 1, 1))),
+                   ("tri", point_geom_distance(2.0, 0.25, tri))], key=lambda t: t[1])
+    assert [r["label"] for r in out] == [w[0] for w in want]
+    for r, (_, d) in zip(out, want):
+        assert r["dist"] == pytest.approx(d, abs=1e-12)
+
+
 def test_knn_k2_ordering(spark):
     grid = extract_features(pages_df(spark, "grid"))
     q = spark.createDataFrame([(1, -0.5, 0.5)], "query_id long, qx double, qy double")

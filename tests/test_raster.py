@@ -106,6 +106,23 @@ def test_convert_to_vector_regions(spark):
     assert len(by_val[3.0]) == 1
 
 
+def test_convert_to_vector_tiles_matches_global(spark):
+    """The two-phase tiles strategy (per-tile polygonize + distributed
+    cross-tile region stitch) must be byte-identical to the global
+    strategy — on a seeded random raster with few values, large regions
+    spanning many 3x3 tiles."""
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 3, size=(17, 11)).astype(np.float64)
+    spec = RasterSpec(11, 17, (0.5, 0, -3.0, 0, -0.25, 2.0), nodata=None)
+    cells = raster_cells_df(spark, spec, vals)
+    g = {(r["id"], r["val"], bytes(r["geom_wkb"]))
+         for r in convert_to_vector(cells).collect()}
+    t = {(r["id"], r["val"], bytes(r["geom_wkb"]))
+         for r in convert_to_vector(cells, strategy="tiles", tile=3).collect()}
+    assert g == t
+    assert len(g) > 3
+
+
 def test_tiles_strategy_matches_broadcast(spark, range_cells):
     """The cell-key candidate join (cluster scale) must reproduce the
     broadcast theta-join exactly, both weighting semantics."""
