@@ -185,6 +185,113 @@ def intersections_json_extract(intersections, first_meta: dict, second_meta: dic
     return export_json(payload, path, compress=compress)
 
 
+INTERSECTIONS_SCHEMA = ("id long, from_label string, to_label string, "
+                        "measure double, geom_wkb binary")
+
+
+def read_intersections_geojson(spark, path: str):
+    """Intersections GeoJSON (the ``intersect`` output) → DataFrame,
+    with the reference's schema validation (exact property set
+    {id, from_label, to_label, measure}; core.py:338-355 /
+    core.py:225-229)."""
+    from .pages import _np_geometry
+
+    with _open_maybe_bz2(path, "r") as f:
+        fc = json.load(f)
+    rows = []
+    for feat in fc["features"]:
+        props = feat["properties"]
+        for key in ("id", "from_label", "to_label", "measure"):
+            if key not in props:
+                raise KeyError(f"Input file {path} does not have required field: {key}")
+        rows.append((int(props["id"]), str(props["from_label"]), str(props["to_label"]),
+                     float(props["measure"]),
+                     G.wkb_dumps(_np_geometry(feat["geometry"]))))
+    return spark.createDataFrame(rows, INTERSECTIONS_SCHEMA)
+
+
+def _sibling_metadata_path(vector_file_path: str) -> str:
+    """The reference's metadata-file discovery (core.py:213-220): same
+    basename with .json / .json.bz2."""
+    base = ".".join(vector_file_path.split(".")[:-1]) + ".json"
+    if os.path.isfile(base):
+        return base
+    if os.path.isfile(base + ".bz2"):
+        return base + ".bz2"
+    raise ValueError("Can't find metadata file")
+
+
+def intersections_from_intersection_files(vector_file_path: str,
+                                          metadata_file_path: str | None = None,
+                                          out_dir: str = ".", compress: bool = True,
+                                          when: str | None = None) -> tuple[str, str]:
+    """Reference ``intersections_from_intersection`` file surface
+    (core.py:190-269): intersections GeoJSON C = A⋈B → two JSON data
+    files (C,A) and (C,B) — data rows [id, from|to_label, measure],
+    metadata chaining this file's sha256 with the original inputs',
+    content-addressed output names."""
+    if not os.path.isfile(vector_file_path):
+        raise FileNotFoundError(f"Can't find vector file: {vector_file_path}.")
+    if metadata_file_path is None:
+        metadata_file_path = _sibling_metadata_path(vector_file_path)
+    elif not os.path.isfile(metadata_file_path):
+        raise FileNotFoundError(f"Can't find metadata file: {metadata_file_path}.")
+    metadata = import_json(metadata_file_path)["metadata"]
+
+    with _open_maybe_bz2(vector_file_path, "r") as f:
+        fc = json.load(f)
+    data = []
+    for feat in fc["features"]:
+        props = feat["properties"]
+        for key in ("id", "from_label", "to_label", "measure"):
+            if key not in props:
+                raise KeyError(f"Input file {vector_file_path} does not have "
+                               f"required field: {key}")
+        data.append(props)
+
+    this = file_metadata(vector_file_path, "id")
+    stamp = when or _dt.datetime.now().isoformat()
+    os.makedirs(out_dir, exist_ok=True)
+    out = []
+    for side, label_key in (("first", "from_label"), ("second", "to_label")):
+        payload = {
+            "data": [[o["id"], o[label_key], o["measure"]] for o in data],
+            "metadata": {"first": this, "second": metadata[side], "when": stamp},
+        }
+        fp = os.path.join(out_dir, f"{this['sha256']}.{metadata[side]['sha256']}.json")
+        out.append(export_json(payload, fp, compress=compress))
+    return out[0], out[1]
+
+
+def calculate_remaining_files(spark, source_file_path: str, source_field: str,
+                              intersection_file_path: str, out_dir: str = ".",
+                              compress: bool = True, when: str | None = None,
+                              crs: str | None = None) -> str:
+    """Reference ``calculate_remaining`` file surface (core.py:272-387)
+    on the Spark engine: source GeoJSON + intersections GeoJSON →
+    ``{'metadata': {source, intersections, when}, 'data':
+    [[label, remaining]]}`` JSON."""
+    import pandarus_spark as ps
+
+    source = read_geojson(spark, source_file_path, source_field, crs=crs)
+    inter = read_intersections_geojson(spark, intersection_file_path)
+    rem = ps.calculate_remaining(source, inter)
+    data = [[r["label"], float(r["remaining"])]
+            for r in rem.orderBy("label").collect()]
+    payload = {
+        "metadata": {
+            "source": file_metadata(source_file_path, source_field),
+            "intersections": file_metadata(intersection_file_path, "id"),
+            "when": when or _dt.datetime.now().isoformat(),
+        },
+        "data": data,
+    }
+    base = os.path.basename(intersection_file_path).rsplit(".", 1)[0]
+    os.makedirs(out_dir, exist_ok=True)
+    return export_json(payload, os.path.join(out_dir, f"{base}.remaining.json"),
+                       compress=compress)
+
+
 def intersect_files(spark, first_path: str, first_field: str,
                     second_path: str, second_field: str,
                     out_dir: str, compress: bool = True,

@@ -83,6 +83,43 @@ def test_projected_crs_ingest_matches_wgs84_goldens(spark, tmp_path):
     assert out2 == pytest.approx(out)
 
 
+def test_file_api_chain_ifi_and_remaining(spark, tmp_path):
+    """Full reference file-surface chain: intersect_files →
+    intersections_from_intersection_files (core.py:190-269; sibling
+    metadata discovery, content-addressed names, [id, label, measure]
+    rows) → calculate_remaining_files (core.py:272-387)."""
+    from pandarus_spark.sources.geojson import (
+        calculate_remaining_files, intersections_from_intersection_files,
+    )
+
+    first = _write_fixture(tmp_path, "outside")
+    second = _write_fixture(tmp_path, "grid")
+    out_dir = str(tmp_path / "out")
+    geo_fp, json_fp = intersect_files(spark, first, "name", second, "name",
+                                      out_dir=out_dir, when="2026-01-01T00:00:00")
+
+    fp1, fp2 = intersections_from_intersection_files(
+        geo_fp, out_dir=out_dir, when="2026-01-01T00:00:00")
+    d1, d2 = import_json(fp1), import_json(fp2)
+    # (C,A) carries from-side labels, (C,B) to-side labels, same measures
+    assert [row[1] for row in d1["data"]] == ["by-myself"] * 2
+    assert sorted(row[1] for row in d2["data"]) == ["grid cell 1", "grid cell 3"]
+    assert [row[2] for row in d1["data"]] == [row[2] for row in d2["data"]]
+    assert d1["metadata"]["second"]["sha256"] != d2["metadata"]["second"]["sha256"]
+    # chained identity: 'first' is the intersections file itself
+    assert d1["metadata"]["first"]["sha256"] in fp1
+
+    rem_fp = calculate_remaining_files(spark, first, "name", geo_fp,
+                                       out_dir=out_dir, when="2026-01-01T00:00:00")
+    payload = import_json(rem_fp)
+    assert set(payload["metadata"]) == {"source", "intersections", "when"}
+    (label, remaining), = payload["data"]
+    assert label == "by-myself"
+    # reference golden: half the outside square lies beyond the grid,
+    # ≈ ½·(4e7/360)² (test_calculate_remaining.py:52-82, rtol 1e-2)
+    assert remaining == pytest.approx(0.5 * (4e7 / 360) ** 2, rel=1e-2)
+
+
 def test_intersect_files_goldens_and_extract(spark, tmp_path):
     first = _write_fixture(tmp_path, "square")
     second = _write_fixture(tmp_path, "grid")
