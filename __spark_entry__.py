@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length(t).alias("n_chars2"),
             T.lang_id(t).alias("lang_guess"),
             T.quality_score(t).alias("quality"),
+            T.dup_ngram_fraction(t).alias("dup_2gram_frac"),
             T.fingerprint(t).alias("fp"))
 
     def q_cosine_topk_embeddings(spark, sf_dir):
@@ -479,6 +480,7 @@ SELECT doc_id,
   length(text) AS n_chars2,
   {T.lang_id_sql('text')} AS lang_guess,
   {T.quality_score_sql('text')} AS quality,
+  {T.dup_ngram_fraction_sql('text')} AS dup_2gram_frac,
   {T.fingerprint_sql('text')} AS fp
 FROM documents"""
 

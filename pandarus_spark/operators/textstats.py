@@ -66,6 +66,27 @@ def quality_score(text: Column) -> Column:
     return F.round(0.5 * unique_ratio + 0.3 * len_sat + 0.2 * len_tok_sat, 6)
 
 
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Repetition metric (Gopher-style filter rule): fraction of word
+    n-gram occurrences that are repeats of an earlier occurrence —
+    ``1 - distinct_ngrams / total_ngrams``.  0 for repetition-free
+    text, → 1 for degenerate boilerplate.  Pure Catalyst."""
+    w = F.split(F.lower(text), " ")
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+                        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]))
+    total = F.size(grams)
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(grams))
+                   / F.greatest(total, F.lit(1)), 6)
+
+
+def dup_ngram_fraction_sql(t: str, n: int = 2) -> str:
+    w = f"string_split(lower({t}), ' ')"
+    grams = (f"[array_to_string(({w})[i:i+{n - 1}],' ') "
+             f"for i in range(1, greatest(len({w})-{n - 2}, 2))]")
+    return (f"round(1.0 - len(list_distinct({grams})) * 1.0 "
+            f"/ greatest(len({grams}), 1), 6)")
+
+
 def fingerprint(text: Column) -> Column:
     """Selective document fingerprint: min over char-8-gram hashes of
     the text (a 1-permutation MinHash — robust to small edits, unlike
@@ -84,6 +105,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.length(t).alias("n_chars"),
         lang_id(t).alias("lang_guess"),
         quality_score(t).alias("quality"),
+        dup_ngram_fraction(t).alias("dup_2gram_frac"),
         fingerprint(t).alias("fp"),
     )
 

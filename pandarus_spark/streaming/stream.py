@@ -44,6 +44,29 @@ def stream_tile_assignments(pages_stream: DataFrame, res: int = 12,
     return pages_stream.select("url", "warc_ts", "html").mapInPandas(gen, schema=TILED_SCHEMA)
 
 
+def stream_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
+                       ts_col: str | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication — the incremental twin of
+    ``dedup.exact_dedup``: only the first-seen document per distinct
+    text hash survives.
+
+    With an event-time column, uses ``dropDuplicatesWithinWatermark``
+    so the dedup state is bounded: a key's state is dropped once the
+    watermark passes it (at 100 TB/day the state store would otherwise
+    grow without limit — this is the standard trade: exact dedup inside
+    the watermark horizon, pass-through beyond it).  Without ``ts_col``
+    the state is unbounded (exact forever) — only for bounded backfills.
+    """
+    hashed = docs_stream.withColumn("text_md5",
+                                    F.md5(F.encode(F.col(text_col), "utf-8")))
+    if ts_col is not None:
+        return (hashed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+                .withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["text_md5"]))
+    return hashed.dropDuplicates(["text_md5"])
+
+
 SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
                       "session_end timestamp, n_events bigint")
 SESSION_STATE_SCHEMA = "start double, last double, n bigint"

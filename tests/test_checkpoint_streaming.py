@@ -127,6 +127,27 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup keeps one row per distinct text; count matches
+    the batch operator's group count."""
+    from pandarus_spark.operators.dedup import exact_dedup
+    from pandarus_spark.streaming.stream import stream_exact_dedup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    src = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (stream_exact_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_t").option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_t").collect()
+    n_distinct = exact_dedup(docs).count()
+    assert len(got) == n_distinct
+    assert len({r["text_md5"] for r in got}) == n_distinct
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     src = str(tmp_path / "pages_in2")
     P.pages_df(spark, "grid").write.parquet(src)
