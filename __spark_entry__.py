@@ -228,6 +228,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash_neardup_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 150),
                                        max_hamming=3, bands=4)
 
+    def q_pricing_summary(spark, sf_dir):
+        # TPC-H Q1-shaped groupBy-agg over lineitem: partial/final agg
+        # JVM-side, one shuffle on the 6-value group key
+        li = _li(spark, sf_dir).filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                     F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                     F.round(F.sum(disc), 6).alias("sum_disc_price"),
+                     F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+                     F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                     F.count("*").alias("count_order")))
+
+    def q_top_customers(spark, sf_dir):
+        # 3-way join (customer broadcast) + agg + top-k: revenue per
+        # customer over open orders, window row_number for stable top 10
+        from pyspark.sql import Window
+        li = _li(spark, sf_dir)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        rev = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+               .filter(F.col("o_orderstatus") == "O")
+               .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+               .groupBy("c_custkey", "c_name")
+               .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                    .alias("revenue")))
+        w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        return (rev.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 10)
+                .select("c_custkey", "c_name", "revenue", "rank"))
+
     def q_dup_clusters_docs(spark, sf_dir):
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
         pairs = D.simhash_neardup_pairs(docs, max_hamming=3, bands=4)
@@ -317,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "text_stats_docs": q_text_stats_docs,
@@ -460,6 +493,28 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     dup_clusters = D.duplicate_clusters_sql(
         dup_pairs, "SELECT doc_id FROM documents WHERE doc_id < 150")
 
+    pricing_summary = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+    top_customers = """
+WITH rev AS (
+  SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderstatus = 'O'
+  GROUP BY c_custkey, c_name),
+r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank FROM rev)
+SELECT c_custkey, c_name, revenue, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"""
+
     events_hourly = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum("value"), 6) AS sum_value
@@ -566,6 +621,8 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "simhash_docs": simhash,
         "simhash_neardup_docs": simhash_neardup,
         "dup_clusters_docs": dup_clusters,
+        "pricing_summary": pricing_summary,
+        "top_customers": top_customers,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "text_stats_docs": text_stats,
