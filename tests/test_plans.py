@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the performance properties PLANS.md
+documents, asserted structurally so a code change that silently
+reintroduces a shuffle / Python stage / full sort fails CI.
+
+These inspect ``explain('formatted')`` text — stable operator names
+(Exchange, MapInPandas, SortMergeJoin, WindowGroupLimit) rather than
+exact trees, so they survive cosmetic planner changes.
+"""
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import pandarus_spark as ps
+from pandarus_spark.sources.pages import extract_features, pages_df
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_overlay_plan_has_no_shuffle_at_fixture_scale(spark):
+    """Broadcast-sized feature tables: candidate generation, owner-cell
+    dedup-as-predicate, refine, and agg must compile to one pipeline
+    with no shuffle exchange and no dropDuplicates aggregation
+    (PLANS.md items 1-2)."""
+    grid = extract_features(pages_df(spark, "grid"))
+    square = extract_features(pages_df(spark, "square"))
+    plan = plan_of(ps.intersect(square, grid, ids="fast"))
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ivf_plan_is_pure_jvm_with_mapside_topk(spark):
+    """IVF ANN: no Python stage anywhere (centroid math is Catalyst
+    literals), and Spark 4's rank-filter pushdown must apply map-side
+    top-k (WindowGroupLimit) before the window exchange."""
+    from pandarus_spark.operators import similarity as S
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qvec"))
+    plan = plan_of(S.ivf_topk(emb, q, k=3, n_centroids=4, nprobe=2))
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_rect_path_has_no_python_stage(spark):
+    """All-rect features: distances must stay in whole-stage codegen —
+    the Arrow kernel branch must be empty (knn rect fast path)."""
+    from pandarus_spark.operators.knn import _rect_distance_expr, _split_distances
+    grid = extract_features(pages_df(spark, "grid"))
+    q = spark.createDataFrame([(1, 0.3, 0.4)], "query_id long, qx double, qy double")
+    cand = (q.crossJoin(grid.select("feature_id", "geom_wkb", "is_rect",
+                                    "minx", "miny", "maxx", "maxy")))
+    rect_only = cand.filter(F.col("is_rect")) \
+        .select("query_id", "feature_id", _rect_distance_expr().alias("dist"))
+    # the ingest itself is one Arrow pass; the distance computation must
+    # add NO Python stage on top of it
+    assert plan_of(rect_only).count("MapInPandas") == plan_of(cand).count("MapInPandas")
+    # the split path routes every rect row through the JVM branch
+    out = _split_distances(cand)
+    assert out.filter(F.col("dist").isNotNull()).count() == 4
+
+
+def test_scan_pruning_on_documents(spark):
+    """Column pruning + predicate pushdown must reach the parquet scan
+    (a 2-column projection that reads all columns is wrong)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "url" not in read_schema and "lang" not in read_schema
+
+
+def test_pricing_summary_partial_agg(spark):
+    """Grouped agg must run partial (map-side) aggregation before its
+    single exchange."""
+    import __spark_entry__ as E
+    df = E.queries()["pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("- Exchange") == 1
+    assert plan.count("- HashAggregate") >= 2  # partial + final
