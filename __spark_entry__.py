@@ -274,6 +274,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return sessionize(ev, gap_seconds=1800.0)
 
+    def q_events_props_agg(spark, sf_dir):
+        # JSON column surface: from_json with a typed schema (JVM-side
+        # Jackson parse, no UDF), then grouped agg over the extracted field
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        k = F.from_json(F.col("props"), "k int").getField("k")
+        return (ev.select("event_type", k.alias("k"))
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("k").alias("sum_k"),
+                     F.min("k").alias("min_k"),
+                     F.max("k").alias("max_k")))
+
     def q_text_stats_docs(spark, sf_dir):
         t = F.col("text")
         return _docs(spark, sf_dir).select(
@@ -352,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_props_agg": q_events_props_agg,
         "text_stats_docs": q_text_stats_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
@@ -528,6 +541,13 @@ FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_
       FROM events)
 GROUP BY user_id"""
 
+    events_props = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type"""
+
     text_stats = f"""
 SELECT doc_id,
   len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS n_tokens,
@@ -625,6 +645,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "top_customers": top_customers,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "events_props_agg": events_props,
         "text_stats_docs": text_stats,
         "cosine_topk_embeddings": cosine_topk,
         "cosine_neardup_embeddings": cosine_neardup,
