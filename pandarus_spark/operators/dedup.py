@@ -48,9 +48,15 @@ WORDS_SQL = "string_split(lower({t}), ' ')"
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles, JVM-side via transform/sequence."""
+    """Distinct k-word shingles, JVM-side via transform/sequence.
+
+    ``try_element_at`` (not ``element_at``): texts shorter than k words
+    produce one truncated shingle from the available words — under
+    ANSI mode a plain element_at would THROW on them, and concat_ws
+    skipping the nulls reproduces DuckDB's clamping list slice, so the
+    oracle stays bit-identical (pinned by tests/test_edge_cases.py)."""
     w = words(col)
-    parts = lambda i: [F.element_at(w, i + j) for j in range(k)]  # noqa: E731
+    parts = lambda i: [F.try_element_at(w, i + j) for j in range(k)]  # noqa: E731
     sh = F.transform(F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
                      lambda i: F.concat_ws(" ", *parts(i)))
     return F.array_distinct(sh)

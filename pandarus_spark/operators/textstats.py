@@ -72,8 +72,10 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
     ``1 - distinct_ngrams / total_ngrams``.  0 for repetition-free
     text, → 1 for degenerate boilerplate.  Pure Catalyst."""
     w = F.split(F.lower(text), " ")
+    # try_element_at: short texts yield one truncated gram instead of an
+    # ANSI out-of-bounds error (matches DuckDB's clamping list slice)
     grams = F.transform(F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-                        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]))
+                        lambda i: F.concat_ws(" ", *[F.try_element_at(w, i + j) for j in range(n)]))
     total = F.size(grams)
     return F.round(F.lit(1.0) - F.size(F.array_distinct(grams))
                    / F.greatest(total, F.lit(1)), 6)
