@@ -336,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_frames"),
             F.max("frame_no").alias("last_frame"))
 
+    def q_multimodal_audio(spark, sf_dir):
+        return M.audio_features_stub(M.synthetic_audio_df(spark, n=16), window=16)
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -373,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
         "flagship_overlay": q_flagship_overlay,
     }
 
@@ -621,6 +625,24 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
                          "FROM (VALUES " + ", ".join(frame_rows)
                          + ") AS t(media_id, n_frames, last_frame)")
 
+    # audio windows: recompute expected rows driver-side from the fake codec
+    audio_rows = []
+    for i in range(16):
+        b = M.encode_fake(64 + (i * 7) % 64, 1, seed=1000 + i)
+        _, w, h, _ = M._decode_one(b)
+        pcm = _np.frombuffer(b, dtype=_np.uint8, offset=12, count=w * h).astype(_np.float64)
+        for wno, start in enumerate(range(0, len(pcm), 16)):
+            seg = pcm[start:start + 16]
+            audio_rows.append(f"({i}, {wno}, {len(seg)}, "
+                              f"{round(float(_np.sqrt(_np.mean(seg ** 2))), 6)!r}, "
+                              f"{float(seg.max())!r})")
+    multimodal_audio = ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+                        "CAST(window_no AS INT) AS window_no, "
+                        "CAST(n_samples AS INT) AS n_samples, "
+                        "CAST(rms AS DOUBLE) AS rms, CAST(peak AS DOUBLE) AS peak "
+                        "FROM (VALUES " + ", ".join(audio_rows)
+                        + ") AS t(media_id, window_no, n_samples, rms, peak)")
+
     return {
         "intersect_grid_square": grid_square,
         "intersect_outside_grid": outside_grid,
@@ -654,6 +676,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "multimodal_decode": multimodal,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
+        "multimodal_audio": multimodal_audio,
         "flagship_overlay": _flagship_oracle(),
         # omitted (approximate / non-SQL-expressible): lsh_pairs_docs,
         # ann_lsh_embeddings

@@ -98,6 +98,45 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_audio_df(spark, n: int = 16, seconds_scale: int = 64,
+                       partitions: int = 4) -> DataFrame:
+    """Deterministic fake mono-PCM clips in the FAKE container
+    (width = sample count, height = 1)."""
+    rows = [(i, "audio", encode_fake(seconds_scale + (i * 7) % 64, 1, seed=1000 + i))
+            for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
+
+
+def audio_features_stub(media: DataFrame, window: int = 16) -> DataFrame:
+    """Audio feature-extraction plumbing: windowed RMS + peak over the
+    FAKE payload treated as uint8 mono PCM — the explode-shaped
+    (clip → windows) output a real librosa/torchaudio extractor needs;
+    vectorized numpy per Arrow batch.  Real WAV/MP3 decode would slot
+    into ``_decode_one`` and is NotImplemented here (no audio libs in
+    this environment)."""
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"media_id": [], "window_no": [], "n_samples": [], "rms": [], "peak": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data)
+                _, w, h, _ = _decode_one(b)
+                pcm = np.frombuffer(b, dtype=np.uint8, offset=12,
+                                    count=w * h).astype(np.float64)
+                for wno, start in enumerate(range(0, len(pcm), window)):
+                    seg = pcm[start:start + window]
+                    out["media_id"].append(mid)
+                    out["window_no"].append(wno)
+                    out["n_samples"].append(len(seg))
+                    out["rms"].append(round(float(np.sqrt(np.mean(seg ** 2))), 6))
+                    out["peak"].append(float(seg.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        gen, schema="media_id bigint, window_no int, n_samples int, rms double, peak double")
+
+
 def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame-sampling plumbing: treats each row of the FAKE image
     as a 'frame', keeps every n-th — exercises the explode-shaped

@@ -223,6 +223,16 @@ def test_multimodal_plumbing(spark):
     assert all(r["width"] == 4 and r["height"] == 4 for r in meta2)
     frames = M.frame_sample_stub(media, every_n=4).collect()
     assert all(f["frame_no"] % 4 == 0 for f in frames)
+    # audio windows: every clip fully covered, RMS bounded by peak
+    clips = M.synthetic_audio_df(spark, n=6)
+    feats = M.audio_features_stub(clips, window=16).collect()
+    by_clip = {}
+    for f in feats:
+        assert 0.0 <= f["rms"] <= f["peak"] <= 255.0
+        by_clip.setdefault(f["media_id"], 0)
+        by_clip[f["media_id"]] += f["n_samples"]
+    sizes = {r["media_id"]: len(bytes(r["data"])) - 12 for r in clips.collect()}
+    assert by_clip == sizes  # windows partition the samples exactly
 
 
 def test_decode_rejects_real_codecs(spark):
