@@ -387,6 +387,16 @@ def intersect(features1: DataFrame, features2: DataFrame,
         f1b, f2b = f1, f2
 
     enriched = pairs.join(f1b, "from_id").join(f2b, "to_id")
+    # bbox-TOUCH pairs (shared edge/corner, zero overlap width) are ~2.7x
+    # of the true intersections on gridded workloads; for polygon-kind
+    # from-features their intersection area is necessarily 0, so the
+    # refine would drop them anyway — drop them JVM-side before the
+    # Arrow exchange.  Lines/points are exempt: a border line/point DOES
+    # intersect its neighbor (reference double-count semantics,
+    # utils/geometry.py:107-110).
+    strict_overlap = ((F.col("f_minx") < F.col("t_maxx")) & (F.col("t_minx") < F.col("f_maxx"))
+                      & (F.col("f_miny") < F.col("t_maxy")) & (F.col("t_miny") < F.col("f_maxy")))
+    enriched = enriched.filter(strict_overlap | (F.col("from_kind") != "polygon"))
     if rect_fast:
         # rect×rect rows are refined from their bboxes alone — null the
         # WKB payloads JVM-side so the Arrow exchange into the Python
