@@ -63,25 +63,18 @@ def cover_features(features: DataFrame, res: int, max_cells: int = DEFAULT_MAX_C
     def gen(batches):
         import pandas as pd
         for pdf in batches:
-            ids, cids, nres, mnxs, mnys = [], [], [], [], []
-            for fid, mnx, mny, mxx, mxy in zip(pdf["feature_id"], pdf["minx"], pdf["miny"],
-                                               pdf["maxx"], pdf["maxy"]):
-                r = C.pick_resolution(mnx, mny, mxx, mxy, target_res=res, max_cells=max_cells)
-                cover = C.cover_bbox(mnx, mny, mxx, mxy, r)
-                if with_parents_to is not None and with_parents_to < r:
-                    cover = C.cover_with_parents(mnx, mny, mxx, mxy, r, min_res=with_parents_to)
-                ids.extend([fid] * len(cover))
-                cids.extend(int(c) for c in cover)
-                if with_meta:
-                    nres.extend([r] * len(cover))
-                    mnxs.extend([mnx] * len(cover))
-                    mnys.extend([mny] * len(cover))
-            out = {"feature_id": pd.Series(ids, dtype="int64"),
-                   "cell": pd.Series(cids, dtype="int64")}
+            mnx = pdf["minx"].to_numpy(); mny = pdf["miny"].to_numpy()
+            mxx = pdf["maxx"].to_numpy(); mxy = pdf["maxy"].to_numpy()
+            fpos, cells, native = C.cover_features_batch(
+                mnx, mny, mxx, mxy, target_res=res, max_cells=max_cells,
+                parents_to=with_parents_to)
+            fids = pdf["feature_id"].to_numpy(dtype="int64")[fpos]
+            out = {"feature_id": pd.Series(fids, dtype="int64"),
+                   "cell": pd.Series(cells, dtype="int64")}
             if with_meta:
-                out["native_res"] = pd.Series(nres, dtype="int32")
-                out["minx"] = pd.Series(mnxs, dtype="float64")
-                out["miny"] = pd.Series(mnys, dtype="float64")
+                out["native_res"] = pd.Series(native[fpos].astype("int32"), dtype="int32")
+                out["minx"] = pd.Series(mnx[fpos], dtype="float64")
+                out["miny"] = pd.Series(mny[fpos], dtype="float64")
             yield pd.DataFrame(out)
 
     schema = "feature_id bigint, cell bigint"
@@ -97,9 +90,10 @@ def _min_emit_res(features: DataFrame, res: int, max_cells: int) -> int:
     def gen(batches):
         import pandas as pd
         for pdf in batches:
-            rs = [C.pick_resolution(a, b, c, d, target_res=res, max_cells=max_cells)
-                  for a, b, c, d in zip(pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"])]
-            yield pd.DataFrame({"r": pd.Series(rs or [res], dtype="int32")})
+            rs = C.pick_resolution_batch(pdf["minx"].to_numpy(), pdf["miny"].to_numpy(),
+                                         pdf["maxx"].to_numpy(), pdf["maxy"].to_numpy(),
+                                         target_res=res, max_cells=max_cells)
+            yield pd.DataFrame({"r": pd.Series(rs if len(rs) else [res], dtype="int32")})
 
     row = (features.select("minx", "miny", "maxx", "maxy")
            .mapInPandas(gen, schema="r int").agg(F.min("r").alias("r")).collect())
@@ -149,8 +143,9 @@ def _prepare_sides(features1: DataFrame, features2: DataFrame,
     def gen(batches):
         import pandas as pd
         for pdf in batches:
-            rs = [C.pick_resolution(a, b, c, d, target_res=res, max_cells=max_cells)
-                  for a, b, c, d in zip(pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"])]
+            rs = C.pick_resolution_batch(pdf["minx"].to_numpy(), pdf["miny"].to_numpy(),
+                                         pdf["maxx"].to_numpy(), pdf["maxy"].to_numpy(),
+                                         target_res=res, max_cells=max_cells)
             yield pd.DataFrame({
                 "side": pdf["side"].astype("int32"),
                 "r": pd.Series(rs, dtype="int32"),

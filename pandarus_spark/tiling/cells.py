@@ -103,6 +103,88 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> 
     return list(((res << RES_SHIFT) | (gy.ravel() << Y_SHIFT) | gx.ravel()))
 
 
+def pick_resolution_batch(minx, miny, maxx, maxy, target_res: int = 12,
+                          max_cells: int = 64) -> np.ndarray:
+    """Vectorized :func:`pick_resolution` over bbox arrays: finest
+    res <= target_res whose (unclipped) bbox cover stays under
+    ``max_cells`` — at most target_res+1 vectorized passes, no per-row
+    Python.  Bit-identical to the scalar version (pinned by tests)."""
+    minx = np.asarray(minx, dtype=np.float64); maxx = np.asarray(maxx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64); maxy = np.asarray(maxy, dtype=np.float64)
+    out = np.zeros(len(minx), dtype=np.int64)
+    undecided = np.ones(len(minx), dtype=bool)
+    for res in range(min(target_res, MAX_RES), 0, -1):
+        if not undecided.any():
+            break
+        n = 1 << res
+        cx = (np.floor((maxx - LON_MIN) / LON_SPAN * n)
+              - np.floor((minx - LON_MIN) / LON_SPAN * n) + 1)
+        cy = (np.floor((maxy - LAT_MIN) / LAT_SPAN * n)
+              - np.floor((miny - LAT_MIN) / LAT_SPAN * n) + 1)
+        ok = undecided & (cx * cy <= max_cells)
+        out[ok] = res
+        undecided &= ~ok
+    return out
+
+
+def _cover_level(minx, miny, maxx, maxy, res_arr, fsel):
+    """One resolution level of the batch cover: for the selected
+    features (boolean mask ``fsel``), emit all cells of their clipped
+    bbox cover at per-feature resolution ``res_arr`` via the ragged
+    repeat/meshgrid construction.  Returns (feature_positions, cells)."""
+    idx = np.flatnonzero(fsel)
+    if len(idx) == 0:
+        return idx, np.empty(0, dtype=np.int64)
+    r = res_arr[idx]
+    n = (np.int64(1) << r)
+    x0 = np.maximum(0, np.floor((minx[idx] - LON_MIN) / LON_SPAN * n).astype(np.int64))
+    x1 = np.minimum(n - 1, np.floor((maxx[idx] - LON_MIN) / LON_SPAN * n).astype(np.int64))
+    y0 = np.maximum(0, np.floor((miny[idx] - LAT_MIN) / LAT_SPAN * n).astype(np.int64))
+    y1 = np.minimum(n - 1, np.floor((maxy[idx] - LAT_MIN) / LAT_SPAN * n).astype(np.int64))
+    # a bbox entirely outside the domain clips to x0 > x1 → empty cover
+    # (same as the scalar cover_bbox's empty arange)
+    cx = np.maximum(x1 - x0 + 1, 0)
+    cy = np.maximum(y1 - y0 + 1, 0)
+    reps = cx * cy
+    total = int(reps.sum())
+    fpos = np.repeat(np.arange(len(idx)), reps)
+    starts = np.repeat(np.cumsum(reps) - reps, reps)
+    k = np.arange(total, dtype=np.int64) - starts
+    ix = x0[fpos] + k % cx[fpos]
+    iy = y0[fpos] + k // cx[fpos]
+    cells = (r[fpos] << RES_SHIFT) | (iy << Y_SHIFT) | ix
+    return idx[fpos], cells
+
+
+def cover_features_batch(minx, miny, maxx, maxy, target_res: int = 12,
+                         max_cells: int = 64, parents_to: int | None = None
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized cover of a feature batch: returns
+    ``(feature_positions, cells, native_res)`` where positions index
+    into the input arrays (one row per emitted (feature, cell)).
+
+    The ancestor chain of ``cover_with_parents`` falls out of a level
+    loop: the clipped bbox cover at a coarser resolution IS the parent
+    set of the native cover (floor covers are nested), so each level r
+    in [parents_to, native_res] is one more vectorized cover pass —
+    ≤ target_res+1 passes total, zero per-feature Python."""
+    minx = np.asarray(minx, dtype=np.float64); maxx = np.asarray(maxx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64); maxy = np.asarray(maxy, dtype=np.float64)
+    native = pick_resolution_batch(minx, miny, maxx, maxy, target_res, max_cells)
+    pos_parts, cell_parts = [], []
+    # native level (per-feature resolution)
+    p, c = _cover_level(minx, miny, maxx, maxy, native,
+                        np.ones(len(minx), dtype=bool))
+    pos_parts.append(p); cell_parts.append(c)
+    if parents_to is not None:
+        lvl = np.empty(len(minx), dtype=np.int64)
+        for r in range(parents_to, int(native.max()) if len(native) else 0):
+            lvl.fill(r)
+            p, c = _cover_level(minx, miny, maxx, maxy, lvl, native > r)
+            pos_parts.append(p); cell_parts.append(c)
+    return (np.concatenate(pos_parts), np.concatenate(cell_parts), native)
+
+
 def parent(cid: int, res: int) -> int:
     """Ancestor cell of ``cid`` at coarser resolution ``res``."""
     r = cell_res(cid)

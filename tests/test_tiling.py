@@ -61,3 +61,35 @@ def test_sql_parity_with_duckdb():
     expr = C.point_cell_sql("lon", "lat", res)
     sql_cells = [r[0] for r in con.execute(f"SELECT {expr} FROM pts").fetchall()]
     assert py_cells == sql_cells
+
+
+def test_batch_cover_matches_scalar_loop():
+    """cover_features_batch == per-feature pick_resolution +
+    cover_with_parents/cover_bbox on random bboxes (including
+    domain-edge clipping and multi-level ancestor chains)."""
+    rng = np.random.default_rng(7)
+    n = 300
+    cx = rng.uniform(-185, 185, n)          # some past the domain edge
+    cy = rng.uniform(-95, 95, n)
+    w = 10 ** rng.uniform(-4, 1.2, n)       # spans 1e-4 .. ~16 degrees
+    h = 10 ** rng.uniform(-4, 1.2, n)
+    minx, maxx = cx - w / 2, cx + w / 2
+    miny, maxy = cy - h / 2, cy + h / 2
+
+    for parents_to in (None, 0, 3, 9):
+        fpos, cells, native = C.cover_features_batch(
+            minx, miny, maxx, maxy, target_res=10, max_cells=64,
+            parents_to=parents_to)
+        got = {}
+        for p, c in zip(fpos, cells):
+            got.setdefault(int(p), set()).add(int(c))
+        for i in range(n):
+            r = C.pick_resolution(minx[i], miny[i], maxx[i], maxy[i],
+                                  target_res=10, max_cells=64)
+            assert native[i] == r
+            if parents_to is not None and parents_to < r:
+                want = set(C.cover_with_parents(minx[i], miny[i], maxx[i], maxy[i],
+                                                r, min_res=parents_to))
+            else:
+                want = set(C.cover_bbox(minx[i], miny[i], maxx[i], maxy[i], r))
+            assert got.get(i, set()) == want, (i, parents_to)
