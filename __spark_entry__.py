@@ -228,6 +228,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash_neardup_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 150),
                                        max_hamming=3, bands=4)
 
+    def q_clean_corpus(spark, sf_dir):
+        # the canonical training-data pipeline, composed end-to-end:
+        # quality-filter -> simhash near-dup pairs -> connected-components
+        # clusters -> keep one representative per cluster
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+        scored = docs.select("doc_id", "text", T.quality_score(F.col("text")).alias("quality"))
+        good = scored.filter(F.col("quality") >= 0.5)
+        pairs = D.simhash_neardup_pairs(good, max_hamming=3, bands=4)
+        clusters = D.duplicate_clusters(pairs, universe=good)
+        sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+        return (clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+                .join(sizes, "cluster_id")
+                .join(good.select("doc_id", "quality"), "doc_id")
+                .select("doc_id", "quality", "n_members"))
+
     def q_pricing_summary(spark, sf_dir):
         # TPC-H Q1-shaped groupBy-agg over lineitem: partial/final agg
         # JVM-side, one shuffle on the 6-value group key
@@ -363,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
+        "clean_corpus": q_clean_corpus,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -509,6 +525,23 @@ FROM ({sh150}) a JOIN ({sh150}) b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     dup_clusters = D.duplicate_clusters_sql(
         dup_pairs, "SELECT doc_id FROM documents WHERE doc_id < 150")
+
+    q_sql = T.quality_score_sql("text")
+    good_sql = (f"SELECT doc_id, text, {q_sql} AS quality FROM documents "
+                f"WHERE doc_id < 150 AND {q_sql} >= 0.5")
+    sh_good = D.simhash_sql(source=f"({good_sql})", where="")
+    good_pairs = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({sh_good}) a JOIN ({sh_good}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    comp_sql = D.duplicate_clusters_sql(good_pairs,
+                                        f"SELECT doc_id FROM ({good_sql})")
+    clean_corpus = f"""
+WITH comp AS ({comp_sql}),
+sizes AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, g.quality, s.n_members
+FROM comp c JOIN sizes s USING (cluster_id) JOIN ({good_sql}) g USING (doc_id)
+WHERE c.doc_id = c.cluster_id"""
 
     pricing_summary = """
 SELECT l_returnflag, l_linestatus,
@@ -663,6 +696,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "simhash_docs": simhash,
         "simhash_neardup_docs": simhash_neardup,
         "dup_clusters_docs": dup_clusters,
+        "clean_corpus": clean_corpus,
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_hourly": events_hourly,
