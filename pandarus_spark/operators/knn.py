@@ -155,10 +155,17 @@ def _cell_udf(res: int, ring: int = 1):
     @F.pandas_udf("array<bigint>")
     def cells_for_point(qx, qy):
         import pandas as pd
-        out = []
+
+        # vectorized k-ring: (2k+1)² offsets broadcast over the batch,
+        # longitude wrapped, out-of-range latitudes dropped per row
         ix, iy = C.lonlat_to_xy(qx.to_numpy(), qy.to_numpy(), res)
-        for x, y in zip(ix, iy):
-            out.append(C.kring(C.cell_id(res, int(x), int(y)), ring))
-        return pd.Series(out)
+        n = 1 << res
+        d = np.arange(-ring, ring + 1, dtype=np.int64)
+        dx, dy = np.meshgrid(d, d)
+        xs = (ix[:, None] + dx.ravel()[None, :]) % n
+        ys = iy[:, None] + dy.ravel()[None, :]
+        ok = (ys >= 0) & (ys < n)
+        cells = (np.int64(res) << C.RES_SHIFT) | (ys << C.Y_SHIFT) | xs
+        return pd.Series([cells[i][ok[i]].tolist() for i in range(len(ix))])
 
     return cells_for_point

@@ -93,3 +93,18 @@ def test_batch_cover_matches_scalar_loop():
             else:
                 want = set(C.cover_bbox(minx[i], miny[i], maxx[i], maxy[i], r))
             assert got.get(i, set()) == want, (i, parents_to)
+
+
+def test_knn_cell_udf_matches_kring(spark):
+    """The vectorized k-ring inside knn's cell UDF must emit the same
+    cell set as the scalar C.kring, including lon wrap and lat edges."""
+    import pandas as pd
+    from pandarus_spark.operators.knn import _cell_udf
+    fn = _cell_udf(6, ring=2).func  # unwrap the pandas_udf
+    qx = pd.Series([0.0, 179.95, -179.95, 0.0, 0.0])
+    qy = pd.Series([0.0, 10.0, -10.0, 89.9, -89.9])
+    got = fn(qx, qy)
+    for x, y, cells in zip(qx, qy, got):
+        ix, iy = C.lonlat_to_xy(np.array([x]), np.array([y]), 6)
+        want = set(C.kring(C.cell_id(6, int(ix[0]), int(iy[0])), 2))
+        assert set(cells) == want
