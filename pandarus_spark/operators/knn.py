@@ -97,9 +97,20 @@ def _rect_distance_expr() -> "F.Column":
     return F.sqrt(dx * dx + dy * dy)
 
 
+def _feature_geoms(features: DataFrame) -> DataFrame:
+    """Distance-relevant feature columns; an absent or NULL ``is_rect``
+    degrades to the general (Arrow-kernel) path rather than raising or
+    silently dropping rows."""
+    rect = (F.coalesce(F.col("is_rect"), F.lit(False))
+            if "is_rect" in features.columns else F.lit(False))
+    return features.select("feature_id", "geom_wkb", rect.alias("is_rect"),
+                           "minx", "miny", "maxx", "maxy")
+
+
 def _split_distances(cand: DataFrame) -> DataFrame:
     """Exact distances: JVM expression for axis-rect features, Arrow
-    kernel for the rest."""
+    kernel for the rest (``is_rect`` here is already null-free,
+    see :func:`_feature_geoms`)."""
     rect = (cand.filter(F.col("is_rect"))
             .select("query_id", "feature_id", _rect_distance_expr().alias("dist")))
     other = cand.filter(~F.col("is_rect")) \
@@ -120,10 +131,10 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
     qcells = qcells_rows.select("query_id", "qx", "qy", F.explode("cells").alias("cell"))
 
     fcells = cover_features(features, res, max_cells=256)
+    fgeom = _feature_geoms(features)
     cand = (qcells.join(fcells, "cell")
             .select("query_id", "qx", "qy", "feature_id").dropDuplicates(["query_id", "feature_id"])
-            .join(features.select("feature_id", "geom_wkb", "is_rect",
-                                  "minx", "miny", "maxx", "maxy"), "feature_id"))
+            .join(fgeom, "feature_id"))
     dists = _split_distances(cand)
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("feature_id").asc())
@@ -136,8 +147,11 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
     short = (queries.join(ranked.groupBy("query_id").agg(F.count("*").alias("n")), "query_id", "left")
              .filter((F.col("n").isNull()) | (F.col("n") < k)).select("query_id", "qx", "qy"))
     if short.limit(1).count() > 0:
-        brute = short.crossJoin(F.broadcast(features.select("feature_id", "geom_wkb")))
-        bdists = _exact_distances(brute)
+        # same split (JVM rect expr / Arrow kernel) as the ring pass, so
+        # a feature scored by both paths gets the IDENTICAL dist and the
+        # pair dedup below is value-deterministic
+        brute = short.crossJoin(F.broadcast(fgeom))
+        bdists = _split_distances(brute)
         ranked = (_dedup_union(ranked.drop("rank"), bdists)
                   .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
 

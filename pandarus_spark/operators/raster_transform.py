@@ -181,9 +181,14 @@ def convert_to_vector(cells: DataFrame, value_col: str = "value",
                              "col": pd.Series(out["col"], dtype="int64")})
 
     tile_id = (F.floor(F.col("row") / t) * F.lit(1 << 31) + F.floor(F.col("col") / t))
+    # localCheckpoint (not persist): materialized once for the three
+    # downstream uses, and its blocks are released by the ContextCleaner
+    # when the DataFrame goes out of scope — a plain .persist() here
+    # would leak cached tile parts for the application lifetime, since
+    # nothing can unpersist after returning a lazy result
     parts = (cells.withColumn("_tile", tile_id)
              .groupBy(value_col, "_tile").applyInPandas(fn_tile, schema=_TILE_PART_SCHEMA)
-             .persist())
+             .localCheckpoint(eager=True))
     regions = parts.filter(F.col("kind") == "region").select("val", "rkey", "geom_wkb")
     bd = parts.filter(F.col("kind") == "edge").select("val", "rkey", "row", "col")
 

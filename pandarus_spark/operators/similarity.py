@@ -23,7 +23,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # denominator floor: a zero-norm vector gets cos 0 instead of an
+    # ANSI DIVIDE_BY_ZERO error; any real-normed pair is bit-identical
+    # (greatest(x, 1e-24) == x whenever x > 1e-24)
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-24))
 
 
 def _as_double(col: Column) -> Column:
@@ -99,6 +102,8 @@ def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     Returns ``(n_centroids, dim)`` unit-norm float64 array."""
     rows = (embeddings.select(F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("v"))
             .orderBy("i").limit(sample_limit).collect())
+    if not rows:
+        return np.empty((0, 0))
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_centroids].copy()
@@ -115,7 +120,9 @@ def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
 def _centroid_sims(vec_col: Column, centroids: np.ndarray) -> Column:
     """array<double> of cosine(vec, centroid_j) — pure Catalyst (the
     centroids are unit-norm, so dot/|v| suffices)."""
-    nv = norm(vec_col)
+    # norm floor: a zero vector gets sim 0 to every centroid (bucket 0,
+    # still retrievable) instead of NULL sims and a NULL bucket
+    nv = F.greatest(norm(vec_col), F.lit(1e-12))
     return F.array(*[
         dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / nv
         for c in centroids])
@@ -143,6 +150,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
         centroids = train_ivf_centroids(embeddings, n_centroids, iters,
                                         id_col=id_col, vec_col=vec_col)
     n_centroids = len(centroids)
+    if n_centroids == 0:
+        # empty corpus: empty-but-well-typed result, like cosine_topk
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int")
     nprobe = min(nprobe, n_centroids)
 
     e = embeddings.select(F.col(id_col).alias("neighbor_id"),

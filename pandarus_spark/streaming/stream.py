@@ -69,7 +69,8 @@ def stream_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
 
 SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
                       "session_end timestamp, n_events bigint")
-SESSION_STATE_SCHEMA = "start double, last double, n bigint"
+# open (not-yet-emittable) session intervals, ordered by start
+SESSION_STATE_SCHEMA = "starts array<double>, lasts array<double>, ns array<long>"
 
 
 def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
@@ -78,14 +79,20 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
     """Streaming gap-based sessionization — the custom stateful
     operator the batch :func:`~pandarus_spark.operators.windows.sessionize`
     twins: per-key session state lives in the state store via
-    ``applyInPandasWithState`` (Arrow-batched; one state row per live
-    key, so state size is O(active users), not O(events)).
+    ``applyInPandasWithState`` (Arrow-batched; state is the list of
+    OPEN session intervals per key, so its size is O(active users ×
+    concurrent open sessions), not O(events)).
 
-    A session CLOSES (and is emitted, append-mode) when a later event
-    arrives more than ``gap_seconds`` after its last event, or when the
-    event-time timeout fires (watermark passed session_end + gap) — so
-    late data inside the watermark still extends the right session.
-    Output: (user_id, session_start, session_end, n_events).
+    Correctness under out-of-order data: arriving events and the stored
+    intervals are merged as INTERVALS (sorted by start, chained while
+    the gap to the previous interval's end is <= ``gap_seconds``), so a
+    late event can extend a session backward or bridge two stored
+    sessions.  A session is emitted (append-mode) only when the
+    watermark has passed ``session_end + gap`` — only then can no
+    remaining in-watermark event extend or bridge it.  Sessions the
+    watermark has not released stay in state; the event-time timeout is
+    set to the earliest release point so idle keys flush without new
+    data.  Output: (user_id, session_start, session_end, n_events).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -106,34 +113,42 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
                 "n_events": pd.Series([n for _, _, n in rows], dtype="int64"),
             })
 
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield emit([(start, last, n)])
-            return
+        wm = state.getCurrentWatermarkMs() / 1000.0
 
-        epochs = []
-        for pdf in pdfs:
-            epochs.extend(float(t.timestamp()) for t in pdf[ts_col])
-        epochs.sort()
-        start = last = None
-        n = 0
+        intervals = []
         if state.exists:
-            start, last, n = state.get
-        closed = []
-        for t in epochs:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
+            starts, lasts, ns = state.get
+            intervals = [(float(s), float(e), int(n))
+                         for s, e, n in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                intervals.extend((float(t.timestamp()), float(t.timestamp()), 1)
+                                 for t in pdf[ts_col])
+
+        # interval merge: sort by start, chain while gap to previous end
+        # fits — late events extend sessions backward or bridge them
+        intervals.sort()
+        merged = []
+        for s, e, n in intervals:
+            if merged and s - merged[-1][1] <= gap:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e), pn + n)
             else:
-                last, n = max(last, t), n + 1
-        if start is not None:
-            state.update((start, last, n))
-            state.setTimeoutTimestamp(int((last + gap) * 1000))
-        if closed:
-            yield emit(closed)
+                merged.append((s, e, n))
+
+        # release only sessions no in-watermark event can still touch
+        ripe = [iv for iv in merged if iv[1] + gap < wm]
+        open_ = [iv for iv in merged if iv[1] + gap >= wm]
+
+        if open_:
+            state.update(([s for s, _, _ in open_], [e for _, e, _ in open_],
+                          [n for _, _, n in open_]))
+            release_ms = int(min(e for _, e, _ in open_) * 1000 + gap * 1000)
+            state.setTimeoutTimestamp(max(release_ms, int(wm * 1000) + 1))
+        elif state.exists:
+            state.remove()
+        if ripe:
+            yield emit(ripe)
 
     ev = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (ev.withWatermark(ts_col, watermark)

@@ -84,9 +84,11 @@ def test_streaming_tile_assignments(spark, tmp_path):
 
 
 def test_streaming_stateful_sessionize(spark, tmp_path):
-    """applyInPandasWithState sessionization: sessions closed by a
-    later event are emitted; the per-user tail session stays in state.
-    Emitted sessions must equal the batch-computed closed sessions."""
+    """applyInPandasWithState sessionization: a session is emitted only
+    once the watermark passes session_end + gap (before that, a
+    late-but-in-watermark event could still extend or bridge it).
+    Emitted sessions must equal the batch-computed sessions the final
+    watermark released."""
     from pandarus_spark.streaming.stream import stream_sessionize
 
     ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -103,9 +105,9 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
            for r in spark.sql("SELECT * FROM sessions_t").collect()}
 
-    # batch expectation: every session closed by a later event, plus
-    # tail sessions the final watermark (global max ts - 10 min) passed
-    # by more than the gap (event-time timeout fired)
+    # batch expectation: replay all events per user, merge into
+    # sessions, keep those the final watermark (gmax - 10 min) passed
+    # by more than the gap
     rows = sorted(ev.select("user_id", "ts").collect(),
                   key=lambda r: (r["user_id"], r["ts"]))
     gmax = max(r["ts"] for r in rows)
@@ -119,12 +121,58 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
             if u in cur:
                 sessions.setdefault(u, []).append(cur[u])
             cur[u] = (t, t, 1)
-    want = {(u, s, e, n) for u, lst in sessions.items() for s, e, n in lst}
-    for u, (s, e, n) in cur.items():
-        if (gmax - e).total_seconds() - 600.0 > 1800.0:
-            want.add((u, s, e, n))
+    for u, iv in cur.items():
+        sessions.setdefault(u, []).append(iv)
+    want = {(u, s, e, n) for u, lst in sessions.items() for s, e, n in lst
+            if (gmax - e).total_seconds() - 600.0 > 1800.0}
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
+    """Late-but-in-watermark events across micro-batches must extend a
+    session backward or bridge two stored sessions, and emission must
+    wait for the watermark to pass session_end + gap. Three sequential
+    availableNow runs over one checkpoint = three ordered batches."""
+    import datetime as dt
+
+    from pandarus_spark.streaming.stream import stream_sessionize
+
+    def T(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    src = str(tmp_path / "ooo_in")
+    ck = str(tmp_path / "ooo_ck")
+    schema = "user_id long, ts timestamp"
+    batches = [
+        # run 1: u1 two separate intervals; u2 two separate intervals
+        [(1, T(1000)), (1, T(9000)), (2, T(8000)), (2, T(11000))],
+        # run 2: u1 merges forward (10500), opens (13000), and 8500
+        # extends the 9000-session BACKWARD; u2's 9500 BRIDGES 8000+11000
+        [(1, T(10500)), (1, T(13000)), (1, T(8500)), (2, T(9500))],
+        # run 3: u1 new far event advances the watermark to 13400
+        [(1, T(17000))],
+    ]
+    got = set()
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            got.add((r["user_id"], r["session_start"], r["session_end"], r["n_events"]))
+
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        out = stream_sessionize(stream, gap_seconds=1800.0, watermark="1 hour")
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    want = {
+        (1, T(1000), T(1000), 1),      # released by run-1 watermark (5400)
+        (1, T(8500), T(10500), 3),     # backward-extended; released at wm 13400
+        (2, T(8000), T(11000), 3),     # bridged by 9500; released at wm 13400
+    }
+    assert got == want
 
 
 def test_streaming_exact_dedup(spark, tmp_path):

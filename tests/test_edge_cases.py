@@ -87,3 +87,44 @@ def test_knn_empty_features_falls_back_cleanly(spark):
     q = spark.createDataFrame([(1, 0.0, 0.0)], "query_id long, qx double, qy double")
     out = knn_nearest_feature(q, _empty_features(spark), k=2)
     assert out.count() == 0
+
+
+def test_knn_tolerates_missing_and_null_is_rect(spark):
+    """Features without an is_rect column (documented minimal contract)
+    or with NULL is_rect must route through the general kernel, not
+    raise or silently vanish from the ranking."""
+    from pandarus_spark.operators.knn import knn_nearest_feature
+    grid = extract_features(pages_df(spark, "grid"))
+    q = spark.createDataFrame([(1, 0.25, 0.25)], "query_id long, qx double, qy double")
+    base = {(r["query_id"], r["feature_id"]): r["dist"]
+            for r in knn_nearest_feature(q, grid, k=4).collect()}
+    no_rect = grid.drop("is_rect")
+    got1 = {(r["query_id"], r["feature_id"]): r["dist"]
+            for r in knn_nearest_feature(q, no_rect, k=4).collect()}
+    null_rect = grid.withColumn("is_rect", F.lit(None).cast("boolean"))
+    got2 = {(r["query_id"], r["feature_id"]): r["dist"]
+            for r in knn_nearest_feature(q, null_rect, k=4).collect()}
+    assert set(got1) == set(base) and set(got2) == set(base)
+    for k_ in base:
+        assert got1[k_] == pytest.approx(base[k_], abs=1e-12)
+        assert got2[k_] == pytest.approx(base[k_], abs=1e-12)
+
+
+def test_ivf_empty_embeddings(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, qvec array<float>")
+    out = S.ivf_topk(emb, q, k=3, n_centroids=4, nprobe=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
+def test_ivf_zero_norm_vector_still_retrievable(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    out = S.ivf_topk(emb, q, k=3, n_centroids=2, nprobe=2, exclude_self=False)
+    # the zero vector lands in a real bucket (not NULL) — full probe
+    # must see all three vectors
+    assert {r["neighbor_id"] for r in out.collect()} == {0, 1, 2}
