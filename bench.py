@@ -298,6 +298,65 @@ def job_overlay_skew(spark, n_uniform: int, n_cluster: int) -> dict:
     return out
 
 
+def synthetic_corpus(spark, n: int, partitions: int = 64):
+    """Deterministic web-corpus-shaped documents: ~30% exact duplicates
+    (doc_id mod 10 in {7,8,9} repeats an earlier text verbatim) and
+    ~10% near-duplicates (one word substituted), the dup structure
+    minhash_lsh_pairs' exact-dup collapse is built for."""
+    def doc_words(seed: int, n_words: int = 30) -> list[str]:
+        # xorshift-style word stream: distinct docs share almost no
+        # shingles, so LSH candidates come from the dup structure, not
+        # from boilerplate (boilerplate-heavy corpora are the skew
+        # study's territory)
+        x = seed * 6364136223846793005 + 1442695040888963407
+        out = []
+        for _ in range(n_words):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            out.append(f"w{x % 50021}")
+        return out
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, texts = [], []
+            for i in pdf["id"].tolist():
+                d = int(i)
+                group, slot = d // 10, d % 10
+                if slot >= 7:          # exact dup of the group's slot-0 doc
+                    words = doc_words(group * 10 + 1)
+                elif slot == 6:        # near dup: one word substituted
+                    words = doc_words(group * 10 + 1)
+                    words[11] = "swapped"
+                else:
+                    words = doc_words(d + 1)
+                ids.append(d); texts.append(" ".join(words))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "text": texts})
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema="doc_id long, text string")
+
+
+def job_dedup_scale(spark, n: int) -> dict:
+    """Training-pipeline dedup at scale: LSH near-dup pairs + duplicate
+    clustering over a corpus with 30% exact dups (deterministic)."""
+    from pandarus_spark.operators import dedup as D
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+    t0 = time.perf_counter()
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.5)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    t_pairs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    clusters = D.duplicate_clusters(pairs, universe=docs)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    t_clusters = time.perf_counter() - t0
+    return {"pairs_sec": round(t_pairs, 3), "clusters_sec": round(t_clusters, 3),
+            "near_dup_pairs": n_pairs, "clusters": n_clusters, "docs": n}
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -305,7 +364,8 @@ def job_overlay_skew(spark, n_uniform: int, n_cluster: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--job", default="headline",
-                    choices=["headline", "overlay_scale", "overlay_skew", "zonal_scale"])
+                    choices=["headline", "overlay_scale", "overlay_skew",
+                             "zonal_scale", "dedup_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=2,
@@ -331,6 +391,22 @@ def main() -> None:
             "sf": args.n, "cpus": cpus,
             "raster_cells": res["raster_cells"],
             "features_with_stats": res["features_with_stats"],
+        }))
+        spark.stop()
+        return
+
+    if args.job == "dedup_scale":
+        res = job_dedup_scale(spark, args.n)
+        total = res["pairs_sec"] + res["clusters_sec"]
+        print(json.dumps({
+            "metric": "neardup_pairs_plus_clusters",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"lsh_pairs": res["pairs_sec"],
+                        "dup_clusters": res["clusters_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "near_dup_pairs": res["near_dup_pairs"],
+            "clusters": res["clusters"],
+            "docs_per_sec": round(args.n / total, 1),
         }))
         spark.stop()
         return

