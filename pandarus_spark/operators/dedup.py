@@ -294,14 +294,29 @@ def duplicate_clusters(pairs: DataFrame, universe: DataFrame | None = None,
                .unionByName(s.select("u", F.col("m").alias("v"))))
         return out.filter(F.col("u") != F.col("v")).distinct()
 
+    def _fingerprint(df):
+        # order-insensitive edge-set fingerprint: one cheap aggregation
+        # instead of an exceptAll shuffle per round (edges are distinct,
+        # so equal (count, hash-sum) pairs identify the set up to a
+        # ~2^-64-per-round hash-sum collision — accepted odds for an
+        # iteration-control check)
+        h = F.xxhash64("u", "v")
+        # two bounded residues, not the raw 64-bit sum (ANSI overflow)
+        row = df.agg(F.count("*").alias("n"),
+                     F.sum(F.pmod(h, F.lit(1_000_000_007))).alias("h1"),
+                     F.sum(F.pmod(F.shiftright(h, 31), F.lit(998_244_353))).alias("h2")
+                     ).collect()[0]
+        return row["n"], row["h1"], row["h2"]
+
+    fp = None
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # converged when every edge already points node→component-min:
-        # small-star is then a no-op (identical edge set)
-        changed = e2.exceptAll(e).limit(1).count()
-        e = e2
-        if changed == 0:
+        # large-star + small-star is then the identity on the edge set
+        fp2 = _fingerprint(e)
+        if fp2 == fp:
             break
+        fp = fp2
 
     members = _sym(e).groupBy("u").agg(F.min("v").alias("m"))
     comp = (members.select(F.col("u").alias(id_col),
