@@ -89,7 +89,12 @@ def wkb_loads(buf: bytes) -> dict:
 def _wkb_read(mv: memoryview, off: int) -> tuple[dict, int]:
     bo = "<" if mv[off] == 1 else ">"
     (code,) = struct.unpack_from(bo + "I", mv, off + 1)
-    code &= 0xFF  # strip any EWKB flags
+    # reject rather than mis-parse foreign WKB variants: EWKB flag bits
+    # (SRID/Z/M payloads we don't skip) and ISO-WKB Z/M codes (1000+)
+    # would silently decode garbage coordinates if masked away
+    if (code & 0xF0000000) != 0 or code not in _WKB_TYPES:
+        raise ValueError(f"unsupported WKB geometry code {code:#x} "
+                         "(EWKB SRID/Z/M and ISO Z/M variants are not supported)")
     t = _WKB_TYPES[code]
     off += 5
     if t == "Point":
@@ -227,6 +232,10 @@ def clean_geom(geom: dict) -> dict:
             if cleaned:
                 polys.append(cleaned)
         return {"type": t, "coordinates": polys}
+    if t == "GeometryCollection":
+        # recurse — a polygon inside a collection needs the same
+        # ring-closing/degenerate-ring repair as a bare polygon
+        return {"type": t, "geometries": [clean_geom(g) for g in geom["geometries"]]}
     return geom
 
 
@@ -360,15 +369,10 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
     x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
 
-    # boundary test: point within eps of segment
-    dx, dy = x2 - x1, y2 - y1
-    seg_len2 = dx * dx + dy * dy
-    t = np.where(seg_len2 > 0, ((x - x1) * dx + (y - y1) * dy) / np.where(seg_len2 == 0, 1, seg_len2), 0.0)
-    t = np.clip(t, 0.0, 1.0)
-    px, py = x1 + t * dx, y1 + t * dy
-    on_boundary = ((x - px) ** 2 + (y - py) ** 2 <= (1e-9) ** 2).any(axis=1)
+    on_boundary = _on_ring_boundary(pts, ring)
 
     # even-odd crossing count
+    dx, dy = x2 - x1, y2 - y1
     cond = (y1 > y) != (y2 > y)
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = x1 + (y - y1) * dx / np.where(dy == 0, 1, dy)
@@ -383,9 +387,11 @@ def points_in_polygon(pts: np.ndarray, rings: list) -> np.ndarray:
         return np.zeros(len(pts), dtype=bool)
     inside = points_in_ring(pts, rings[0])
     for hole in rings[1:]:
+        # a point strictly inside the hole leaves the polygon; the hole
+        # BOUNDARY still belongs to it (border-inclusive semantics) —
+        # but only where the point is inside the exterior at all
         on_b = _on_ring_boundary(pts, hole)
-        inside &= on_b | ~points_in_ring(pts, hole) | on_b
-        inside |= on_b  # hole boundary still belongs to the polygon
+        inside &= on_b | ~points_in_ring(pts, hole)
     return inside
 
 
@@ -506,13 +512,38 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
     return tris
 
 
+def _clip_ring_general(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
+    """subject ∩ clip_ring as a list of disjoint pieces: one S-H pass
+    when the clip ring is convex, else piecewise over its ear-clip
+    triangulation (triangles partition the ring, so pieces are
+    interior-disjoint and their areas sum exactly)."""
+    pieces = [clip_ring] if is_convex(clip_ring) else triangulate_ring(clip_ring)
+    out = []
+    for piece in pieces:
+        r = clip_ring_convex(subject, piece)
+        if r is not None and abs(ring_area(r)) > 1e-18:
+            out.append(r)
+    return out
+
+
 def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]:
     """Intersection of two polygons -> list of polygon part payloads.
 
     Strategy: convex clip ring -> single Sutherland–Hodgman pass (exact
     for the reference fixtures, which are axis-aligned boxes); concave
-    clip -> ear-clip triangulation + piecewise S-H. Clip-side holes are
-    subtracted the same way. Subject holes are clipped and re-attached."""
+    clip -> ear-clip triangulation + piecewise S-H. Holes on either
+    side are clipped against the relevant exterior (piecewise for
+    concave exteriors) and attached as inner rings, so each hole's
+    area subtraction is exact.
+
+    Known approximation: when a SUBJECT hole and a CLIP hole overlap
+    each other inside the intersection, the shared region is
+    subtracted twice (inner rings carry no sign with which to add the
+    overlap back). Holes within one valid polygon never overlap, so
+    this needs holes on BOTH inputs meeting inside the result —
+    exact boolean ops are the round-2 item for that case."""
+    if not subject_rings or not clip_rings:
+        return []
     clip_ext = clip_rings[0]
     if is_convex(clip_ext):
         convex_pieces = [clip_ext]
@@ -529,20 +560,16 @@ def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]
             if h is not None and abs(ring_area(h)) > 1e-18:
                 rings.append(h)
         parts.append(rings)
-    # subtract clip-side holes by clipping parts against each hole and
-    # re-expressing: area(part) - area(part ∩ hole). Geometry output keeps
-    # the hole as an inner ring when fully contained.
+    # subtract clip-side holes: clip each hole against the part
+    # exterior (piecewise when the part is concave — previously a
+    # partially-overlapping hole of a concave part was dropped
+    # entirely, overstating the area) and attach the pieces as holes
     for hole in clip_rings[1:]:
+        hole = np.asarray(hole, dtype=np.float64)
         new_parts = []
         for rings in parts:
-            inter = clip_ring_convex(hole, rings[0]) if is_convex(rings[0]) else None
-            if inter is None:
-                hpts = np.asarray(hole, dtype=np.float64).reshape(-1, 2)
-                if points_in_polygon(hpts, rings).all():
-                    rings = rings + [np.asarray(hole, dtype=np.float64)]
-            else:
-                rings = rings + [inter]
-            new_parts.append(rings)
+            overlap = _clip_ring_general(hole, rings[0])
+            new_parts.append(rings + overlap)
         parts = new_parts
     return parts
 

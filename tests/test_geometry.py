@@ -131,3 +131,60 @@ def test_clean_geom_closes_rings():
     cleaned = G.clean_geom(open_ring)
     r = cleaned["coordinates"][0]
     assert np.array_equal(r[0], r[-1])
+
+
+def test_degenerate_rings_do_not_crash_clip():
+    """A polygon whose rings all degenerate (<4 points) must intersect
+    nothing — not IndexError inside the clip kernel (review finding)."""
+    empty = G.clean_geom({"type": "Polygon",
+                          "coordinates": [np.array([[0.0, 0.0], [1.0, 1.0]])]})
+    box = G.clean_geom(_box(0, 0, 1, 1))
+    assert G.clip_polygon_by_polygon(empty["coordinates"], box["coordinates"]) == []
+    assert G.clip_polygon_by_polygon(box["coordinates"], empty["coordinates"]) == []
+    assert G.intersection(empty, "polygon", box) is None
+    assert not G.intersects(empty, box)
+
+
+def test_clean_geom_recurses_into_collections():
+    gc = {"type": "GeometryCollection", "geometries": [
+        {"type": "Polygon",
+         "coordinates": [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]},
+    ]}
+    cleaned = G.clean_geom(gc)
+    ring = cleaned["geometries"][0]["coordinates"][0]
+    assert np.array_equal(ring[0], ring[-1])  # ring closed inside the GC
+
+
+def test_wkb_rejects_foreign_variants():
+    import struct
+    import pytest
+    # EWKB point with SRID flag + ISO-WKB PointZ: reject, don't mis-parse
+    ewkb = b"\x01" + struct.pack("<I", 0x20000001) + struct.pack("<I", 4326) \
+        + struct.pack("<dd", 1.0, 2.0)
+    with pytest.raises(ValueError, match="unsupported WKB"):
+        G.wkb_loads(ewkb)
+    isoz = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1.0, 2.0, 3.0)
+    with pytest.raises(ValueError, match="unsupported WKB"):
+        G.wkb_loads(isoz)
+
+
+def test_point_outside_exterior_not_claimed_by_hole_boundary():
+    """Invalid input (hole outside the exterior) must not mark far-away
+    points as inside via the hole-boundary term (review finding)."""
+    rings = [np.array([[0.0, 0.0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float),
+             np.array([[2.0, 2.0], [3, 2], [3, 3], [2, 3], [2, 2]], dtype=float)]
+    res = G.points_in_polygon(np.array([[2.5, 2.0], [0.5, 0.5], [2.5, 2.5]]), rings)
+    assert list(res) == [False, True, False]
+
+
+def test_concave_part_with_partial_hole_subtracts_overlap():
+    """L-shaped subject ∩ square-with-hole: the hole overlaps the L
+    partially; its overlap area (12) must be subtracted (review
+    finding: it used to be dropped entirely, overstating by 23%)."""
+    L = [np.array([[0.0, 0.0], [8, 0], [8, 4], [4, 4], [4, 8], [0, 8], [0, 0]])]
+    clip = [np.array([[0.0, 0.0], [8, 0], [8, 8], [0, 8], [0, 0]]),
+            np.array([[2.0, 2.0], [6, 2], [6, 6], [2, 6], [2, 2]])]  # hole
+    parts = G.clip_polygon_by_polygon(L, clip)
+    total = sum(G.polygon_area(p) for p in parts)
+    # true: area(L)=48; hole∩L = [2,6]x[2,4] (8) + [2,4]x[4,6] (4) = 12
+    assert total == pytest.approx(48 - 12, abs=1e-9)
