@@ -146,7 +146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("from_label", "to_label", F.col("measure").alias("n_points"))
 
     def q_ifi_projections(spark, sf_dir):
-        inter = ps.intersect(_fixtures(spark, "square"), _fixtures(spark, "grid"))
+        # ids="sorted" — this query's oracle keys on the reference's
+        # deterministic enumeration-order ids (report scale, tiny output)
+        inter = ps.intersect(_fixtures(spark, "square"), _fixtures(spark, "grid"),
+                             ids="sorted")
         fp1, fp2 = ps.intersections_from_intersection(inter)
         a = fp1.select("id", F.col("label").alias("from_side"),
                        _round_bigint(F.col("measure")).alias("measure_m2"))
@@ -298,8 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("event_type")
                 .agg(F.count("*").alias("n"),
                      F.sum("k").alias("sum_k"),
-                     F.min("k").alias("min_k"),
-                     F.max("k").alias("max_k")))
+                     F.min("k").cast("long").alias("min_k"),
+                     F.max("k").cast("long").alias("max_k")))
 
     def q_text_stats_docs(spark, sf_dir):
         t = F.col("text")
@@ -578,11 +581,15 @@ FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_
       FROM events)
 GROUP BY user_id"""
 
+    # sum(INT) in DuckDB is HUGEINT, which materializes as float64 via
+    # Arrow/pandas — the driver's value hash then sees 99111.0 vs Spark's
+    # bigint 99111.  Cast every aggregate to BIGINT so both engines emit
+    # identical int64 columns (round-1 hash mismatch root cause).
     events_props = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
-       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
-       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type"""
 
     text_stats = f"""

@@ -1,0 +1,314 @@
+"""Batched (array-of-rings) geometry kernels.
+
+Round-2 scale work: the general (non-rect) refine and the zonal
+coverage weights previously ran the clip kernel per row inside the
+Arrow batch — correct, but 100% scalar Python for real-polygon
+workloads (VERDICT round 1, "What's wrong" #4).  This module batches
+the same operations across N pairs:
+
+* :func:`decode_simple_polygon_batch` — vectorized WKB decode for
+  single-ring Polygon / 1-part MultiPolygon rows (grouped by byte
+  layout, one ``np.frombuffer`` per group);
+* :func:`clip_convex_batch` — Sutherland–Hodgman over N (subject,
+  convex clip) pairs at once; arithmetic mirrors
+  :func:`..geom.clip_ring_convex` operation-for-operation (same inside
+  epsilon, same interpolation, same consecutive-vertex dedup and
+  closing-point drop), so both paths agree to fp round-off;
+* :func:`ring_area_batch` / :func:`mollweide_area_batch` — masked
+  shoelace over padded rings.
+
+The only remaining Python loops are over *clip edges* (≤ ring vertex
+count, a small constant) — never over pairs.
+
+Reference semantics: pandarus utils/geometry.py:74-131 (refine) and
+core.py:490-516 (coverage weights); this file changes the execution
+shape only, not the results.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .projection import mollweide_forward
+
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Padding helpers
+# ---------------------------------------------------------------------------
+
+def pad_rings(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack variable-length OPEN rings into (N, M, 2) + counts.
+
+    Closing duplicates are dropped (scalar kernel does the same before
+    clipping).  Padding slots hold the ring's first vertex so projection
+    math never sees garbage coordinates."""
+    n = len(rings)
+    opened = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+        if len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        opened.append(r)
+    cnt = np.array([len(r) for r in opened], dtype=np.int64)
+    m = int(cnt.max()) if n else 0
+    pts = np.zeros((n, m, 2), dtype=np.float64)
+    for i, r in enumerate(opened):
+        if len(r):
+            pts[i, :len(r)] = r
+            pts[i, len(r):] = r[0]
+    return pts, cnt
+
+
+def _gather_next(arr: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """arr[i, (j+1) mod cnt_i] for every slot j — cyclic next vertex."""
+    n, m = arr.shape[:2]
+    nxt = np.arange(1, m + 1)[None, :].repeat(n, axis=0)
+    nxt[nxt >= cnt[:, None]] = 0
+    return arr[np.arange(n)[:, None], nxt]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized WKB decode (uniform simple polygons)
+# ---------------------------------------------------------------------------
+
+_POLY_HDR = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"            # Polygon, 1 ring
+_MPOLY_HDR = (b"\x01\x06\x00\x00\x00\x01\x00\x00\x00" + _POLY_HDR)  # MultiPolygon[1]
+
+
+def decode_simple_polygon_batch(wkbs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode of little-endian single-ring polygon WKBs.
+
+    Returns (pts (N, M, 2) padded CLOSED-ring-stripped vertices, cnt,
+    ok mask).  Rows that are not simple single-ring Polygon /
+    1-part-MultiPolygon (holes, multi-part, big-endian, other kinds)
+    get ``ok=False`` and must take the scalar path.  Rows are grouped
+    by (layout, byte length): each group decodes with ONE frombuffer.
+    """
+    n = len(wkbs)
+    ok = np.zeros(n, dtype=bool)
+    if n == 0:
+        return np.zeros((0, 0, 2)), np.zeros(0, dtype=np.int64), ok
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, b in enumerate(wkbs):
+        if b is None:
+            continue
+        b = bytes(b)
+        if b.startswith(_POLY_HDR):
+            off = 13
+        elif b.startswith(_MPOLY_HDR):
+            off = 22
+        else:
+            continue
+        npts = struct.unpack_from("<I", b, off - 4)[0]
+        if len(b) != off + 16 * npts or npts < 4:
+            continue
+        groups.setdefault((off, len(b)), []).append(i)
+        ok[i] = True
+    if not ok.any():
+        return np.zeros((n, 0, 2)), np.zeros(n, dtype=np.int64), ok
+    cnt = np.zeros(n, dtype=np.int64)
+    m_max = max((ln - off) // 16 for (off, ln) in groups)  # closed count
+    pts = np.zeros((n, m_max, 2), dtype=np.float64)
+    for (off, ln), idxs in groups.items():
+        npts = (ln - off) // 16
+        blob = b"".join(bytes(wkbs[i]) for i in idxs)
+        arr = np.frombuffer(blob, dtype=np.uint8).reshape(len(idxs), ln)
+        coords = arr[:, off:].copy().view("<f8").reshape(len(idxs), npts, 2)
+        # drop closing duplicate (rings are closed on the wire)
+        closed = np.all(coords[:, 0] == coords[:, -1], axis=1)
+        g_cnt = np.where(closed, npts - 1, npts)
+        pts[idxs, :npts] = coords
+        cnt[idxs] = g_cnt
+    # pad with first vertex so downstream projection sees finite values
+    slot = np.arange(m_max)[None, :]
+    pad = slot >= cnt[:, None]
+    first = pts[:, 0:1, :]
+    pts = np.where(pad[:, :, None], first, pts)
+    return pts, cnt, ok
+
+
+def is_convex_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Vectorized convexity test on padded open rings (matches
+    geom.is_convex: no strictly-mixed cross-product signs)."""
+    n, m = pts.shape[:2]
+    if m == 0:
+        return np.zeros(n, dtype=bool)
+    idx1 = np.arange(1, m + 1)[None, :].repeat(n, axis=0)
+    idx1[idx1 >= cnt[:, None]] = 0
+    idx2 = idx1 + 1
+    idx2[idx2 >= cnt[:, None]] = 0
+    rows = np.arange(n)[:, None]
+    b = pts[rows, idx1]
+    c = pts[rows, idx2]
+    v1 = b - pts
+    v2 = c - b
+    cross = v1[..., 0] * v2[..., 1] - v1[..., 1] * v2[..., 0]
+    valid = np.arange(m)[None, :] < cnt[:, None]
+    pos = ((cross > _EPS) & valid).any(axis=1)
+    neg = ((cross < -_EPS) & valid).any(axis=1)
+    return (cnt >= 3) & ~(pos & neg)
+
+
+def ensure_ccw_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Reverse rows whose signed area is negative (clip rings must be
+    CCW so 'inside' is left of each edge — geom.clip_ring_convex)."""
+    area = signed_ring_area_batch(pts, cnt)
+    cw = area < 0
+    if not cw.any():
+        return pts
+    n, m = pts.shape[:2]
+    out = pts.copy()
+    rows = np.nonzero(cw)[0]
+    for i in rows:  # rows needing reversal are rare; per-row flip is fine
+        c = cnt[i]
+        out[i, :c] = pts[i, :c][::-1]
+    return out
+
+
+def signed_ring_area_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Masked shoelace (signed, planar) over padded open rings."""
+    n, m = pts.shape[:2]
+    if m == 0:
+        return np.zeros(n)
+    nxt = _gather_next(pts, cnt)
+    valid = np.arange(m)[None, :] < cnt[:, None]
+    terms = pts[..., 0] * nxt[..., 1] - nxt[..., 0] * pts[..., 1]
+    return 0.5 * np.where(valid, terms, 0.0).sum(axis=1)
+
+
+def ring_area_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    return np.abs(signed_ring_area_batch(pts, cnt))
+
+
+def mollweide_area_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Unsigned Mollweide m² area of padded open rings — the batched
+    twin of geom.measure(polygon): project vertices, shoelace."""
+    x, y = mollweide_forward(pts[..., 0], pts[..., 1])
+    proj = np.stack([x, y], axis=-1)
+    return ring_area_batch(proj, cnt)
+
+
+def multipolygon_wkb_batch(pts: np.ndarray, cnt: np.ndarray) -> list[bytes]:
+    """Encode padded open rings as MultiPolygon[1 Polygon[1 ring]] WKBs
+    (closed on the wire), grouped by vertex count so each group is one
+    bulk byte assembly — the general-shape twin of the rect fast path's
+    inline WKB builder (operators/intersect.py)."""
+    n = len(cnt)
+    out: list[bytes | None] = [None] * n
+    for c in np.unique(cnt):
+        c = int(c)
+        idxs = np.nonzero(cnt == c)[0]
+        if c < 3:
+            continue
+        npts = c + 1
+        hdr = (b"\x01\x06\x00\x00\x00\x01\x00\x00\x00"
+               b"\x01\x03\x00\x00\x00\x01\x00\x00\x00" + struct.pack("<I", npts))
+        row_len = len(hdr) + 16 * npts
+        buf = np.empty((len(idxs), row_len), dtype=np.uint8)
+        buf[:, :len(hdr)] = np.frombuffer(hdr, dtype=np.uint8)
+        closed = np.concatenate([pts[idxs, :c], pts[idxs, 0:1]], axis=1)
+        buf[:, len(hdr):] = closed.astype("<f8").view(np.uint8).reshape(len(idxs), 16 * npts)
+        raw = buf.tobytes()
+        for k, i in enumerate(idxs):
+            out[i] = raw[k * row_len:(k + 1) * row_len]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched Sutherland–Hodgman
+# ---------------------------------------------------------------------------
+
+def _compact(pts: np.ndarray, emit_a: np.ndarray, a_vals: np.ndarray,
+             emit_b: np.ndarray, b_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Scatter up-to-two emissions per slot (a first, then b) into a
+    fresh dense padded array.  Returns (new_pts, new_cnt)."""
+    n = pts.shape[0]
+    c = emit_a.astype(np.int64) + emit_b.astype(np.int64)
+    pos = np.cumsum(c, axis=1) - c
+    new_cnt = c.sum(axis=1)
+    m_new = int(new_cnt.max()) if n else 0
+    new_pts = np.zeros((n, max(m_new, 1), 2), dtype=np.float64)
+    ra, sa = np.nonzero(emit_a)
+    if len(ra):
+        new_pts[ra, pos[ra, sa]] = a_vals[ra, sa]
+    rb, sb = np.nonzero(emit_b)
+    if len(rb):
+        new_pts[rb, (pos + emit_a.astype(np.int64))[rb, sb]] = b_vals[rb, sb]
+    return new_pts[:, :max(m_new, 1)], new_cnt
+
+
+def _dedup_and_unclose(pts: np.ndarray, cnt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pass cleanup, mirroring the scalar kernel: drop consecutive
+    duplicate vertices (atol 1e-12), then drop the last vertex when it
+    re-closes onto the first (atol 1e-12, rtol 0)."""
+    n, m = pts.shape[:2]
+    valid = np.arange(m)[None, :] < cnt[:, None]
+    keep = valid.copy()
+    if m > 1:
+        diff_ok = (np.abs(pts[:, 1:] - pts[:, :-1]) > 1e-12).any(axis=2)
+        keep[:, 1:] &= diff_ok
+    none = np.zeros_like(keep)
+    pts, cnt = _compact(pts, keep, pts, none, pts)
+    # closing-point drop
+    m = pts.shape[1]
+    rows = np.arange(n)
+    last = pts[rows, np.maximum(cnt - 1, 0)]
+    first = pts[:, 0]
+    reclosed = (cnt > 1) & (np.abs(first - last) <= 1e-12).all(axis=1)
+    cnt = np.where(reclosed, cnt - 1, cnt)
+    return pts, cnt
+
+
+def clip_convex_batch(subj_pts: np.ndarray, subj_cnt: np.ndarray,
+                      clip_pts: np.ndarray, clip_cnt: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman over N (subject ring, convex CCW clip ring)
+    pairs at once.
+
+    Inputs are padded OPEN rings; clip rings must already be CCW
+    (ensure_ccw_batch) and convex (is_convex_batch) — callers route
+    non-convex clips to the scalar/triangulated path.  Output rings are
+    OPEN; ``cnt < 3`` means empty (scalar None).  Matches
+    geom.clip_ring_convex operation-for-operation."""
+    pts = subj_pts.astype(np.float64, copy=True)
+    cnt = subj_cnt.astype(np.int64, copy=True)
+    n = pts.shape[0]
+    if n == 0:
+        return pts, cnt
+    k_max = int(clip_cnt.max()) if len(clip_cnt) else 0
+    rows_col = np.arange(n)[:, None]
+    for j in range(k_max):
+        if not (cnt > 0).any():
+            break
+        active = (j < clip_cnt) & (cnt > 0)
+        a = clip_pts[:, min(j, clip_pts.shape[1] - 1), :]
+        jn = np.where(j + 1 >= clip_cnt, 0, j + 1)
+        b = clip_pts[np.arange(n), jn]
+        e = b - a
+        m = pts.shape[1]
+        slot = np.arange(m)[None, :]
+        valid = slot < cnt[:, None]
+        px, py = pts[..., 0], pts[..., 1]
+        side = e[:, 0:1] * (py - a[:, 1:2]) - e[:, 1:2] * (px - a[:, 0:1])
+        nxt_idx = slot + 1
+        nxt_idx = np.where(nxt_idx >= cnt[:, None], 0, np.minimum(nxt_idx, m - 1))
+        nxt = pts[rows_col, nxt_idx]
+        side_nxt = side[rows_col, nxt_idx]
+        cur_in = side >= -_EPS
+        nxt_in = side_nxt >= -_EPS
+        # inactive rows (shorter clip ring / already-dead subject) pass
+        # through unchanged: emit every valid vertex, no crossings
+        cur_emit = np.where(active[:, None], cur_in, True) & valid
+        cross_emit = (cur_in != nxt_in) & valid & active[:, None]
+        d = side - side_nxt
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            t = np.where(np.abs(d) > _EPS, side / np.where(d == 0.0, 1.0, d), 0.0)
+        ip = pts + t[..., None] * (nxt - pts)
+        pts, cnt = _compact(pts, cur_emit, pts, cross_emit, ip)
+        pts, cnt = _dedup_and_unclose(pts, cnt)
+    cnt = np.where(cnt < 3, 0, cnt)
+    return pts, cnt

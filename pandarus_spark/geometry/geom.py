@@ -607,7 +607,10 @@ def clip_line_by_polygon(line: np.ndarray, rings: list) -> list[np.ndarray]:
         r = e2 - e1
         denom = d[0] * r[:, 1] - d[1] * r[:, 0]
         diff = e1 - p
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # "over" too: hypothesis-extreme coordinates (~1e300) overflow in
+        # the cross products; the nan/isfinite guard below already makes
+        # those rows benign, so keep the logs clean
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             t = (diff[:, 0] * r[:, 1] - diff[:, 1] * r[:, 0]) / np.where(denom == 0, np.nan, denom)
             u = (diff[:, 0] * d[1] - diff[:, 1] * d[0]) / np.where(denom == 0, np.nan, denom)
         valid = np.isfinite(t) & (t > 1e-12) & (t < 1 - 1e-12) & (u >= -1e-12) & (u <= 1 + 1e-12)

@@ -159,7 +159,8 @@ def _tile_candidates(features: DataFrame, cells: DataFrame,
 
 def raster_statistics(features: DataFrame, cells: DataFrame,
                       method: str = "coverage", strategy: str = "broadcast",
-                      res: int = 12, max_cells: int = 64) -> DataFrame:
+                      res: int = 12, max_cells: int = 64,
+                      batch_weights: bool = True) -> DataFrame:
     """Zonal stats: (label, min, max, mean, count).
 
     ``features``: the engine's feature DF (polygons). ``cells``: output
@@ -189,6 +190,8 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
 
     def gen(batches):
         import pandas as pd
+
+        from ..geometry import batch as B
         for pdf in batches:
             out = {"label": [], "value": [], "weight": []}
             for wkb, grp in pdf.groupby("geom_wkb", sort=False):
@@ -207,6 +210,33 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
                         mask |= _centers_in(pts, rings)
                     out["label"].extend(labels[mask]); out["value"].extend(vals[mask])
                     out["weight"].extend([1.0] * int(mask.sum()))
+                elif batch_weights:
+                    # batched coverage weights: clip each feature RING
+                    # (subject, arbitrary shape) against every cell box
+                    # (convex clip) in ONE vectorized S-H pass; holes
+                    # subtract (they lie inside their exterior, so
+                    # area(box∩poly) = area(box∩ext) - Σ area(box∩hole)
+                    # — the same value the scalar decomposition sums).
+                    ncell = len(vals)
+                    clip_pts = np.stack([
+                        np.column_stack([mnx, mny]), np.column_stack([mxx, mny]),
+                        np.column_stack([mxx, mxy]), np.column_stack([mnx, mxy])],
+                        axis=1)  # (N, 4, 2) CCW
+                    clip_cnt = np.full(ncell, 4, dtype=np.int64)
+                    area_tot = np.zeros(ncell)
+                    for rings in rings_list:
+                        for ri, ring in enumerate(rings):
+                            sp, sc = B.pad_rings([ring])
+                            subj = np.broadcast_to(sp, (ncell,) + sp.shape[1:])
+                            scnt = np.full(ncell, sc[0], dtype=np.int64)
+                            op, oc = B.clip_convex_batch(subj, scnt, clip_pts, clip_cnt)
+                            a = B.ring_area_batch(op, oc)
+                            area_tot += a if ri == 0 else -a
+                    cell_area = (mxx - mnx) * (mxy - mny)
+                    frac = area_tot / cell_area
+                    keep = frac > 1e-12
+                    out["label"].extend(labels[keep]); out["value"].extend(vals[keep])
+                    out["weight"].extend(np.minimum(frac[keep], 1.0))
                 else:
                     for i in range(len(vals)):
                         box = [np.array([[mnx[i], mny[i]], [mxx[i], mny[i]], [mxx[i], mxy[i]],

@@ -59,6 +59,12 @@ def build_session(app: str = "pandarus-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # one time basis everywhere: Arrow renders timestamps as naive
+        # wall times in this zone, and the stateful streaming operators
+        # convert them back to epoch through it — UTC makes that exact
+        # and keeps outputs byte-stable across differently-zoned hosts
+        .config("spark.sql.session.timeZone",
+                os.environ.get("SPARK_GRAFT_TIMEZONE", "UTC"))
         # Arrow for every pandas UDF exchange
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -309,6 +309,10 @@ def intersect_files(spark, first_path: str, first_field: str,
     second_meta = file_metadata(second_path, second_field)
     f1 = read_geojson(spark, first_path, first_field, crs=first_crs)
     f2 = read_geojson(spark, second_path, second_field, crs=second_crs)
+    # file outputs need the reference's deterministic enumeration-order
+    # ids (utils/conversion.py:14-28) — opt into the global sort here,
+    # at report scale, rather than making it the engine-wide default
+    intersect_kwargs.setdefault("ids", "sorted")
     out = ps.intersect(f1, f2, **intersect_kwargs).persist()
 
     os.makedirs(out_dir, exist_ok=True)

@@ -97,19 +97,25 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap = float(gap_seconds)
+    # Arrow renders Spark timestamps into pandas as tz-NAIVE wall times
+    # in spark.sql.session.timeZone, while getCurrentWatermarkMs /
+    # setTimeoutTimestamp speak true epoch.  Capture the session tz at
+    # build time and do every naive<->epoch conversion through it, so a
+    # non-UTC session doesn't skew session release by the UTC offset.
+    session_tz = (events_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", None) or "UTC")
 
     def fn(key, pdfs, state):
-        import datetime as _dt
-
         import pandas as pd
 
         def emit(rows):
+            def back(epoch):
+                return (pd.Timestamp(epoch, unit="s", tz="UTC")
+                        .tz_convert(session_tz).tz_localize(None))
             return pd.DataFrame({
                 "user_id": pd.Series([key[0]] * len(rows), dtype="int64"),
-                "session_start": [_dt.datetime.fromtimestamp(s, _dt.timezone.utc)
-                                  .replace(tzinfo=None) for s, _, _ in rows],
-                "session_end": [_dt.datetime.fromtimestamp(e, _dt.timezone.utc)
-                                .replace(tzinfo=None) for _, e, _ in rows],
+                "session_start": [back(s) for s, _, _ in rows],
+                "session_end": [back(e) for _, e, _ in rows],
                 "n_events": pd.Series([n for _, _, n in rows], dtype="int64"),
             })
 
@@ -122,8 +128,13 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
                          for s, e, n in zip(starts, lasts, ns)]
         if not state.hasTimedOut:
             for pdf in pdfs:
-                intervals.extend((float(t.timestamp()), float(t.timestamp()), 1)
-                                 for t in pdf[ts_col])
+                ts = pd.Series(pdf[ts_col])
+                if getattr(ts.dt, "tz", None) is None:
+                    ts = ts.dt.tz_localize(session_tz, ambiguous="NaT",
+                                           nonexistent="shift_forward")
+                ts = ts.dropna()  # DST-ambiguous wall times have no epoch
+                epochs = ts.astype("int64").to_numpy() / 1e9
+                intervals.extend((float(t), float(t), 1) for t in epochs)
 
         # interval merge: sort by start, chain while gap to previous end
         # fits — late events extend sessions backward or bridge them

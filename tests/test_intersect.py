@@ -33,10 +33,18 @@ def test_grid_square_exact_goldens(spark, grid):
 
 def test_output_schema_and_geometry(spark, grid):
     square = extract_features(pages_df(spark, "square"))
-    out = ps.intersect(square, grid)
+    out = ps.intersect(square, grid, ids="sorted")
     assert [f.name for f in out.schema.fields] == ["id", "from_label", "to_label", "measure", "geom_wkb"]
     rows = out.collect()
     assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_fast_ids_are_unique_default(spark, grid):
+    """ids='fast' (the default) must still be unique; only density /
+    ordering are relaxed vs the reference's enumeration ids."""
+    square = extract_features(pages_df(spark, "square"))
+    rows = ps.intersect(square, grid).collect()
+    assert len({r["id"] for r in rows}) == len(rows) == 4
     for r in rows:
         g = G.wkb_loads(bytes(r["geom_wkb"]))
         assert g["type"] == "MultiPolygon"

@@ -55,6 +55,26 @@ def test_zonal_stats_centers_exact_goldens(spark, range_cells):
     _check(raster_statistics(grid, range_cells, method="centers"), GOLDEN_CENTERS)
 
 
+def test_coverage_batch_weights_match_scalar(spark, range_cells):
+    """Round-2 batched coverage weights vs the scalar clip loop on
+    awkward shapes: concave exterior and a polygon with a hole."""
+    lring = np.array([[0.1, 0.2], [1.9, 0.2], [1.9, 1.0], [1.0, 1.0],
+                      [1.0, 1.9], [0.1, 1.9], [0.1, 0.2]])
+    holed = [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]),
+             np.array([[0.6, 0.6], [1.4, 0.6], [1.4, 1.4], [0.6, 1.4], [0.6, 0.6]])]
+    feats = [{"name": "Lcave", "geometry": {"type": "Polygon", "coordinates": [lring]}},
+             {"name": "donut", "geometry": {"type": "Polygon", "coordinates": holed}}]
+    fdf = extract_features(pages_df(spark, "zshapes", features=feats))
+    fast = {r["label"]: (r["min"], r["max"], r["mean"], r["count"])
+            for r in raster_statistics(fdf, range_cells, method="coverage").collect()}
+    slow = {r["label"]: (r["min"], r["max"], r["mean"], r["count"])
+            for r in raster_statistics(fdf, range_cells, method="coverage",
+                                       batch_weights=False).collect()}
+    assert set(fast) == set(slow) == {"Lcave", "donut"}
+    for k in slow:
+        assert fast[k] == pytest.approx(slow[k], rel=1e-9), k
+
+
 def test_round_raster_sig_digits(spark):
     spec = RasterSpec(4, 1, (1, 0, 0, 0, -1, 1), nodata=None)
     vals = np.array([[1.4678e-7, 123456.0, 0.0, -0.0034567]])

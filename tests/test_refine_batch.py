@@ -1,0 +1,102 @@
+"""End-to-end tests for the batched general refine (tier 2): non-rect
+polygon workloads through intersect() must match the scalar kernel's
+answers exactly."""
+
+import numpy as np
+import pytest
+
+import pandarus_spark as ps
+from pandarus_spark.geometry import geom as G
+from pandarus_spark.sources.pages import extract_features, grid_features, pages_df
+
+
+def _hexagon(cx, cy, r):
+    ang = np.pi / 180.0 * (60.0 * np.arange(6) + 7.0)  # rotated: no axis alignment
+    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    return {"type": "Polygon", "coordinates": [np.vstack([ring, ring[0]])]}
+
+
+def _lshape(x0, y0, s):
+    """Concave (L-shaped) polygon — forces the scalar tier."""
+    r = np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s / 2], [x0 + s / 2, y0 + s / 2],
+                  [x0 + s / 2, y0 + s], [x0, y0 + s], [x0, y0]], dtype=float)
+    return {"type": "Polygon", "coordinates": [r]}
+
+
+def _scalar_expected(from_feats, to_feats):
+    exp = {}
+    for f in from_feats:
+        for t in to_feats:
+            inter = G.intersection(f["geometry"], "polygon", t["geometry"])
+            if inter is None:
+                continue
+            m = G.measure(inter, "polygon")
+            if m > 0:
+                exp[(str(f["name"]), str(t["name"]))] = m
+    return exp
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return extract_features(pages_df(spark, "grid"))
+
+
+def test_hexagons_over_grid_match_scalar(spark, grid):
+    hexes = [{"name": f"hex {i}", "geometry": _hexagon(0.4 + 0.45 * i, 0.6 + 0.3 * i, 0.5)}
+             for i in range(4)]
+    feats = extract_features(pages_df(spark, "hexes", features=hexes))
+    got = {(r["from_label"], r["to_label"]): r["measure"]
+           for r in ps.intersect(feats, grid).collect()}
+    exp = _scalar_expected(hexes, grid_features())
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_hexagons_over_hexgrid_match_scalar(spark):
+    """Convex × convex, neither rect: pure tier-2 batch on both sides."""
+    probes = [{"name": f"p{i}", "geometry": _hexagon(0.3 * i, 0.2 * i, 0.45)}
+              for i in range(5)]
+    base = [{"name": f"b{j}", "geometry": _hexagon(0.25 * j + 0.1, 0.25 * j, 0.5)}
+            for j in range(5)]
+    f1 = extract_features(pages_df(spark, "hexp", features=probes))
+    f2 = extract_features(pages_df(spark, "hexb", features=base))
+    got = {(r["from_label"], r["to_label"]): r["measure"]
+           for r in ps.intersect(f1, f2).collect()}
+    exp = _scalar_expected(probes, base)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_concave_base_routes_scalar_and_matches(spark):
+    """Concave to-side cannot take the batched tier; results must still
+    be correct through the scalar fallback."""
+    probes = [{"name": f"hex {i}", "geometry": _hexagon(0.5 + 0.3 * i, 0.7, 0.4)}
+              for i in range(3)]
+    base = [{"name": f"L{j}", "geometry": _lshape(0.2 + 0.5 * j, 0.3, 1.0)}
+            for j in range(3)]
+    f1 = extract_features(pages_df(spark, "hexq", features=probes))
+    f2 = extract_features(pages_df(spark, "lbase", features=base))
+    got = {(r["from_label"], r["to_label"]): r["measure"]
+           for r in ps.intersect(f1, f2).collect()}
+    exp = _scalar_expected(probes, base)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_mixed_rect_and_hex_batch(spark, grid):
+    """A batch mixing tier-1 (rect), tier-2 (hex), and empty overlaps."""
+    mixed = ([{"name": "sq", "geometry": {"type": "Polygon", "coordinates": [np.array(
+        [[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]])]}}]
+        + [{"name": f"hex {i}", "geometry": _hexagon(0.8 + 0.2 * i, 1.0, 0.35)}
+           for i in range(3)]
+        + [{"name": "far", "geometry": _hexagon(50.0, 50.0, 0.5)}])
+    feats = extract_features(pages_df(spark, "mixed", features=mixed))
+    got = {(r["from_label"], r["to_label"]): r["measure"]
+           for r in ps.intersect(feats, grid).collect()}
+    exp = _scalar_expected(mixed, grid_features())
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, rel=1e-9)

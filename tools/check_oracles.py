@@ -23,10 +23,14 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_rows(cols, rows):
+    import decimal
     out = []
     for r in rows:
         d = dict(zip(cols, r))
-        out.append(tuple(d[c] for c in sorted(cols)))
+        # DuckDB DECIMAL results reach the driver as float64 via Arrow —
+        # coerce the same way here (int-vs-float strictness stays)
+        out.append(tuple(float(v) if isinstance(v, decimal.Decimal) else v
+                         for v in (d[c] for c in sorted(cols))))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
@@ -38,6 +42,11 @@ def row_eq(a, b):
             if x is None or y is None:
                 if x is not y:
                     return False
+            # The driver hashes stringified values, so an int64 99111 on one
+            # side vs a float64 99111.0 on the other is a REAL mismatch even
+            # though the values are numerically equal.  Mirror that.
+            elif isinstance(x, float) != isinstance(y, float):
+                return False
             elif not (x == y or math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12)):
                 return False
         elif x != y:
