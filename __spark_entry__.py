@@ -325,6 +325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cosine_neardup_embeddings(spark, sf_dir):
         return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
+    def q_cosine_neardup_bucketed(spark, sf_dir):
+        # exhaustive LSH configuration for this corpus (verified: 3
+        # planes x 16 tables recovers every brute-force pair at both
+        # sf0.001 and sf0.01), so the brute-force SQL is a FULL oracle;
+        # production defaults (8x8, cos>=0.9) are selective instead
+        return S.cosine_neardup_bucketed(_emb(spark, sf_dir), threshold=0.4,
+                                         n_tables=16, n_planes=3)
+
     def q_ann_lsh_embeddings(spark, sf_dir):
         # approximate by construction — rows-only check; subset-of-bruteforce
         # is asserted in tests/test_pipeline_ops.py
@@ -390,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": q_text_stats_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
+        "cosine_neardup_bucketed": q_cosine_neardup_bucketed,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "multimodal_decode": q_multimodal_decode,
@@ -712,6 +721,9 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "text_stats_docs": text_stats,
         "cosine_topk_embeddings": cosine_topk,
         "cosine_neardup_embeddings": cosine_neardup,
+        # bucketed LSH near-dup at an exhaustive configuration == the
+        # brute-force pair set, so it shares the full value oracle
+        "cosine_neardup_bucketed": cosine_neardup,
         "ann_ivf_embeddings": cosine_topk,  # full probe == brute force
 
         "multimodal_decode": multimodal,

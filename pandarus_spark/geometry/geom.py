@@ -526,6 +526,99 @@ def _clip_ring_general(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.nd
     return out
 
 
+def _ring_cross_xs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
+    """x-coordinates of proper edge×edge intersections between two
+    closed rings (vectorized over all edge pairs)."""
+    a1, a2 = r1[:-1], r1[1:]
+    b1, b2 = r2[:-1], r2[1:]
+    d1 = (a2 - a1)[:, None, :]   # (n,1,2)
+    d2 = (b2 - b1)[None, :, :]   # (1,m,2)
+    diff = b1[None, :, :] - a1[:, None, :]
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / \
+            np.where(denom == 0, np.nan, denom)
+        u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / \
+            np.where(denom == 0, np.nan, denom)
+    ok = np.isfinite(t) & np.isfinite(u) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    if not ok.any():
+        return np.empty(0)
+    ti, _ = np.nonzero(ok)
+    return (a1[ti, 0] + t[ok] * (a2[ti, 0] - a1[ti, 0]))
+
+
+def union_rings_decompose(group_a: list, group_b: list) -> list[np.ndarray]:
+    """Disjoint trapezoid cover of (∪group_a) ∪ (∪group_b).
+
+    Vertical-slab sweep: slab boundaries at every vertex x plus every
+    cross-group edge intersection x, so within a slab no two edges
+    cross; per slab each ring contributes even-odd y-intervals, the
+    intervals are unioned across rings (coverage ≥ 1 semantics — NOT
+    parity, which would wrongly void the overlap), and each merged
+    interval becomes one convex trapezoid.  Rings within one group are
+    assumed non-crossing (holes of a valid polygon); across groups
+    crossings are handled by the extra slab boundaries.
+
+    Used for the exact hole×hole case of polygon intersection: the
+    result's hole set must be the UNION of both sides' hole pieces —
+    attaching overlapping rings directly double-subtracts area and
+    breaks even-odd containment (round-1 verdict #7)."""
+    rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in group_a + group_b]
+    rings = [r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[0]]) for r in rings]
+    if not rings:
+        return []
+    xs = [r[:, 0] for r in rings]
+    for ra in group_a:
+        ra = np.asarray(ra, dtype=np.float64).reshape(-1, 2)
+        if not np.array_equal(ra[0], ra[-1]):
+            ra = np.vstack([ra, ra[0]])
+        for rb in group_b:
+            rb = np.asarray(rb, dtype=np.float64).reshape(-1, 2)
+            if not np.array_equal(rb[0], rb[-1]):
+                rb = np.vstack([rb, rb[0]])
+            xs.append(_ring_cross_xs(ra, rb))
+    bounds_x = np.unique(np.concatenate(xs))
+    quads: list[np.ndarray] = []
+    for x0, x1 in zip(bounds_x[:-1], bounds_x[1:]):
+        if x1 - x0 <= 1e-15:
+            continue
+        xm = 0.5 * (x0 + x1)
+        intervals = []  # (ym_lo, ym_hi, ylo0, ylo1, yhi0, yhi1)
+        for r in rings:
+            e1, e2 = r[:-1], r[1:]
+            exl = np.minimum(e1[:, 0], e2[:, 0])
+            exh = np.maximum(e1[:, 0], e2[:, 0])
+            span = (exl <= x0 + 1e-15) & (exh >= x1 - 1e-15) & (exh - exl > 1e-15)
+            if not span.any():
+                continue
+            s1, s2 = e1[span], e2[span]
+            dx = s2[:, 0] - s1[:, 0]
+            ty0 = s1[:, 1] + (x0 - s1[:, 0]) / dx * (s2[:, 1] - s1[:, 1])
+            ty1 = s1[:, 1] + (x1 - s1[:, 0]) / dx * (s2[:, 1] - s1[:, 1])
+            tym = 0.5 * (ty0 + ty1)
+            order = np.argsort(tym, kind="stable")
+            ty0, ty1, tym = ty0[order], ty1[order], tym[order]
+            for k in range(0, len(tym) - 1, 2):  # parity pairs
+                intervals.append((tym[k], tym[k + 1],
+                                  ty0[k], ty1[k], ty0[k + 1], ty1[k + 1]))
+        if not intervals:
+            continue
+        intervals.sort()
+        merged = [list(intervals[0])]
+        for iv in intervals[1:]:
+            if iv[0] <= merged[-1][1] + 1e-15:  # overlap/touch at midline
+                if iv[1] > merged[-1][1]:
+                    merged[-1][1] = iv[1]
+                    merged[-1][4], merged[-1][5] = iv[4], iv[5]
+            else:
+                merged.append(list(iv))
+        for _, _, ylo0, ylo1, yhi0, yhi1 in merged:
+            q = np.array([[x0, ylo0], [x1, ylo1], [x1, yhi1], [x0, yhi0], [x0, ylo0]])
+            if abs(ring_area(q)) > 1e-18:
+                quads.append(q)
+    return quads
+
+
 def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]:
     """Intersection of two polygons -> list of polygon part payloads.
 
@@ -536,12 +629,13 @@ def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]
     concave exteriors) and attached as inner rings, so each hole's
     area subtraction is exact.
 
-    Known approximation: when a SUBJECT hole and a CLIP hole overlap
-    each other inside the intersection, the shared region is
-    subtracted twice (inner rings carry no sign with which to add the
-    overlap back). Holes within one valid polygon never overlap, so
-    this needs holes on BOTH inputs meeting inside the result —
-    exact boolean ops are the round-2 item for that case."""
+    Hole×hole (round-2): when BOTH inputs carry holes, overlapping
+    subject/clip hole pieces would double-subtract if attached
+    directly; instead the union of all hole pieces is re-decomposed
+    into disjoint trapezoids (:func:`union_rings_decompose`) before
+    attachment — inclusion–exclusion exact area, even-odd-correct
+    containment.  Single-sided holes keep the direct (vertex-
+    preserving) attachment."""
     if not subject_rings or not clip_rings:
         return []
     clip_ext = clip_rings[0]
@@ -549,28 +643,42 @@ def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]
         convex_pieces = [clip_ext]
     else:
         convex_pieces = triangulate_ring(clip_ext)
+    both_holed = len(subject_rings) > 1 and len(clip_rings) > 1
     parts = []
+    s_holes_per_part: list[list[np.ndarray]] = []
     for piece in convex_pieces:
         ext = clip_ring_convex(subject_rings[0], piece)
         if ext is None or abs(ring_area(ext)) <= 1e-18:
             continue
         rings = [ext]
+        sh = []
         for hole in subject_rings[1:]:
             h = clip_ring_convex(hole, piece)
             if h is not None and abs(ring_area(h)) > 1e-18:
-                rings.append(h)
+                (sh if both_holed else rings).append(h)
         parts.append(rings)
+        s_holes_per_part.append(sh)
     # subtract clip-side holes: clip each hole against the part
     # exterior (piecewise when the part is concave — previously a
     # partially-overlapping hole of a concave part was dropped
     # entirely, overstating the area) and attach the pieces as holes
+    c_holes_per_part: list[list[np.ndarray]] = [[] for _ in parts]
     for hole in clip_rings[1:]:
         hole = np.asarray(hole, dtype=np.float64)
-        new_parts = []
-        for rings in parts:
+        for pi, rings in enumerate(parts):
             overlap = _clip_ring_general(hole, rings[0])
-            new_parts.append(rings + overlap)
-        parts = new_parts
+            if both_holed:
+                c_holes_per_part[pi].extend(overlap)
+            else:
+                rings.extend(overlap)
+    if both_holed:
+        for pi, rings in enumerate(parts):
+            sh, ch = s_holes_per_part[pi], c_holes_per_part[pi]
+            if sh and ch:
+                rings.extend(union_rings_decompose(sh, ch))
+            else:
+                rings.extend(sh)
+                rings.extend(ch)
     return parts
 
 

@@ -9,6 +9,7 @@ double and stays JVM-side (``zip_with`` + ``aggregate`` — no Python).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -73,6 +74,59 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
             .filter(F.col("cos") >= F.lit(threshold)))
 
 
+def cosine_neardup_bucketed(embeddings: DataFrame, threshold: float = 0.9,
+                            n_tables: int = 8, n_planes: int = 8, seed: int = 7,
+                            dim: int | None = None,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """First-class BUCKETED embedding near-dup pairs — the scale path
+    :func:`cosine_neardup_pairs`'s docstring promises (round-1 verdict
+    item #4 made it a named operator).
+
+    Multi-table signed-random-projection LSH: each vector hashes into
+    ``n_tables`` independent buckets (``n_planes`` bits each, seeds
+    ``seed..seed+n_tables-1``); candidate pairs collide in at least one
+    table.  The plan is scale-shaped end-to-end:
+
+    * candidate generation joins on the (table, bucket) key — a hash
+      join whose fan-in is bucket-sized, never the |E|² theta join;
+    * only ids ride the bucket shuffle (vectors join back per side
+      after pair-dedup, mirroring the overlay's geometry join-back);
+    * pair dedup across tables is an aggregation on (id_a, id_b), not
+      a distinct over vector payloads;
+    * the exact cosine verify runs once per surviving pair.
+
+    Recall: P[miss] = (1 - (1 - θ/π)^n_planes)^n_tables per pair.  For
+    loose thresholds choose few planes / many tables (the driver gate
+    runs an exhaustive configuration and oracle-checks against the
+    brute-force SQL); production near-dup (cos ≥ 0.9) keeps the
+    defaults."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    e = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+
+    tables = [lsh_bucket(F.col("v"), random_hyperplanes(dim, n_planes, seed + t))
+              for t in range(n_tables)]
+    # one pass per side: all table signatures at once, posexplode to
+    # (table, bucket) so the join key is a single (t, bucket) pair.
+    # localCheckpoint: the hashed table feeds both self-join sides —
+    # without it each side recomputes every table's n_planes dot
+    # products (same hygiene as dedup.py's shared LSH subtrees).
+    hashed = (e.select("id", F.posexplode(F.array(*tables)).alias("t", "bucket"))
+              .localCheckpoint(eager=True))
+    a = hashed.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = hashed.select(F.col("id").alias("id_b"), "t", "bucket")
+    cand = (a.join(b, ["t", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .groupBy("id_a", "id_b").agg(F.lit(1).alias("_one")).drop("_one"))
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+            .filter(F.col("cos") >= F.lit(threshold)))
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic signed-random-projection planes (seeded numpy)."""
     rng = np.random.default_rng(seed)
@@ -128,12 +182,53 @@ def _centroid_sims(vec_col: Column, centroids: np.ndarray) -> Column:
         for c in centroids])
 
 
+def _ivf_assign_udfs(spark, centroids: np.ndarray, nprobe: int):
+    """Arrow-batched assignment/probing against a BROADCAST codebook —
+    the big-codebook path (round-1 verdict #6: at 4k-64k centroids the
+    per-centroid literal expressions explode the plan; Faiss-style
+    practice is a matmul against the codebook).  One broadcast of the
+    (C, dim) float64 array per job; each Arrow batch does a single BLAS
+    matmul.  Tie-breaks mirror the literal path: assignment prefers the
+    LARGER centroid index on exact similarity ties; probes are the
+    nprobe best by (similarity, index) descending."""
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    def _stack(v: pd.Series) -> np.ndarray:
+        if len(v) == 0:
+            return np.empty((0, bc.value.shape[1]))
+        return np.stack([np.asarray(x, dtype=np.float64) for x in v])
+
+    @F.pandas_udf("int")
+    def assign_udf(v: pd.Series) -> pd.Series:
+        C = bc.value
+        X = _stack(v)
+        if not len(X):
+            return pd.Series([], dtype="int32")
+        S = X @ C.T  # row norm does not change the per-row argmax
+        j = (C.shape[0] - 1) - np.argmax(S[:, ::-1], axis=1)
+        return pd.Series(j.astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probes_udf(qv: pd.Series) -> pd.Series:
+        C = bc.value
+        X = _stack(qv)
+        if not len(X):
+            return pd.Series([], dtype="object")
+        S = X @ C.T
+        idx = np.arange(C.shape[0])
+        out = [np.lexsort((idx, srow))[::-1][:nprobe].astype("int32").tolist()
+               for srow in S]
+        return pd.Series(out)
+
+    return assign_udf, probes_udf
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
              n_centroids: int = 8, nprobe: int = 2, iters: int = 10,
              centroids: np.ndarray | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id", qvec_col: str = "qvec",
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True, literal_max: int = 64) -> DataFrame:
     """IVF approximate top-k: assign every embedding to its nearest
     codebook centroid (the inverted file), probe the ``nprobe`` most
     similar centroids per query, exact cosine within the probed
@@ -159,18 +254,27 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
 
     e = embeddings.select(F.col(id_col).alias("neighbor_id"),
                           _as_double(F.col(vec_col)).alias("v"))
-    sims = _centroid_sims(F.col("v"), centroids)
-    # argmax via zip(sim, index): array_max of structs compares sim
-    # first, then index — deterministic tie-break toward larger index
-    zipped = F.arrays_zip(sims.alias("s"), F.sequence(F.lit(0), F.lit(n_centroids - 1)).alias("i"))
-    e = e.withColumn("bucket", F.array_max(zipped).getField("i"))
-
     q = queries.select(F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv"))
-    qz = F.arrays_zip(_centroid_sims(F.col("qv"), centroids).alias("s"),
-                      F.sequence(F.lit(0), F.lit(n_centroids - 1)).alias("i"))
-    probes = F.transform(F.slice(F.reverse(F.array_sort(qz)), 1, nprobe),
-                         lambda s: s.getField("i"))
-    q = q.withColumn("bucket", F.explode(probes))
+    if n_centroids <= literal_max:
+        # small codebook: pure-Catalyst centroid literals, zero Python
+        sims = _centroid_sims(F.col("v"), centroids)
+        # argmax via zip(sim, index): array_max of structs compares sim
+        # first, then index — deterministic tie-break toward larger index
+        zipped = F.arrays_zip(sims.alias("s"),
+                              F.sequence(F.lit(0), F.lit(n_centroids - 1)).alias("i"))
+        e = e.withColumn("bucket", F.array_max(zipped).getField("i"))
+        qz = F.arrays_zip(_centroid_sims(F.col("qv"), centroids).alias("s"),
+                          F.sequence(F.lit(0), F.lit(n_centroids - 1)).alias("i"))
+        probes = F.transform(F.slice(F.reverse(F.array_sort(qz)), 1, nprobe),
+                             lambda s: s.getField("i"))
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        # big codebook: broadcast ndarray + Arrow matmul — plan size is
+        # O(1) in n_centroids; scoring below stays Catalyst either way
+        assign_udf, probes_udf = _ivf_assign_udfs(embeddings.sparkSession,
+                                                  centroids, nprobe)
+        e = e.withColumn("bucket", assign_udf(F.col("v")))
+        q = q.withColumn("bucket", F.explode(probes_udf(F.col("qv"))))
 
     scored = (e.join(q, "bucket")
               .select("query_id", "neighbor_id",

@@ -182,6 +182,67 @@ def test_ivf_partial_probe_recall_on_clustered_data(spark):
         assert bcos[(r["query_id"], r["neighbor_id"])] == pytest.approx(r["cos"], abs=1e-6)
 
 
+def test_ivf_big_codebook_udf_path_full_probe(spark):
+    """n_centroids above literal_max takes the broadcast-codebook Arrow
+    path; at full probe it must still equal brute force exactly."""
+    rng = np.random.default_rng(13)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    ivf = sorted(map(tuple, S.ivf_topk(emb, q, k=3, n_centroids=96, nprobe=96,
+                                       literal_max=64).collect()))
+    brute = sorted(map(tuple, S.cosine_topk(emb, q, k=3).collect()))
+    assert ivf == brute
+
+
+def test_ivf_udf_and_literal_paths_agree(spark):
+    """Same codebook, partial probe: the broadcast-UDF path must pick
+    the same buckets/probes as the literal path (tie-break parity)."""
+    rng = np.random.default_rng(17)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(12)]) for i in range(120)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    cents = S.train_ivf_centroids(emb, n_centroids=8, iters=5)
+    lit = sorted(map(tuple, S.ivf_topk(emb, q, k=4, nprobe=2, centroids=cents,
+                                       literal_max=64).collect()))
+    udf = sorted(map(tuple, S.ivf_topk(emb, q, k=4, nprobe=2, centroids=cents,
+                                       literal_max=0).collect()))
+    assert lit == udf
+
+
+def test_cosine_neardup_bucketed_exhaustive_matches_bruteforce(spark):
+    """With an exhaustive table/plane configuration the bucketed
+    operator must return EXACTLY the brute-force pair set."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # seed some true near-dups
+    for i in range(5):
+        v = base[i] + 0.05 * rng.standard_normal(16)
+        rows.append((100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = sorted(map(tuple, S.cosine_neardup_pairs(emb, threshold=0.8).collect()))
+    bucketed = sorted(map(tuple, S.cosine_neardup_bucketed(
+        emb, threshold=0.8, n_tables=24, n_planes=2).collect()))
+    assert bucketed == brute and len(brute) >= 5
+
+
+def test_cosine_neardup_bucketed_subset_semantics(spark):
+    """With a selective configuration the result is a subset of brute
+    force with bit-identical cosines (exact verify inside buckets)."""
+    rng = np.random.default_rng(29)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    brute = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in S.cosine_neardup_pairs(emb, threshold=0.3).collect()}
+    got = S.cosine_neardup_bucketed(emb, threshold=0.3, n_tables=4, n_planes=4).collect()
+    for r in got:
+        assert brute[(r["id_a"], r["id_b"])] == r["cos"]
+
+
 def test_ivf_centroids_deterministic(spark):
     rng = np.random.default_rng(9)
     emb = spark.createDataFrame(

@@ -88,6 +88,27 @@ def test_ivf_plan_is_pure_jvm_with_mapside_topk(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_big_codebook_plan_stays_bounded(spark):
+    """1024 centroids: the broadcast-codebook path must keep the plan
+    O(1) in codebook size (round-1 defect: per-centroid literals)."""
+    import numpy as np
+
+    from pandarus_spark.operators import similarity as S
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qvec"))
+    cents = np.random.default_rng(1).standard_normal((1024, 3))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    plan = plan_of(S.ivf_topk(emb, q, k=3, nprobe=4, centroids=cents))
+    small = plan_of(S.ivf_topk(emb, q, k=3, nprobe=4, centroids=cents[:4]))
+    # bounded: the 1024-centroid plan text is not meaningfully larger
+    # than the 4-centroid literal plan (vs ~256x with literals)
+    assert len(plan) < 3 * len(small)
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
 def test_knn_rect_path_has_no_python_stage(spark):
     """All-rect features: distances must stay in whole-stage codegen —
     the Arrow kernel branch must be empty (knn rect fast path)."""
