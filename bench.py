@@ -298,6 +298,76 @@ def job_overlay_skew(spark, n_uniform: int, n_cluster: int) -> dict:
     return out
 
 
+def hexagon_features(spark, n: int, side: str, partitions: int = 64):
+    """Hexagonal (non-rect) features at the same doc-grid positions as
+    features_from_documents — exercises the tier-2 batched general
+    refine instead of the rect fast path.  Fully vectorized synth
+    (batch WKB encoder)."""
+    import numpy as np
+
+    from pandarus_spark.geometry import batch as B
+    from pandarus_spark.sources.pages import CELL_DEG, FEATURES_SCHEMA, GRID_COLS, GRID_X0, GRID_Y0
+
+    probe = side == "probe"
+    off = 0.5 * CELL_DEG if probe else 0.0
+    ang = np.pi / 180.0 * (60.0 * np.arange(6) + 7.0)  # rotated: never axis-aligned
+    ux, uy = np.cos(ang), np.sin(ang)
+    r = 0.55 * CELL_DEG
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            d = pdf["id"].to_numpy(dtype="int64")
+            cx = GRID_X0 + (d % GRID_COLS) * CELL_DEG + off + 0.5 * CELL_DEG
+            cy = GRID_Y0 + (d // GRID_COLS) * CELL_DEG + off + 0.5 * CELL_DEG
+            pts = np.empty((len(d), 6, 2))
+            pts[..., 0] = cx[:, None] + r * ux[None, :]
+            pts[..., 1] = cy[:, None] + r * uy[None, :]
+            wkbs = B.multipolygon_wkb_batch(pts, np.full(len(d), 6, dtype=np.int64))
+            yield pd.DataFrame({
+                "feature_id": pd.Series((2_000_000 if probe else 1_000_000) + d, dtype="int64"),
+                "label": [f"{side}hex {x}" for x in d],
+                "geom_wkb": wkbs,
+                "kind": ["polygon"] * len(d),
+                "minx": pts[..., 0].min(axis=1), "miny": pts[..., 1].min(axis=1),
+                "maxx": pts[..., 0].max(axis=1), "maxy": pts[..., 1].max(axis=1),
+                "is_rect": [False] * len(d)})
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+def job_refine_shapes(spark, n: int) -> dict:
+    """Rect vs non-rect refine comparison (round-2 verdict #3 'Done'
+    criterion): the hexagon overlay must sit within a few x of the rect
+    overlay at equal candidate volume — the batched tier-2 path, not
+    the ~100x per-row scalar loop."""
+    import pandarus_spark as ps
+    from pandarus_spark.sources.pages import features_from_documents
+
+    docs = synthetic_documents(spark, n)
+    rect_base = features_from_documents(docs, "base")
+    rect_probe = features_from_documents(docs, "probe")
+    hex_base = hexagon_features(spark, n, "base")
+    hex_probe = hexagon_features(spark, n, "probe")
+    for df in (rect_base, rect_probe, hex_base, hex_probe):
+        df.persist().count()
+    out = {}
+    # two timed runs per leg, min reported — first-call codegen/JIT and
+    # the 3-4x VM noise otherwise dominate the rect/hex comparison
+    for tag, (p, b) in (("rect", (rect_probe, rect_base)),
+                        ("hex", (hex_probe, hex_base))):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = ps.intersect(p, b, ids="fast").count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[tag] = round(best, 3)
+        out[f"{tag}_rows"] = rows
+    out["ratio"] = round(out["hex"] / out["rect"], 2)
+    return out
+
+
 def synthetic_corpus(spark, n: int, partitions: int = 64):
     """Deterministic web-corpus-shaped documents: ~30% exact duplicates
     (doc_id mod 10 in {7,8,9} repeats an earlier text verbatim) and
@@ -365,7 +435,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--job", default="headline",
                     choices=["headline", "overlay_scale", "overlay_skew",
-                             "zonal_scale", "dedup_scale"])
+                             "zonal_scale", "dedup_scale", "refine_shapes"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=2,
@@ -407,6 +477,19 @@ def main() -> None:
             "near_dup_pairs": res["near_dup_pairs"],
             "clusters": res["clusters"],
             "docs_per_sec": round(args.n / total, 1),
+        }))
+        spark.stop()
+        return
+
+    if args.job == "refine_shapes":
+        res = job_refine_shapes(spark, args.n)
+        print(json.dumps({
+            "metric": "nonrect_vs_rect_refine_ratio",
+            "value": res["hex"], "unit": "sec",
+            "queries": {"overlay_rect": res["rect"], "overlay_hex": res["hex"]},
+            "sf": args.n, "cpus": cpus,
+            "rect_rows": res["rect_rows"], "hex_rows": res["hex_rows"],
+            "hex_over_rect": res["ratio"],
         }))
         spark.stop()
         return

@@ -28,13 +28,15 @@ from .operators.remaining import calculate_remaining
 from .operators.raster_stats import raster_statistics
 from .operators.raster_transform import clean_raster, round_raster, convert_to_vector
 from .operators.knn import knn_nearest_feature
-from .sources.geojson import intersect_files, read_geojson, write_geojson
+from .sources.geojson import intersect_files, read_geojson, read_vector, write_geojson
+from .sources.gpkg import read_gpkg, write_gpkg
 
 __all__ = [
     "intersect", "intersections_from_intersection", "candidate_pairs",
     "cover_features", "calculate_remaining", "raster_statistics",
     "clean_raster", "round_raster", "convert_to_vector",
-    "knn_nearest_feature", "intersect_files", "read_geojson", "write_geojson",
+    "knn_nearest_feature", "intersect_files", "read_geojson", "read_vector",
+    "write_geojson", "read_gpkg", "write_gpkg",
 ]
 
 __version__ = "0.1.0"

@@ -93,25 +93,201 @@ def web_mercator_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.n
     return WGS84_A * lam, WGS84_A * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
 
 
-#: CRS registry: name -> (to_wgs84, from_wgs84). WGS84 itself is identity.
+# ---------------------------------------------------------------------------
+# Ellipsoidal Transverse Mercator (UTM zones) — Snyder (1987) series
+# ---------------------------------------------------------------------------
+
+_E2 = (2.0 - 1.0 / WGS84_INV_F) / WGS84_INV_F   # first eccentricity²
+_EP2 = _E2 / (1.0 - _E2)                        # second eccentricity²
+_E4, _E6 = _E2 * _E2, _E2 * _E2 * _E2
+_E1 = (1.0 - np.sqrt(1.0 - _E2)) / (1.0 + np.sqrt(1.0 - _E2))
+
+
+def _meridian_arc(phi: np.ndarray) -> np.ndarray:
+    """Meridian distance from the equator (Snyder eq. 3-21)."""
+    return WGS84_A * (
+        (1 - _E2 / 4 - 3 * _E4 / 64 - 5 * _E6 / 256) * phi
+        - (3 * _E2 / 8 + 3 * _E4 / 32 + 45 * _E6 / 1024) * np.sin(2 * phi)
+        + (15 * _E4 / 256 + 45 * _E6 / 1024) * np.sin(4 * phi)
+        - (35 * _E6 / 3072) * np.sin(6 * phi))
+
+
+def tm_forward(lon_deg, lat_deg, lon0_deg: float, k0: float = 0.9996,
+               x0: float = 500_000.0, y0: float = 0.0):
+    """WGS84 degrees -> transverse-Mercator metres (Snyder 8-9..8-13)."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam0 = np.radians(lon0_deg)
+    sp, cp = np.sin(phi), np.cos(phi)
+    n = WGS84_A / np.sqrt(1 - _E2 * sp * sp)
+    t = (sp / np.where(cp == 0, 1.0, cp)) ** 2
+    c = _EP2 * cp * cp
+    a_ = (lam - lam0) * cp
+    m = _meridian_arc(phi)
+    x = k0 * n * (a_ + (1 - t + c) * a_ ** 3 / 6
+                  + (5 - 18 * t + t * t + 72 * c - 58 * _EP2) * a_ ** 5 / 120) + x0
+    tanphi = sp / np.where(cp == 0, 1.0, cp)
+    y = k0 * (m + n * tanphi *
+              (a_ ** 2 / 2 + (5 - t + 9 * c + 4 * c * c) * a_ ** 4 / 24
+               + (61 - 58 * t + t * t + 600 * c - 330 * _EP2) * a_ ** 6 / 720)) + y0
+    return x, y
+
+
+def tm_inverse(x, y, lon0_deg: float, k0: float = 0.9996,
+               x0: float = 500_000.0, y0: float = 0.0):
+    """Transverse-Mercator metres -> WGS84 degrees (Snyder 8-17..8-25,
+    footpoint-latitude series)."""
+    x = np.asarray(x, dtype=np.float64) - x0
+    y = np.asarray(y, dtype=np.float64) - y0
+    m = y / k0
+    mu = m / (WGS84_A * (1 - _E2 / 4 - 3 * _E4 / 64 - 5 * _E6 / 256))
+    e1 = _E1
+    phi1 = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    sp1, cp1 = np.sin(phi1), np.cos(phi1)
+    c1 = _EP2 * cp1 * cp1
+    t1 = (sp1 / np.where(cp1 == 0, 1.0, cp1)) ** 2
+    n1 = WGS84_A / np.sqrt(1 - _E2 * sp1 * sp1)
+    r1 = WGS84_A * (1 - _E2) / (1 - _E2 * sp1 * sp1) ** 1.5
+    d = x / (n1 * k0)
+    phi = phi1 - (n1 * sp1 / np.where(cp1 == 0, 1.0, cp1) / r1) * (
+        d * d / 2 - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * _EP2) * d ** 4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * _EP2 - 3 * c1 * c1) * d ** 6 / 720)
+    lam = np.radians(lon0_deg) + (
+        d - (1 + 2 * t1 + c1) * d ** 3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * _EP2 + 24 * t1 * t1) * d ** 5 / 120
+    ) / np.where(cp1 == 0, 1.0, cp1)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def utm_lon0(zone: int) -> float:
+    return zone * 6.0 - 183.0
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal Lambert azimuthal equal-area (Snyder 24-2..24-26, 3-11/3-16)
+# ---------------------------------------------------------------------------
+
+_E = float(np.sqrt(_E2))
+
+
+def _authalic_q(phi: np.ndarray) -> np.ndarray:
+    sp = np.sin(phi)
+    return (1 - _E2) * (sp / (1 - _E2 * sp * sp)
+                        - (1 / (2 * _E)) * np.log((1 - _E * sp) / (1 + _E * sp)))
+
+
+_QP = float(_authalic_q(np.array(np.pi / 2)))
+_RQ = WGS84_A * np.sqrt(_QP / 2.0)
+
+
+def laea_forward(lon_deg, lat_deg, lon0_deg: float, lat0_deg: float,
+                 x0: float = 0.0, y0: float = 0.0):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam0, phi0 = np.radians(lon0_deg), np.radians(lat0_deg)
+    beta = np.arcsin(np.clip(_authalic_q(phi) / _QP, -1.0, 1.0))
+    beta1 = np.arcsin(np.clip(_authalic_q(np.array(phi0)) / _QP, -1.0, 1.0))
+    m1 = np.cos(phi0) / np.sqrt(1 - _E2 * np.sin(phi0) ** 2)
+    d = WGS84_A * m1 / (_RQ * np.cos(beta1))
+    denom = 1 + np.sin(beta1) * np.sin(beta) + np.cos(beta1) * np.cos(beta) * np.cos(lam - lam0)
+    b = _RQ * np.sqrt(2.0 / np.where(denom == 0, 1e-300, denom))
+    x = b * d * np.cos(beta) * np.sin(lam - lam0) + x0
+    y = (b / d) * (np.cos(beta1) * np.sin(beta)
+                   - np.sin(beta1) * np.cos(beta) * np.cos(lam - lam0)) + y0
+    return x, y
+
+
+def laea_inverse(x, y, lon0_deg: float, lat0_deg: float,
+                 x0: float = 0.0, y0: float = 0.0):
+    x = np.asarray(x, dtype=np.float64) - x0
+    y = np.asarray(y, dtype=np.float64) - y0
+    lam0, phi0 = np.radians(lon0_deg), np.radians(lat0_deg)
+    beta1 = np.arcsin(np.clip(_authalic_q(np.array(phi0)) / _QP, -1.0, 1.0))
+    m1 = np.cos(phi0) / np.sqrt(1 - _E2 * np.sin(phi0) ** 2)
+    d = WGS84_A * m1 / (_RQ * np.cos(beta1))
+    rho = np.sqrt((x / d) ** 2 + (d * y) ** 2)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _RQ), -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = _QP * (np.cos(ce) * np.sin(beta1)
+                   + np.where(rho == 0, 0.0, d * y * np.sin(ce) * np.cos(beta1) / np.where(rho == 0, 1.0, rho)))
+    lam = lam0 + np.arctan2(x * np.sin(ce),
+                            d * rho * np.cos(beta1) * np.cos(ce) - d * d * y * np.sin(beta1) * np.sin(ce))
+    lam = np.where(rho == 0, lam0, lam)
+    # iterate geodetic latitude from authalic q (Snyder 3-16)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(30):
+        sp = np.sin(phi)
+        f = (q / (1 - _E2) - sp / (1 - _E2 * sp * sp)
+             + (1 / (2 * _E)) * np.log((1 - _E * sp) / (1 + _E * sp)))
+        corr = (1 - _E2 * sp * sp) ** 2 / (2.0 * np.maximum(np.cos(phi), 1e-15)) * f
+        phi = phi + corr
+        if not np.any(np.abs(corr) > 1e-15):
+            break
+    phi = np.where(rho == 0, phi0, phi)
+    return np.degrees(lam), np.degrees(phi)
+
+
+#: CRS registry: name -> to_wgs84 fn. WGS84 itself is identity.
+#: UTM zones (EPSG:326xx/327xx) and LAEA (EPSG:3035) resolve dynamically.
 _IDENT = (lambda x, y: (np.asarray(x, float), np.asarray(y, float)))
 CRS_TO_WGS84 = {
     "EPSG:4326": _IDENT,
     "WGS84": _IDENT,
     "EPSG:3857": web_mercator_inverse,
 }
+#: forward (WGS84 -> CRS) twins, for writers/tests.
+CRS_FROM_WGS84 = {
+    "EPSG:4326": _IDENT,
+    "WGS84": _IDENT,
+    "EPSG:3857": web_mercator_forward,
+}
+
+#: EPSG:3035 — ETRS89 / LAEA Europe (lat_0=52, lon_0=10, x_0=4321000,
+#: y_0=3210000); GRS80 vs WGS84 flattening differs at 1e-11 — ignored.
+_LAEA_EUROPE = (10.0, 52.0, 4_321_000.0, 3_210_000.0)
+
+
+def _resolve_crs(crs: str):
+    """(to_wgs84, from_wgs84) for a CRS name, resolving UTM zones and
+    LAEA dynamically (reference accepts any PROJ4 string via pyproj,
+    utils/projection.py:23-60; this closed-form registry covers the
+    CRSs real LCA/web data actually arrives in)."""
+    up = crs.upper().strip()
+    if up in CRS_TO_WGS84:
+        return CRS_TO_WGS84[up], CRS_FROM_WGS84[up]
+    if up.startswith("EPSG:326") or up.startswith("EPSG:327"):
+        code = up.split(":", 1)[1]
+        if len(code) == 5 and code[3:].isdigit():
+            zone = int(code[3:])
+            if 1 <= zone <= 60:
+                south = code.startswith("327")
+                y0 = 10_000_000.0 if south else 0.0
+                lon0 = utm_lon0(zone)
+                return (lambda x, y: tm_inverse(x, y, lon0, y0=y0),
+                        lambda x, y: tm_forward(x, y, lon0, y0=y0))
+    if up == "EPSG:3035":
+        lon0, lat0, x0, y0 = _LAEA_EUROPE
+        return (lambda x, y: laea_inverse(x, y, lon0, lat0, x0, y0),
+                lambda x, y: laea_forward(x, y, lon0, lat0, x0, y0))
+    raise ValueError(
+        f"unsupported CRS {crs!r}; supported: {sorted(CRS_TO_WGS84)} "
+        "+ UTM zones EPSG:326xx/327xx + EPSG:3035 (LAEA Europe)")
 
 
 def to_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np.ndarray, np.ndarray]:
     """Normalize coordinates in a supported CRS to WGS84 degrees.
 
     Mirrors Map.iter_latlong's normalize-at-ingest pass
-    (reference pandarus/model.py:130-140). Unsupported CRSs raise —
-    the engine documents WGS84/EPSG:3857 support in this build.
-    """
-    try:
-        fn = CRS_TO_WGS84[crs.upper()]
-    except KeyError:
-        raise ValueError(f"unsupported CRS {crs!r}; supported: {sorted(CRS_TO_WGS84)}")
-    out = fn(x, y)
+    (reference pandarus/model.py:130-140)."""
+    out = _resolve_crs(crs)[0](x, y)
+    return out if isinstance(out, tuple) else (out[0], out[1])
+
+
+def from_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np.ndarray, np.ndarray]:
+    """Project WGS84 degrees into a supported CRS (writer/test twin of
+    :func:`to_wgs84`)."""
+    out = _resolve_crs(crs)[1](x, y)
     return out if isinstance(out, tuple) else (out[0], out[1])

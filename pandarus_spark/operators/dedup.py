@@ -309,14 +309,26 @@ def duplicate_clusters(pairs: DataFrame, universe: DataFrame | None = None,
         return row["n"], row["h1"], row["h2"]
 
     fp = None
+    converged = False
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # converged when every edge already points node→component-min:
         # large-star + small-star is then the identity on the edge set
         fp2 = _fingerprint(e)
         if fp2 == fp:
+            converged = True
             break
         fp = fp2
+    if not converged:
+        # round-2 (advisor): exhausting max_iterations without the
+        # fixpoint silently returned possibly under-merged clusters —
+        # surface it loudly; O(log n) convergence means hitting this
+        # indicates pathological input (or max_iterations set too low),
+        # not normal operation
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "large-star/small-star rounds; clusters may be under-merged. "
+            "Raise max_iterations (components converge in O(log n) rounds).")
 
     members = _sym(e).groupBy("u").agg(F.min("v").alias("m"))
     comp = (members.select(F.col("u").alias(id_col),

@@ -204,6 +204,14 @@ def read_intersections_geojson(spark, path: str):
         for key in ("id", "from_label", "to_label", "measure"):
             if key not in props:
                 raise KeyError(f"Input file {path} does not have required field: {key}")
+        # schema-type validation (reference core.py:348-360): id must be
+        # integral, measure numeric — not merely coercible strings
+        if isinstance(props["id"], bool) or not isinstance(props["id"], int):
+            raise ValueError(f"Input file {path}: field 'id' must be an integer, "
+                             f"got {props['id']!r}")
+        if isinstance(props["measure"], bool) or not isinstance(props["measure"], (int, float)):
+            raise ValueError(f"Input file {path}: field 'measure' must be numeric, "
+                             f"got {props['measure']!r}")
         rows.append((int(props["id"]), str(props["from_label"]), str(props["to_label"]),
                      float(props["measure"]),
                      G.wkb_dumps(_np_geometry(feat["geometry"]))))
@@ -268,47 +276,74 @@ def calculate_remaining_files(spark, source_file_path: str, source_field: str,
                               compress: bool = True, when: str | None = None,
                               crs: str | None = None) -> str:
     """Reference ``calculate_remaining`` file surface (core.py:272-387)
-    on the Spark engine: source GeoJSON + intersections GeoJSON →
+    on the Spark engine: source vector file + intersections GeoJSON →
     ``{'metadata': {source, intersections, when}, 'data':
-    [[label, remaining]]}`` JSON."""
+    [[label, remaining]]}`` JSON.
+
+    Parity details (round-2, per advisor): output is content-addressed
+    ``{source_sha256}.{intersections_sha256}.json`` (reference
+    core.py:324-328), data rows follow SOURCE FEATURE enumeration order
+    (the reference iterates the source map, core.py:357-379 — not label
+    sort order), and the intersections file's id/measure property types
+    are validated on ingest (core.py:348-360, via
+    ``read_intersections_geojson``)."""
     import pandarus_spark as ps
 
-    source = read_geojson(spark, source_file_path, source_field, crs=crs)
+    source = read_vector(spark, source_file_path, source_field, crs=crs)
     inter = read_intersections_geojson(spark, intersection_file_path)
     rem = ps.calculate_remaining(source, inter)
+    order = source.select("feature_id", "label")
     data = [[r["label"], float(r["remaining"])]
-            for r in rem.orderBy("label").collect()]
+            for r in rem.join(order, "label").orderBy("feature_id").collect()]
+    source_meta = file_metadata(source_file_path, source_field)
+    inter_meta = file_metadata(intersection_file_path, "id")
     payload = {
         "metadata": {
-            "source": file_metadata(source_file_path, source_field),
-            "intersections": file_metadata(intersection_file_path, "id"),
+            "source": source_meta,
+            "intersections": inter_meta,
             "when": when or _dt.datetime.now().isoformat(),
         },
         "data": data,
     }
-    base = os.path.basename(intersection_file_path).rsplit(".", 1)[0]
     os.makedirs(out_dir, exist_ok=True)
-    return export_json(payload, os.path.join(out_dir, f"{base}.remaining.json"),
-                       compress=compress)
+    fp = os.path.join(out_dir, f"{source_meta['sha256']}.{inter_meta['sha256']}.json")
+    return export_json(payload, fp, compress=compress)
+
+
+def read_vector(spark, path: str, identifying_field: str = "name",
+                validate_unique: bool = True, crs: str | None = None, **kwargs):
+    """Format-dispatching vector reader (the reference's fiona-open
+    sniffing, utils/conversion.py:31-51): ``.gpkg`` → GeoPackage,
+    anything else → GeoJSON."""
+    if path.lower().endswith(".gpkg"):
+        from .gpkg import read_gpkg
+        return read_gpkg(spark, path, identifying_field,
+                         validate_unique=validate_unique, crs=crs, **kwargs)
+    return read_geojson(spark, path, identifying_field,
+                        validate_unique=validate_unique, crs=crs)
 
 
 def intersect_files(spark, first_path: str, first_field: str,
                     second_path: str, second_field: str,
-                    out_dir: str, compress: bool = True,
+                    out_dir: str, compress: bool = True, driver: str = "GeoJSON",
                     when: str | None = None, first_crs: str | None = None,
                     second_crs: str | None = None, **intersect_kwargs) -> tuple[str, str]:
     """The reference's flagship file API (core.py:31-187) on the Spark
-    engine: read both GeoJSON inputs, run the overlay join, write the
-    GeoJSON result + the JSON extract; output names are the
-    content-addressed ``{sha1}.{sha2}`` convention (core.py:140).
+    engine: read both vector inputs (GeoJSON or GPKG, dispatched on
+    extension), run the overlay join, write the geo result
+    (``driver="GeoJSON"`` or ``"GPKG"``, reference core.py:71-72) + the
+    JSON extract; output names are the content-addressed
+    ``{sha1}.{sha2}`` convention (core.py:140).
     ``first_crs``/``second_crs`` normalize projected inputs to WGS84 at
     ingest (reference projected-CRS variants, test_intersect.py:288-356)."""
     import pandarus_spark as ps
 
+    if driver not in ("GeoJSON", "GPKG"):
+        raise ValueError(f"unsupported driver {driver!r} (GeoJSON or GPKG)")
     first_meta = file_metadata(first_path, first_field)
     second_meta = file_metadata(second_path, second_field)
-    f1 = read_geojson(spark, first_path, first_field, crs=first_crs)
-    f2 = read_geojson(spark, second_path, second_field, crs=second_crs)
+    f1 = read_vector(spark, first_path, first_field, crs=first_crs)
+    f2 = read_vector(spark, second_path, second_field, crs=second_crs)
     # file outputs need the reference's deterministic enumeration-order
     # ids (utils/conversion.py:14-28) — opt into the global sort here,
     # at report scale, rather than making it the engine-wide default
@@ -317,7 +352,11 @@ def intersect_files(spark, first_path: str, first_field: str,
 
     os.makedirs(out_dir, exist_ok=True)
     base = os.path.join(out_dir, f"{first_meta['sha256']}.{second_meta['sha256']}")
-    geo_fp = write_geojson(out, base + ".geojson")
+    if driver == "GPKG":
+        from .gpkg import write_gpkg
+        geo_fp = write_gpkg(out, base + ".gpkg")
+    else:
+        geo_fp = write_geojson(out, base + ".geojson")
     json_fp = intersections_json_extract(out, first_meta, second_meta,
                                          base + ".json", compress=compress, when=when)
     return geo_fp, json_fp

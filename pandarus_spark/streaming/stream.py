@@ -110,7 +110,9 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
 
         def emit(rows):
             def back(epoch):
-                return (pd.Timestamp(epoch, unit="s", tz="UTC")
+                # round to µs: float-seconds epochs carry ~0.1µs residue
+                # and Arrow's ns→µs output cast refuses to truncate
+                return (pd.Timestamp(epoch, unit="s", tz="UTC").round("us")
                         .tz_convert(session_tz).tz_localize(None))
             return pd.DataFrame({
                 "user_id": pd.Series([key[0]] * len(rows), dtype="int64"),

@@ -175,6 +175,43 @@ def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_sessionize_non_utc_session_timezone(spark, tmp_path):
+    """Round-2 advisor fix: with a non-UTC session timezone the
+    watermark comparison and emitted wall times must NOT skew by the
+    UTC offset — results must equal the UTC run exactly."""
+    import datetime as dt
+
+    from pandarus_spark.streaming.stream import stream_sessionize
+
+    def T(sec):
+        return dt.datetime(2024, 6, 1) + dt.timedelta(seconds=sec)
+
+    rows = [(1, T(1000)), (1, T(1500)), (1, T(9000)), (2, T(500)), (1, T(20000))]
+    schema = "user_id long, ts timestamp"
+
+    def run(tag):
+        src = str(tmp_path / f"tz_in_{tag}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        out = stream_sessionize(stream, gap_seconds=1800.0, watermark="10 minutes")
+        q = (out.writeStream.format("memory").queryName(f"tzs_{tag}")
+             .option("checkpointLocation", str(tmp_path / f"tz_ck_{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.sql(f"SELECT * FROM tzs_{tag}").collect()}
+
+    utc = run("utc")
+    assert len(utc) > 0
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = run("ny")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert ny == utc
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     """Streaming dedup keeps one row per distinct text; count matches
     the batch operator's group count."""

@@ -83,6 +83,27 @@ def test_projected_crs_ingest_matches_wgs84_goldens(spark, tmp_path):
     assert out2 == pytest.approx(out)
 
 
+def test_utm_and_laea_ingest_match_wgs84_goldens(spark, tmp_path):
+    """Round-2 CRS breadth (verdict #7): a square stored in a UTM zone
+    or in LAEA Europe must hit the same golden Mollweide areas after
+    normalize-at-ingest, at 1e-9."""
+    import numpy as np
+
+    from pandarus_spark.geometry.projection import from_wgs84
+
+    grid = read_geojson(spark, _write_fixture(tmp_path, "grid"))
+    for crs in ("EPSG:32631", "EPSG:3035"):
+        def fwd(lon, lat, _crs=crs):
+            x, y = from_wgs84(np.array([lon]), np.array([lat]), _crs)
+            return float(x[0]), float(y[0])
+        p = _write_fixture(tmp_path, "square", transform=fwd)
+        square = read_geojson(spark, p, crs=crs)
+        out = {(r["from_label"], r["to_label"]): r["measure"]
+               for r in ps.intersect(square, grid).collect()}
+        for (g_lab, s_lab), golden in GOLDEN_GRID_SQUARE.items():
+            assert out[(s_lab, g_lab)] == pytest.approx(golden, rel=1e-9), crs
+
+
 def test_file_api_chain_ifi_and_remaining(spark, tmp_path):
     """Full reference file-surface chain: intersect_files →
     intersections_from_intersection_files (core.py:190-269; sibling

@@ -119,6 +119,17 @@ def test_simhash_near_for_near_dups(spark, docs):
     assert h01 < h02                 # near dup closer than unrelated
 
 
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iterations without the fixpoint must raise, not
+    silently return under-merged clusters (round-2 advisor item)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(50)],
+                                  "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(pairs, max_iterations=1)
+    out = D.duplicate_clusters(pairs)  # default budget converges
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
 def test_cosine_topk_exact(spark):
     vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")

@@ -157,6 +157,54 @@ def test_tiles_strategy_matches_broadcast(spark, range_cells):
         assert a == b
 
 
+def test_tile_table_contract_matches_cells_df(spark):
+    """GTiff ingest seam (round-2 verdict #9): a synthetic tile table
+    through cells_from_tiles must reproduce raster_cells_df exactly,
+    including short edge tiles and nodata dropping, and feed the zonal
+    goldens unchanged."""
+    from pandarus_spark.sources.raster import cells_from_tiles, tiles_from_array
+
+    arr = np.arange(50, dtype=np.float32).reshape(10, 5).astype(np.float64)
+    arr[4, :] = -1.0
+    arr[5, :] = -1.0
+    spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0)
+    tiles = tiles_from_array(spark, arr, tile_size=4)  # 3x2 tile grid, ragged edges
+    assert tiles.count() == 6
+    via_tiles = cells_from_tiles(tiles, spec, tile_size=4)
+    direct = raster_cells_df(spark, spec, arr)
+    key = lambda r: (r["row"], r["col"])  # noqa: E731
+    a = sorted(map(tuple, via_tiles.collect()), key=lambda t: (t[0], t[1]))
+    b = sorted(map(tuple, direct.collect()), key=lambda t: (t[0], t[1]))
+    assert a == b
+    grid = extract_features(pages_df(spark, "grid"))
+    got = {r["label"]: (r["min"], r["max"], r["mean"], r["count"])
+           for r in raster_statistics(grid, via_tiles, method="coverage").collect()}
+    for k, exp in GOLDEN_COVERAGE.items():
+        assert got[k] == pytest.approx(exp, rel=1e-12), k
+
+
+def test_read_gtiff_import_guard(spark, tmp_path):
+    """Without rasterio the reader must fail with the contract hint,
+    not an opaque ModuleNotFoundError mid-plan."""
+    import builtins
+    import importlib
+
+    real_import = builtins.__import__
+
+    def fake(name, *args, **kwargs):
+        if name == "rasterio":
+            raise ImportError("No module named 'rasterio'")
+        return real_import(name, *args, **kwargs)
+
+    from pandarus_spark.sources import raster as R
+    builtins.__import__ = fake
+    try:
+        with pytest.raises(ImportError, match="tile parquet"):
+            R.read_gtiff(spark, str(tmp_path / "x.tif"))
+    finally:
+        builtins.__import__ = real_import
+
+
 def test_raster_cells_range_matches_df(spark):
     """Distributed constructor == driver-side constructor on the same
     spec (value from the same formula)."""
