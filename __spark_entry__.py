@@ -365,6 +365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_multimodal_audio(spark, sf_dir):
         return M.audio_features_stub(M.synthetic_audio_df(spark, n=16), window=16)
 
+    def q_multimodal_real_codecs(spark, sf_dir):
+        # REAL containers (BMP / PGM / WAV) through the pure-python
+        # codec registry; oracle expectations computed from the SOURCE
+        # arrays, independent of the decoders
+        return M.decode_media(M.synthetic_real_media_df(spark, n=12))
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -405,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_real_codecs": q_multimodal_real_codecs,
         "flagship_overlay": q_flagship_overlay,
     }
 
@@ -646,6 +653,26 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
                   "FROM (VALUES " + ", ".join(media_rows)
                   + ") AS t(media_id, kind, format, width, height, n_bytes, mean_value)")
 
+    # real codecs: expectations from the SOURCE arrays (mean/shape of
+    # the numpy data the encoders serialized), NOT from the decoders —
+    # a true independent oracle for the BMP/PGM/WAV parse paths
+    real_rows = []
+    for i in range(12):
+        kind, b, src = M.real_media_payload(i)
+        fmt = ["bmp", "pgm", "wav"][i % 3]
+        if kind == "image":
+            w, h2 = src.shape[1], src.shape[0]
+        else:
+            w, h2 = src.shape[0], src.shape[1]  # frames, channels
+        real_rows.append(f"({i}, {kind!r}, {fmt!r}, {w}, {h2}, {len(b)}, "
+                         f"{float(src.mean())!r})")
+    multimodal_real = ("SELECT CAST(media_id AS BIGINT) AS media_id, kind, format, "
+                       "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+                       "CAST(n_bytes AS INT) AS n_bytes, "
+                       "CAST(mean_value AS DOUBLE) AS mean_value "
+                       "FROM (VALUES " + ", ".join(real_rows)
+                       + ") AS t(media_id, kind, format, width, height, n_bytes, mean_value)")
+
     # resize + frame-sample oracles: recompute expected rows from the
     # deterministic fake codec driver-side (same functions, no Spark)
     import struct as _struct
@@ -727,6 +754,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "ann_ivf_embeddings": cosine_topk,  # full probe == brute force
 
         "multimodal_decode": multimodal,
+        "multimodal_real_codecs": multimodal_real,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
         "multimodal_audio": multimodal_audio,

@@ -3,11 +3,20 @@ pipelines (graft addition).
 
 Media payloads are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side plumbing — schema, partition-preserving
-``mapInPandas`` transforms, Arrow batch shapes — is real and tested;
-the actual codec work is STUBBED: the container ships no image/audio
-libraries, so :func:`decode_media` raises ``NotImplementedError`` for
-real formats and supports a deterministic synthetic container
-(``FAKE``) used by tests and benchmarks.
+``mapInPandas`` transforms, Arrow batch shapes — is real and tested.
+
+Codec layer (round-2): a pluggable registry (:data:`CODECS`) with
+pure-python/numpy decoders for REAL uncompressed formats —
+
+* **BMP** (Windows bitmap, BI_RGB 8/24-bit),
+* **PGM/PPM** (netpbm P5/P6 binary),
+* **WAV** (RIFF PCM, 8/16-bit, any channel count),
+
+plus the deterministic synthetic ``FAKE`` container used by tests and
+benchmarks.  Compressed formats (JPEG/PNG/MP3/MP4) still raise
+``NotImplementedError`` with guidance — decoding them needs a codec
+library this environment does not ship; register one via
+:func:`register_codec` when available.
 
 FAKE container layout (big-endian):
     magic   4 bytes  b"FAK1"
@@ -34,6 +43,189 @@ def encode_fake(width: int, height: int, seed: int) -> bytes:
     rng = np.random.default_rng(seed)
     payload = rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
     return MAGIC + struct.pack(">II", width, height) + payload
+
+
+# ---------------------------------------------------------------------------
+# Real-format decoders (pure numpy)
+# ---------------------------------------------------------------------------
+
+def _decode_fake_pixels(b: bytes) -> tuple[str, np.ndarray]:
+    w, h = struct.unpack(">II", b[4:12])
+    return "fake", np.frombuffer(b, dtype=np.uint8, offset=12, count=w * h).reshape(h, w)
+
+
+def _decode_bmp_pixels(b: bytes) -> tuple[str, np.ndarray]:
+    """Uncompressed (BI_RGB) 8-bit-palette / 24-bit BMP → grayscale
+    array (BT.601 luma for color; palette luma for indexed)."""
+    data_off, = struct.unpack_from("<I", b, 10)
+    hdr_size, = struct.unpack_from("<I", b, 14)
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp, = struct.unpack_from("<H", b, 28)
+    comp, = struct.unpack_from("<I", b, 30)
+    if comp != 0:
+        raise NotImplementedError(f"compressed BMP (method {comp}) is not supported")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    raw = np.frombuffer(b, dtype=np.uint8, offset=data_off,
+                        count=row_bytes * h).reshape(h, row_bytes)
+    if bpp == 24:
+        px = raw[:, :w * 3].reshape(h, w, 3).astype(np.float64)
+        gray = 0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]  # BGR order
+        gray = np.round(gray).astype(np.uint8)
+    elif bpp == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(b, dtype=np.uint8, offset=pal_off,
+                            count=256 * 4).reshape(256, 4).astype(np.float64)
+        luma = np.round(0.114 * pal[:, 0] + 0.587 * pal[:, 1] + 0.299 * pal[:, 2]).astype(np.uint8)
+        gray = luma[raw[:, :w]]
+    else:
+        raise NotImplementedError(f"{bpp}-bit BMP is not supported (8/24 only)")
+    return "bmp", gray if top_down else gray[::-1]
+
+
+def _decode_netpbm_pixels(b: bytes) -> tuple[str, np.ndarray]:
+    """Binary PGM (P5) / PPM (P6) → grayscale array."""
+    fmt = b[:2].decode()
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":  # comment to end of line
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm is not supported")
+    if fmt == "P5":
+        px = np.frombuffer(b, dtype=np.uint8, offset=pos, count=w * h).reshape(h, w)
+        return "pgm", px
+    px = np.frombuffer(b, dtype=np.uint8, offset=pos, count=w * h * 3) \
+        .reshape(h, w, 3).astype(np.float64)
+    gray = np.round(0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).astype(np.uint8)
+    return "ppm", gray
+
+
+def _decode_wav_samples(b: bytes) -> tuple[str, int, int, np.ndarray]:
+    """RIFF/WAVE PCM → (format, n_frames, n_channels, float64 samples
+    in [-1, 1), shape (frames, channels))."""
+    if b[8:12] != b"WAVE":
+        raise ValueError("RIFF container is not WAVE")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size, = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt ":
+            fmt_chunk = b[pos + 8:pos + 8 + size]
+        elif cid == b"data":
+            data = b[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, _rate = struct.unpack_from("<HHI", fmt_chunk, 0)
+    bits, = struct.unpack_from("<H", fmt_chunk, 14)
+    if audio_fmt != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_fmt}) is not supported")
+    if bits == 8:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV is not supported (8/16 only)")
+    frames = len(s) // channels
+    return "wav", frames, channels, s[:frames * channels].reshape(frames, channels)
+
+
+# --- matching pure-python encoders (synthetic data + tests) ---------------
+
+def encode_bmp24(gray: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP (bottom-up), R=G=B=gray — decodes back
+    to exactly ``gray``."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w * 3] = np.repeat(gray, 3, axis=1)
+    body = rows[::-1].tobytes()  # bottom-up
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + dib + body
+
+
+def encode_pgm(gray: np.ndarray) -> bytes:
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    return f"P5\n{w} {h}\n255\n".encode() + gray.tobytes()
+
+
+def encode_wav16(samples: np.ndarray, channels: int = 1, rate: int = 16000) -> bytes:
+    """float [-1, 1] samples → 16-bit PCM RIFF/WAVE."""
+    pcm = np.clip(np.asarray(samples) * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def real_media_payload(i: int) -> tuple[str, bytes, np.ndarray]:
+    """Deterministic real-format sample #i: (kind, bytes, source array)
+    cycling bmp24 / pgm / wav — shared by the synthetic DF builder and
+    the driver-gate oracle (which computes expectations from the SOURCE
+    array, not the decoder)."""
+    rng = np.random.default_rng(7000 + i)
+    which = i % 3
+    if which == 0:
+        gray = rng.integers(0, 256, (6 + i % 4, 5 + i % 3), dtype=np.uint8)
+        return "image", encode_bmp24(gray), gray
+    if which == 1:
+        gray = rng.integers(0, 256, (4 + i % 5, 7 + i % 2), dtype=np.uint8)
+        return "image", encode_pgm(gray), gray
+    mono = 0.4 * np.sin(np.arange(48 + 8 * (i % 4)) / (2.0 + i % 3))
+    q = np.clip(mono * 32768.0, -32768, 32767).astype("<i2").astype(np.float64) / 32768.0
+    return "audio", encode_wav16(mono), q[:, None]
+
+
+def synthetic_real_media_df(spark, n: int = 12, partitions: int = 2) -> DataFrame:
+    """Media table of REAL container bytes (BMP/PGM/WAV), deterministic."""
+    rows = [(i, real_media_payload(i)[0], real_media_payload(i)[1]) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
+
+
+#: codec registry: (name, sniff(bytes)->bool, kind 'image'|'audio',
+#: pixels fn | samples fn).  Extend with register_codec().
+CODECS: list[tuple] = [
+    ("fake", lambda b: b[:4] == MAGIC, "image", _decode_fake_pixels),
+    ("bmp", lambda b: b[:2] == b"BM", "image", _decode_bmp_pixels),
+    ("netpbm", lambda b: b[:2] in (b"P5", b"P6"), "image", _decode_netpbm_pixels),
+    ("wav", lambda b: b[:4] == b"RIFF", "audio", _decode_wav_samples),
+]
+
+
+def register_codec(name: str, sniff, kind: str, decode) -> None:
+    """Plug a real codec in (e.g. a Pillow-backed JPEG decoder where
+    the library exists).  ``decode``: image → (fmt, 2-D uint8 array);
+    audio → (fmt, frames, channels, float array)."""
+    CODECS.insert(0, (name, sniff, kind, decode))
+
+
+def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
+    """bytes → (format, grayscale 2-D array) via the codec registry."""
+    for name, sniff, kind, fn in CODECS:
+        if kind == "image" and sniff(b):
+            return fn(b)
+    if b[:2] == b"\xff\xd8":
+        raise NotImplementedError("JPEG decode needs a codec library "
+                                  "(register one via register_codec)")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("PNG decode needs a codec library "
+                                  "(register one via register_codec)")
+    raise ValueError("unknown media container")
 
 
 def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
@@ -64,31 +256,33 @@ def decode_media(media: DataFrame) -> DataFrame:
 
 
 def _decode_one(b: bytes) -> tuple[str, int, int, float]:
-    if b[:4] == MAGIC:
-        w, h = struct.unpack(">II", b[4:12])
-        payload = np.frombuffer(b, dtype=np.uint8, offset=12, count=w * h)
-        return "fake", int(w), int(h), float(payload.mean())
-    if b[:2] == b"\xff\xd8":
-        raise NotImplementedError("JPEG decode requires an image library "
-                                  "(not available in this environment)")
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decode requires an image library")
-    raise ValueError("unknown media container")
+    """bytes → (format, width, height, mean) for ANY registered codec.
+    Images: width/height in pixels, mean of the grayscale plane.
+    Audio: width = frames, height = channels, mean of the normalized
+    float samples."""
+    for name, sniff, kind, fn in CODECS:
+        if sniff(b):
+            if kind == "audio":
+                fmt, frames, channels, s = fn(b)
+                return fmt, int(frames), int(channels), float(s.mean())
+            fmt, px = fn(b)
+            return fmt, int(px.shape[1]), int(px.shape[0]), float(px.mean())
+    return decode_pixels(b)  # raises the right NotImplementedError/ValueError
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: nearest-neighbour over the FAKE container
-    (deterministic stand-in for a real resampler; same partitioning,
-    same Arrow batch shape a real implementation would use)."""
+    """Nearest-neighbour resize over any registered image codec
+    (FAKE/BMP/PGM/PPM); output is the FAKE grayscale container — the
+    pipeline's canonical normalized form (real pipelines emit a raw
+    tensor container after decode too)."""
 
     def gen(batches):
         import pandas as pd
         for pdf in batches:
             datas = []
             for data in pdf["data"]:
-                b = bytes(data)
-                fmt, w, h, _ = _decode_one(b)
-                payload = np.frombuffer(b, dtype=np.uint8, offset=12, count=w * h).reshape(h, w)
+                _, payload = decode_pixels(bytes(data))
+                h, w = payload.shape
                 yi = (np.arange(height) * h // height)
                 xi = (np.arange(width) * w // width)
                 resized = payload[np.ix_(yi, xi)]
@@ -107,23 +301,32 @@ def synthetic_audio_df(spark, n: int = 16, seconds_scale: int = 64,
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
 
 
+def decode_samples(b: bytes) -> tuple[str, np.ndarray]:
+    """bytes → (format, mono float sample vector).  WAV: channel-mixed
+    normalized [-1, 1) PCM; FAKE: the uint8 payload as floats (legacy
+    synthetic semantics, pinned by the driver-gate oracle)."""
+    if b[:4] == b"RIFF":
+        fmt, _, _, s = _decode_wav_samples(b)
+        return fmt, s.mean(axis=1)
+    if b[:4] == MAGIC:
+        _, px = _decode_fake_pixels(b)
+        return "fake", px.ravel().astype(np.float64)
+    raise ValueError("unknown audio container")
+
+
 def audio_features_stub(media: DataFrame, window: int = 16) -> DataFrame:
-    """Audio feature-extraction plumbing: windowed RMS + peak over the
-    FAKE payload treated as uint8 mono PCM — the explode-shaped
+    """Windowed RMS + peak audio features — the explode-shaped
     (clip → windows) output a real librosa/torchaudio extractor needs;
-    vectorized numpy per Arrow batch.  Real WAV/MP3 decode would slot
-    into ``_decode_one`` and is NotImplemented here (no audio libs in
-    this environment)."""
+    vectorized numpy per Arrow batch.  Decodes real PCM WAV (8/16-bit,
+    channel-mixed) and the FAKE synthetic container; compressed audio
+    (MP3/AAC) needs a registered codec."""
 
     def gen(batches):
         import pandas as pd
         for pdf in batches:
             out = {"media_id": [], "window_no": [], "n_samples": [], "rms": [], "peak": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                b = bytes(data)
-                _, w, h, _ = _decode_one(b)
-                pcm = np.frombuffer(b, dtype=np.uint8, offset=12,
-                                    count=w * h).astype(np.float64)
+                _, pcm = decode_samples(bytes(data))
                 for wno, start in enumerate(range(0, len(pcm), window)):
                     seg = pcm[start:start + window]
                     out["media_id"].append(mid)
@@ -147,9 +350,8 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             out = {"media_id": [], "frame_no": [], "data": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                b = bytes(data)
-                _, w, h, _ = _decode_one(b)
-                payload = np.frombuffer(b, dtype=np.uint8, offset=12, count=w * h).reshape(h, w)
+                _, payload = decode_pixels(bytes(data))
+                h, w = payload.shape
                 for fno in range(0, h, every_n):
                     out["media_id"].append(mid)
                     out["frame_no"].append(fno)
