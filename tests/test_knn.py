@@ -63,3 +63,32 @@ def test_knn_k2_ordering(spark):
     assert ranked[0][1] == "grid cell 0" and ranked[0][2] == pytest.approx(0.5)
     assert ranked[1][1] == "grid cell 1"  # next nearest
     assert ranked[1][2] <= 2 ** 0.5 / 2 + 1e-9
+
+
+def test_points_geom_distance_batch_matches_scalar():
+    """Batched (N points × 1 geometry) kernel vs per-point scalar calls
+    on mixed geometries incl. polygons with holes."""
+    import numpy as np
+
+    from pandarus_spark.operators.knn import points_geom_distance
+
+    rng = np.random.default_rng(31)
+    geoms = [
+        {"type": "Polygon", "coordinates": [
+            np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float),
+            np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)]},
+        {"type": "LineString", "coordinates": rng.uniform(-2, 2, (5, 2))},
+        {"type": "MultiPoint", "coordinates": rng.uniform(-2, 2, (4, 2))},
+        {"type": "MultiPolygon", "coordinates": [
+            [np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)],
+            [np.array([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]], dtype=float)]]},
+    ]
+    pts = rng.uniform(-3, 7, (200, 2))
+    for g in geoms:
+        batch = points_geom_distance(pts, g)
+        for i in range(0, len(pts), 17):
+            scalar = point_geom_distance(pts[i, 0], pts[i, 1], g)
+            assert batch[i] == pytest.approx(scalar, rel=0, abs=0), (g["type"], i)
+    # hole interior: distance > 0 (to the hole boundary), not 0
+    d = points_geom_distance(np.array([[2.0, 2.0]]), geoms[0])
+    assert d[0] == pytest.approx(1.0)
