@@ -207,13 +207,15 @@ def transform_geom(geom: dict, fn) -> dict:
     raise ValueError(t)
 
 
-def clean_geom(geom: dict) -> dict:
+def clean_geom(geom: dict, repair: bool = False) -> dict:
     """Validity repair (reference clean_geom, utils/geometry.py:22-28).
 
-    We close open polygon rings and drop degenerate (<4 point) rings;
-    GEOS buffer(0) has no pure-python equivalent, so dirtier invalidity
-    (self-intersection) passes through and is tolerated downstream by
-    even-odd tests.
+    Always: close open polygon rings and drop degenerate (<4 point)
+    rings.  ``repair=True`` additionally runs :func:`make_valid` —
+    self-intersecting rings are replaced by the trapezoid decomposition
+    of their even-odd region, the engine's ``buffer(0)`` analogue.
+    Off by default so clean fixture geometry keeps its exact vertex
+    structure; turn it on when ingesting dirty real-world polygons.
     """
     t = geom["type"]
     if t == "Polygon":
@@ -224,18 +226,21 @@ def clean_geom(geom: dict) -> dict:
                 r = np.vstack([r, r[0]])
             if len(r) >= 4:
                 rings.append(r)
-        return {"type": t, "coordinates": rings}
+        out = {"type": t, "coordinates": rings}
+        return make_valid(out) if repair else out
     if t == "MultiPolygon":
         polys = []
         for poly in geom["coordinates"]:
             cleaned = clean_geom({"type": "Polygon", "coordinates": poly})["coordinates"]
             if cleaned:
                 polys.append(cleaned)
-        return {"type": t, "coordinates": polys}
+        out = {"type": t, "coordinates": polys}
+        return make_valid(out) if repair else out
     if t == "GeometryCollection":
         # recurse — a polygon inside a collection needs the same
         # ring-closing/degenerate-ring repair as a bare polygon
-        return {"type": t, "geometries": [clean_geom(g) for g in geom["geometries"]]}
+        return {"type": t, "geometries": [clean_geom(g, repair=repair)
+                                          for g in geom["geometries"]]}
     return geom
 
 
@@ -617,6 +622,128 @@ def union_rings_decompose(group_a: list, group_b: list) -> list[np.ndarray]:
             if abs(ring_area(q)) > 1e-18:
                 quads.append(q)
     return quads
+
+
+def polygon_region_decompose(rings: list) -> list[np.ndarray]:
+    """Disjoint trapezoid cover of a polygon's region under the
+    kernel's containment semantics: (even-odd of the EXTERIOR ring)
+    minus (union of the even-odd of each hole ring) — exactly what
+    :func:`points_in_polygon` tests, and well-defined even when rings
+    self-intersect or holes poke outside the exterior.  The repair
+    primitive behind :func:`make_valid` (the engine's analogue of GEOS
+    ``buffer(0)``, reference clean_geom utils/geometry.py:22-28 —
+    bowties split into their two lobes, escaped holes carve only the
+    part inside the exterior)."""
+    rs = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+        if len(r) < 3:
+            continue
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        rs.append(r)
+    if not rs:
+        return []
+    xs = [r[:, 0] for r in rs]
+    for i in range(len(rs)):
+        for j in range(i, len(rs)):
+            xs.append(_ring_cross_xs(rs[i], rs[j]))
+    bounds_x = np.unique(np.concatenate(xs))
+    edges1 = np.vstack([r[:-1] for r in rs])
+    edges2 = np.vstack([r[1:] for r in rs])
+    ring_of = np.concatenate([np.full(len(r) - 1, ri, dtype=np.int64)
+                              for ri, r in enumerate(rs)])
+    exl = np.minimum(edges1[:, 0], edges2[:, 0])
+    exh = np.maximum(edges1[:, 0], edges2[:, 0])
+    quads: list[np.ndarray] = []
+    n_rings = len(rs)
+    for x0, x1 in zip(bounds_x[:-1], bounds_x[1:]):
+        if x1 - x0 <= 1e-15:
+            continue
+        span = (exl <= x0 + 1e-15) & (exh >= x1 - 1e-15) & (exh - exl > 1e-15)
+        if not span.any():
+            continue
+        s1, s2 = edges1[span], edges2[span]
+        rof = ring_of[span]
+        dx = s2[:, 0] - s1[:, 0]
+        ty0 = s1[:, 1] + (x0 - s1[:, 0]) / dx * (s2[:, 1] - s1[:, 1])
+        ty1 = s1[:, 1] + (x1 - s1[:, 0]) / dx * (s2[:, 1] - s1[:, 1])
+        tym = 0.5 * (ty0 + ty1)
+        order = np.argsort(tym, kind="stable")
+        ty0, ty1, rof = ty0[order], ty1[order], rof[order]
+        # walk segments bottom-up, toggling the crossed ring's parity;
+        # membership between consecutive segments = ext odd AND no hole odd
+        par = np.zeros(n_rings, dtype=bool)
+        for k in range(len(ty0) - 1):
+            par[rof[k]] = ~par[rof[k]]
+            if par[0] and not par[1:].any():
+                q = np.array([[x0, ty0[k]], [x1, ty1[k]], [x1, ty1[k + 1]],
+                              [x0, ty0[k + 1]], [x0, ty0[k]]])
+                if abs(ring_area(q)) > 1e-18:
+                    quads.append(q)
+    return quads
+
+
+def _has_proper_crossings(rings: list) -> bool:
+    """True when any two edges (within a ring or across rings) cross at
+    interior points — the invalidity buffer(0) exists to repair."""
+    rs = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        rs.append(r)
+    for i in range(len(rs)):
+        for j in range(i, len(rs)):
+            a1, a2 = rs[i][:-1], rs[i][1:]
+            b1, b2 = rs[j][:-1], rs[j][1:]
+            d1 = (a2 - a1)[:, None, :]
+            d2 = (b2 - b1)[None, :, :]
+            diff = b1[None, :, :] - a1[:, None, :]
+            denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / \
+                    np.where(denom == 0, np.nan, denom)
+                u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / \
+                    np.where(denom == 0, np.nan, denom)
+            eps = 1e-12
+            ok = (np.isfinite(t) & np.isfinite(u)
+                  & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps))
+            if ok.any():
+                return True
+    return False
+
+
+def make_valid(geom: dict) -> dict:
+    """Validity repair for self-intersecting polygons — the engine's
+    ``buffer(0)`` analogue (reference clean_geom, utils/geometry.py:
+    22-28, which the round-1 kernel only approximated by tolerating
+    dirty rings in even-odd tests).
+
+    Polygon parts whose rings properly cross (themselves, each other,
+    or the exterior) are replaced by the trapezoid decomposition of
+    their even-odd region — a valid MultiPolygon with exactly the area
+    and containment the even-odd predicates already assigned the dirty
+    input.  Clean parts pass through with their original vertex
+    structure (goldens unaffected).  Non-polygons are returned as-is."""
+    t = geom.get("type")
+    if t == "Polygon":
+        parts = [geom["coordinates"]]
+    elif t == "MultiPolygon":
+        parts = list(geom["coordinates"])
+    elif t == "GeometryCollection":
+        return {"type": t, "geometries": [make_valid(g) for g in geom["geometries"]]}
+    else:
+        return geom
+    out_parts = []
+    for rings in parts:
+        if rings and _has_proper_crossings(rings):
+            out_parts.extend([q] for q in polygon_region_decompose(rings))
+        elif rings:
+            out_parts.append(rings)
+    if not out_parts:
+        return {"type": "MultiPolygon", "coordinates": []}
+    return {"type": "MultiPolygon", "coordinates": out_parts}
 
 
 def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]:

@@ -1,0 +1,105 @@
+"""make_valid — the buffer(0) analogue (round-2, reference clean_geom
+utils/geometry.py:22-28): self-intersecting rings become the trapezoid
+decomposition of their even-odd region; clean inputs pass through
+untouched."""
+
+import numpy as np
+import pytest
+
+from pandarus_spark.geometry import geom as G
+
+
+def _close(r):
+    r = np.asarray(r, dtype=float)
+    return np.vstack([r, r[0]])
+
+
+BOWTIE = _close([[0, 0], [2, 2], [2, 0], [0, 2]])  # crosses at (1,1)
+
+
+def _total_area(geom):
+    return sum(G.polygon_area(p) for p in G.extract_kind_parts(geom, "polygon"))
+
+
+def test_bowtie_splits_into_two_lobes():
+    out = G.make_valid({"type": "Polygon", "coordinates": [BOWTIE]})
+    assert out["type"] == "MultiPolygon"
+    # even-odd region of the bowtie = two triangles, each area 1
+    assert _total_area(out) == pytest.approx(2.0, rel=1e-12)
+    # raw shoelace of the dirty ring cancels to 0 — repair recovers it
+    assert abs(G.ring_area(BOWTIE)) == pytest.approx(0.0, abs=1e-15)
+
+
+def test_repaired_containment_matches_even_odd_of_dirty_input():
+    dirty = [BOWTIE]
+    out = G.make_valid({"type": "Polygon", "coordinates": dirty})
+    probes = np.array([[0.5, 1.0], [1.5, 1.0], [1.0, 1.0 + 1e-6], [1.0, 0.5],
+                       [1.0, 1.5], [3.0, 1.0]])
+    before = G.points_in_polygon(probes, dirty)
+    after = np.zeros(len(probes), dtype=bool)
+    for part in G.extract_kind_parts(out, "polygon"):
+        after |= G.points_in_polygon(probes, part)
+    # interior points keep their even-odd classification (boundary-new
+    # trapezoid edges may differ only ON the seam lines, not probed here)
+    np.testing.assert_array_equal(after, before)
+
+
+def test_hole_crossing_exterior_is_carved():
+    ext = _close([[0, 0], [4, 0], [4, 4], [0, 4]])
+    hole = _close([[3, 1], [6, 1], [6, 3], [3, 3]])  # sticks out of ext
+    out = G.make_valid({"type": "Polygon", "coordinates": [ext, hole]})
+    # kernel containment semantics (points_in_polygon): ext minus the
+    # union of holes -> 16 - |hole ∩ ext| = 16 - (1x2) = 14; the naive
+    # polygon_area of the dirty input over-subtracts to 16 - 6 = 10
+    assert _total_area(out) == pytest.approx(14.0, rel=1e-12)
+
+
+def test_clean_input_untouched():
+    sq = _close([[0, 0], [1, 0], [1, 1], [0, 1]])
+    holed = {"type": "Polygon", "coordinates": [
+        _close([[0, 0], [4, 0], [4, 4], [0, 4]]),
+        _close([[1, 1], [2, 1], [2, 2], [1, 2]])]}
+    out = G.make_valid({"type": "Polygon", "coordinates": [sq]})
+    assert len(out["coordinates"]) == 1
+    np.testing.assert_array_equal(out["coordinates"][0][0], sq)
+    out2 = G.make_valid(holed)
+    assert len(out2["coordinates"]) == 1 and len(out2["coordinates"][0]) == 2
+
+
+def test_clean_geom_repair_flag():
+    dirty = {"type": "Polygon", "coordinates": [BOWTIE[:-1]]}  # open ring too
+    default = G.clean_geom(dirty)
+    assert default["type"] == "Polygon"  # no repair by default
+    repaired = G.clean_geom(dirty, repair=True)
+    assert repaired["type"] == "MultiPolygon"
+    assert _total_area(repaired) == pytest.approx(2.0, rel=1e-12)
+    # non-polygons pass through
+    line = {"type": "LineString", "coordinates": np.array([[0, 0], [1, 1]])}
+    assert G.clean_geom(line, repair=True) is line
+
+
+def test_measure_of_repaired_bowtie():
+    repaired = G.make_valid({"type": "Polygon", "coordinates": [BOWTIE]})
+    m = G.measure(repaired, "polygon")
+    # independent expectation: two clean triangles through the same
+    # Mollweide measure path
+    tri1 = {"type": "Polygon", "coordinates": [_close([[0, 0], [1, 1], [0, 2]])]}
+    tri2 = {"type": "Polygon", "coordinates": [_close([[2, 0], [2, 2], [1, 1]])]}
+    want = G.measure(tri1, "polygon") + G.measure(tri2, "polygon")
+    assert m == pytest.approx(want, rel=1e-9)
+
+
+def test_random_dirty_rings_area_matches_montecarlo_parity():
+    """Randomized: even-odd area of the repaired polygon equals a
+    dense-grid parity estimate of the dirty ring within grid error."""
+    rng = np.random.default_rng(77)
+    for trial in range(10):
+        ring = _close(rng.uniform(0, 10, (6, 2)))
+        out = G.make_valid({"type": "Polygon", "coordinates": [ring]})
+        area = _total_area(out)
+        g = np.linspace(0.025, 9.975, 200)
+        gx, gy = np.meshgrid(g, g)
+        pts = np.column_stack([gx.ravel(), gy.ravel()])
+        inside = G.points_in_polygon(pts, [ring])
+        mc = inside.mean() * 100.0
+        assert area == pytest.approx(mc, abs=0.6), trial
