@@ -30,13 +30,14 @@ from .operators.raster_transform import clean_raster, round_raster, convert_to_v
 from .operators.knn import knn_nearest_feature
 from .sources.geojson import intersect_files, read_geojson, read_vector, write_geojson
 from .sources.gpkg import read_gpkg, write_gpkg
+from .sources.shapefile import read_shapefile
 
 __all__ = [
     "intersect", "intersections_from_intersection", "candidate_pairs",
     "cover_features", "calculate_remaining", "raster_statistics",
     "clean_raster", "round_raster", "convert_to_vector",
     "knn_nearest_feature", "intersect_files", "read_geojson", "read_vector",
-    "write_geojson", "read_gpkg", "write_gpkg",
+    "write_geojson", "read_gpkg", "write_gpkg", "read_shapefile",
 ]
 
 __version__ = "0.1.0"

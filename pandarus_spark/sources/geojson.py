@@ -314,11 +314,16 @@ def read_vector(spark, path: str, identifying_field: str = "name",
                 validate_unique: bool = True, crs: str | None = None, **kwargs):
     """Format-dispatching vector reader (the reference's fiona-open
     sniffing, utils/conversion.py:31-51): ``.gpkg`` → GeoPackage,
-    anything else → GeoJSON."""
-    if path.lower().endswith(".gpkg"):
+    ``.shp`` → shapefile, anything else → GeoJSON."""
+    low = path.lower()
+    if low.endswith(".gpkg"):
         from .gpkg import read_gpkg
         return read_gpkg(spark, path, identifying_field,
                          validate_unique=validate_unique, crs=crs, **kwargs)
+    if low.endswith(".shp"):
+        from .shapefile import read_shapefile
+        return read_shapefile(spark, path, identifying_field,
+                              validate_unique=validate_unique, crs=crs)
     return read_geojson(spark, path, identifying_field,
                         validate_unique=validate_unique, crs=crs)
 
