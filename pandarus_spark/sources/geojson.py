@@ -74,7 +74,8 @@ def file_metadata(path: str, field: str) -> dict:
 
 
 def read_geojson(spark, path: str, identifying_field: str = "name",
-                 validate_unique: bool = True, crs: str | None = None):
+                 validate_unique: bool = True, crs: str | None = None,
+                 repair: bool = False):
     """GeoJSON FeatureCollection → feature DataFrame.
 
     Feature ids are the enumeration order, like the reference's stable
@@ -110,7 +111,7 @@ def read_geojson(spark, path: str, identifying_field: str = "name",
         geometry = _np_geometry(feat["geometry"])
         if project is not None:
             geometry = G.transform_geom(geometry, project)
-        geometry = G.clean_geom(geometry)
+        geometry = G.clean_geom(geometry, repair=repair)
         mnx, mny, mxx, mxy = G.bounds(geometry)
         rows.append((idx, label if isinstance(label, str) else json.dumps(label),
                      G.wkb_dumps(geometry), G.geom_kind(geometry),
@@ -311,7 +312,8 @@ def calculate_remaining_files(spark, source_file_path: str, source_field: str,
 
 
 def read_vector(spark, path: str, identifying_field: str = "name",
-                validate_unique: bool = True, crs: str | None = None, **kwargs):
+                validate_unique: bool = True, crs: str | None = None,
+                repair: bool = False, **kwargs):
     """Format-dispatching vector reader (the reference's fiona-open
     sniffing, utils/conversion.py:31-51): ``.gpkg`` → GeoPackage,
     ``.shp`` → shapefile, anything else → GeoJSON."""
@@ -319,13 +321,15 @@ def read_vector(spark, path: str, identifying_field: str = "name",
     if low.endswith(".gpkg"):
         from .gpkg import read_gpkg
         return read_gpkg(spark, path, identifying_field,
-                         validate_unique=validate_unique, crs=crs, **kwargs)
+                         validate_unique=validate_unique, crs=crs,
+                         repair=repair, **kwargs)
     if low.endswith(".shp"):
         from .shapefile import read_shapefile
         return read_shapefile(spark, path, identifying_field,
-                              validate_unique=validate_unique, crs=crs)
+                              validate_unique=validate_unique, crs=crs,
+                              repair=repair)
     return read_geojson(spark, path, identifying_field,
-                        validate_unique=validate_unique, crs=crs)
+                        validate_unique=validate_unique, crs=crs, repair=repair)
 
 
 def intersect_files(spark, first_path: str, first_field: str,

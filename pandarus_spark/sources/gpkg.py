@@ -72,7 +72,7 @@ def _feature_tables(con: sqlite3.Connection) -> list[tuple[str, str, int]]:
 
 def read_gpkg(spark, path: str, identifying_field: str = "name",
               table: str | None = None, validate_unique: bool = True,
-              crs: str | None = None):
+              crs: str | None = None, repair: bool = False):
     """GeoPackage feature table → feature DataFrame (same contract as
     ``read_geojson``: stable enumeration feature ids, label uniqueness
     check, WGS84 normalization, WKB + kind + bbox + is_rect columns).
@@ -119,7 +119,7 @@ def read_gpkg(spark, path: str, identifying_field: str = "name",
             geometry = G.wkb_loads(wkb)
             if project is not None:
                 geometry = G.transform_geom(geometry, project)
-            geometry = G.clean_geom(geometry)
+            geometry = G.clean_geom(geometry, repair=repair)
             mnx, mny, mxx, mxy = G.bounds(geometry)
             rows.append((idx, label if isinstance(label, str) else json.dumps(label),
                          G.wkb_dumps(geometry), G.geom_kind(geometry),

@@ -183,7 +183,8 @@ def _crs_from_prj(path: str) -> str | None:
 
 
 def read_shapefile(spark, path: str, identifying_field: str = "name",
-                   validate_unique: bool = True, crs: str | None = None):
+                   validate_unique: bool = True, crs: str | None = None,
+                   repair: bool = False):
     """Shapefile (.shp + .dbf [+ .prj]) → feature DataFrame — the same
     contract as ``read_geojson`` / ``read_gpkg`` (stable enumeration
     ids, label uniqueness, WGS84 normalization, WKB + kind + bbox +
@@ -219,7 +220,7 @@ def read_shapefile(spark, path: str, identifying_field: str = "name",
             seen.add(label)
         if project is not None:
             geometry = G.transform_geom(geometry, project)
-        geometry = G.clean_geom(geometry)
+        geometry = G.clean_geom(geometry, repair=repair)
         mnx, mny, mxx, mxy = G.bounds(geometry)
         rows.append((idx, label if isinstance(label, str) else json.dumps(label),
                      G.wkb_dumps(geometry), G.geom_kind(geometry),

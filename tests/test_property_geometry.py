@@ -112,3 +112,50 @@ def test_mollweide_roundtrip(lon, la):
     x, y = mollweide_forward(np.array([lon]), np.array([la]))
     lon2, la2 = mollweide_inverse(x, y)
     assert abs(lon2[0] - lon) < 1e-6 and abs(la2[0] - la) < 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(coord, lat), min_size=3, max_size=10),
+       st.integers(min_value=3, max_value=8),
+       coord, lat, span)
+def test_clip_batch_matches_scalar_property(subj_pts, n_clip, cx, cy, r):
+    """Batched Sutherland–Hodgman == scalar kernel on arbitrary subject
+    rings (hypothesis explores collinear/duplicate/degenerate shapes)
+    against a random convex clip."""
+    from pandarus_spark.geometry import batch as B
+    subj = np.array(subj_pts, dtype=np.float64)
+    ang = np.sort(np.linspace(0, 2 * np.pi, n_clip, endpoint=False))
+    clip = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    scalar = G.clip_ring_convex(np.vstack([subj, subj[:1]]),
+                                np.vstack([clip, clip[:1]]))
+    sp, sc = B.pad_rings([subj])
+    cp, cc = B.pad_rings([clip])
+    cp = B.ensure_ccw_batch(cp, cc)
+    pts, cnt = B.clip_convex_batch(sp, sc, cp, cc)
+    if scalar is None:
+        assert cnt[0] == 0
+    else:
+        assert cnt[0] == len(scalar) - 1
+        np.testing.assert_allclose(pts[0, :cnt[0]], scalar[:-1], rtol=0, atol=0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(coord, lat), min_size=3, max_size=8))
+def test_make_valid_area_equals_parity_integral(pts):
+    """make_valid area == even-odd membership measured on the original
+    dirty ring at the repaired parts' own sample points (vertex-level
+    agreement between decomposition and parity predicate)."""
+    ring = np.array(pts, dtype=np.float64)
+    ring = np.vstack([ring, ring[:1]])
+    if not G._has_proper_crossings([ring]):
+        return  # pass-through path: original (possibly concave) ring kept,
+                # so the convex-part centroid argument below doesn't apply
+    out = G.make_valid({"type": "Polygon", "coordinates": [ring]})
+    for part in G.extract_kind_parts(out, "polygon"):
+        if G.polygon_area(part) < 1e-9:
+            continue  # fp-noise slivers from coincident/degenerate edges
+        q = np.asarray(part[0], dtype=np.float64)
+        centroid = q[:-1].mean(axis=0)[None, :]
+        # each substantive trapezoid's centroid must lie inside the
+        # dirty ring's even-odd region (interior of a kept parity band)
+        assert G.points_in_polygon(centroid, [ring])[0]

@@ -105,3 +105,25 @@ def test_missing_dbf_raises(spark, tmp_path):
     os.remove(str(tmp_path / "grid.dbf"))
     with pytest.raises(FileNotFoundError, match="attribute table"):
         read_shapefile(spark, p)
+
+
+def test_repair_flag_through_reader(spark, tmp_path):
+    """A bowtie polygon ingested with repair=True becomes a valid
+    MultiPolygon with the even-odd area."""
+    import json as _json
+    bow = {"type": "Feature",
+           "geometry": {"type": "Polygon", "coordinates": [
+               [[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]]]},
+           "properties": {"name": "bow"}}
+    p = str(tmp_path / "bow.geojson")
+    with open(p, "w") as f:
+        _json.dump({"type": "FeatureCollection", "features": [bow]}, f)
+    from pandarus_spark.sources.geojson import read_geojson
+    plain = read_geojson(spark, p).collect()[0]
+    fixed = read_geojson(spark, p, repair=True).collect()[0]
+    g_plain = G.wkb_loads(bytes(plain["geom_wkb"]))
+    g_fixed = G.wkb_loads(bytes(fixed["geom_wkb"]))
+    assert g_plain["type"] == "Polygon"
+    assert g_fixed["type"] == "MultiPolygon"
+    assert sum(G.polygon_area(part) for part in g_fixed["coordinates"]) == \
+        pytest.approx(2.0, rel=1e-12)
