@@ -219,6 +219,61 @@ def read_intersections_geojson(spark, path: str):
     return spark.createDataFrame(rows, INTERSECTIONS_SCHEMA)
 
 
+def _intersection_props(path: str) -> list[dict]:
+    """Property rows {id, from_label, to_label, measure} of an
+    intersections file, GeoJSON or GPKG (the reference reads its own
+    geo output back through fiona regardless of driver,
+    core.py:221-233)."""
+    if path.lower().endswith(".gpkg"):
+        import sqlite3
+
+        from .gpkg import _feature_tables
+        con = sqlite3.connect(path)
+        try:
+            tbl, _geom_col, _srs = _feature_tables(con)[0]
+            cols = [r[1] for r in con.execute(f'PRAGMA table_info("{tbl}")')]
+            for key in ("id", "from_label", "to_label", "measure"):
+                if key not in cols:
+                    raise KeyError(f"Input file {path} does not have "
+                                   f"required field: {key}")
+            return [dict(zip(("id", "from_label", "to_label", "measure"), r))
+                    for r in con.execute(
+                        f'SELECT id, from_label, to_label, measure FROM "{tbl}" '
+                        "ORDER BY rowid")]
+        finally:
+            con.close()
+    with _open_maybe_bz2(path, "r") as f:
+        fc = json.load(f)
+    data = []
+    for feat in fc["features"]:
+        props = feat["properties"]
+        for key in ("id", "from_label", "to_label", "measure"):
+            if key not in props:
+                raise KeyError(f"Input file {path} does not have "
+                               f"required field: {key}")
+        data.append(props)
+    return data
+
+
+def read_intersections_vector(spark, path: str):
+    """Intersections file → DataFrame, GeoJSON or GPKG dispatch."""
+    if path.lower().endswith(".gpkg"):
+        import sqlite3
+
+        from .gpkg import _feature_tables, _parse_gpkg_blob
+        con = sqlite3.connect(path)
+        try:
+            tbl, geom_col, _srs = _feature_tables(con)[0]
+            rows = [(int(i), str(fl), str(tl), float(m), _parse_gpkg_blob(blob))
+                    for i, fl, tl, m, blob in con.execute(
+                        f'SELECT id, from_label, to_label, measure, "{geom_col}" '
+                        f'FROM "{tbl}" ORDER BY rowid')]
+        finally:
+            con.close()
+        return spark.createDataFrame(rows, INTERSECTIONS_SCHEMA)
+    return read_intersections_geojson(spark, path)
+
+
 def _sibling_metadata_path(vector_file_path: str) -> str:
     """The reference's metadata-file discovery (core.py:213-220): same
     basename with .json / .json.bz2."""
@@ -246,18 +301,7 @@ def intersections_from_intersection_files(vector_file_path: str,
     elif not os.path.isfile(metadata_file_path):
         raise FileNotFoundError(f"Can't find metadata file: {metadata_file_path}.")
     metadata = import_json(metadata_file_path)["metadata"]
-
-    with _open_maybe_bz2(vector_file_path, "r") as f:
-        fc = json.load(f)
-    data = []
-    for feat in fc["features"]:
-        props = feat["properties"]
-        for key in ("id", "from_label", "to_label", "measure"):
-            if key not in props:
-                raise KeyError(f"Input file {vector_file_path} does not have "
-                               f"required field: {key}")
-        data.append(props)
-
+    data = _intersection_props(vector_file_path)
     this = file_metadata(vector_file_path, "id")
     stamp = when or _dt.datetime.now().isoformat()
     os.makedirs(out_dir, exist_ok=True)
@@ -291,7 +335,7 @@ def calculate_remaining_files(spark, source_file_path: str, source_field: str,
     import pandarus_spark as ps
 
     source = read_vector(spark, source_file_path, source_field, crs=crs)
-    inter = read_intersections_geojson(spark, intersection_file_path)
+    inter = read_intersections_vector(spark, intersection_file_path)
     rem = ps.calculate_remaining(source, inter)
     order = source.select("feature_id", "label")
     data = [[r["label"], float(r["remaining"])]

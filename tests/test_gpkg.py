@@ -122,3 +122,32 @@ def test_read_vector_dispatch(spark, tmp_path):
     a = {r["label"] for r in read_vector(spark, gp).collect()}
     b = {r["label"] for r in read_vector(spark, gj).collect()}
     assert a == b == {f"grid cell {i}" for i in range(4)}
+
+
+def test_gpkg_intersections_feed_ifi_and_remaining(spark, tmp_path):
+    """The GPKG intersect output is itself a valid input to the
+    downstream file chain (reference reads its own geo output back via
+    fiona regardless of driver, core.py:221-233)."""
+    from pandarus_spark.sources.geojson import (
+        calculate_remaining_files, import_json, intersect_files,
+        intersections_from_intersection_files,
+    )
+
+    first = _write_fixture_gpkg(spark, tmp_path, "outside")
+    second = _write_fixture_gpkg(spark, tmp_path, "grid")
+    out_dir = str(tmp_path / "chain")
+    geo_fp, _ = intersect_files(spark, first, "name", second, "name",
+                                out_dir=out_dir, driver="GPKG",
+                                when="2026-01-01T00:00:00")
+    assert geo_fp.endswith(".gpkg")
+    fp1, fp2 = intersections_from_intersection_files(
+        geo_fp, out_dir=out_dir, when="2026-01-01T00:00:00")
+    d1, d2 = import_json(fp1), import_json(fp2)
+    assert [row[1] for row in d1["data"]] == ["by-myself"] * 2
+    assert sorted(row[1] for row in d2["data"]) == ["grid cell 1", "grid cell 3"]
+
+    rem_fp = calculate_remaining_files(spark, first, "name", geo_fp,
+                                       out_dir=out_dir, when="2026-01-01T00:00:00")
+    (label, remaining), = import_json(rem_fp)["data"]
+    assert label == "by-myself"
+    assert remaining == pytest.approx(0.5 * (4e7 / 360) ** 2, rel=1e-2)
