@@ -383,6 +383,28 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
     return per_doc.select(F.col(id_col), sh.cast("long").alias("simhash"))
 
 
+def simhash_expr(text: Column, bits: int = 32) -> Column:
+    """Row-local SimHash as a pure Catalyst expression — no shuffle, no
+    aggregation state, so it runs on STREAMING rows (append mode) and
+    is bit-identical to :func:`simhash` (same token split, same md5
+    hash60, same ±1 bit votes; pinned by tests).
+
+    Per bit j: ``aggregate(distinct_tokens, 0, acc ± 1 by hash bit j)``
+    — higher-order functions over the token array instead of
+    explode+groupBy."""
+    toks = F.array_distinct(words(text))
+    hs = F.transform(toks, lambda t: hash60(t))
+    sh = None
+    for j in range(bits):
+        vote = F.aggregate(
+            hs, F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << j)) != 0,
+                                        F.lit(1)).otherwise(F.lit(-1)))
+        term = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return sh.cast("long")
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance via bit_count(xor) — for simhash near-dup
     banding."""

@@ -170,6 +170,94 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
                                     "append", GroupStateTimeout.EventTimeTimeout))
 
 
+NEARDUP_OUT_SCHEMA = "doc_a bigint, doc_b bigint, hamming int, band int"
+NEARDUP_STATE_SCHEMA = "ids array<long>, hashes array<long>"
+
+
+def stream_simhash_neardup(docs_stream: DataFrame, max_hamming: int = 3,
+                           bits: int = 32, bands: int = 4,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           max_state_per_bucket: int = 10_000) -> DataFrame:
+    """Streaming near-duplicate detection — the incremental twin of
+    :func:`~pandarus_spark.operators.dedup.simhash_neardup_pairs`.
+
+    Per row (stateless, Catalyst): SimHash via
+    :func:`~pandarus_spark.operators.dedup.simhash_expr` (bit-identical
+    to the batch operator), banded into ``bands`` keys.  Per
+    (band, key) bucket (stateful, ``applyInPandasWithState``): the
+    state holds (doc_id, simhash) of every doc seen in the bucket;
+    each arriving doc emits a pair for every stored doc within
+    ``max_hamming`` and joins the state.  Pigeonhole recall is exact
+    when ``max_hamming < bands``, as in batch.
+
+    Output rows carry the matching ``band``; a pair within several
+    matching bands is emitted once PER matching band — dedup on
+    (doc_a, doc_b) downstream (batch post-processing or a keyed sink),
+    since cross-bucket coordination inside the stream would serialize
+    the operator.  State per bucket is capped at
+    ``max_state_per_bucket`` ids (oldest evicted first) — the bound a
+    10^12-doc stream needs; an evicted doc can no longer pair."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import simhash_expr
+
+    assert max_hamming < bands, "pigeonhole exactness needs max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    hashed = docs_stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        simhash_expr(F.col(text_col), bits).alias("simhash"))
+    banded = hashed.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("simhash"), b * width)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(bands)])).alias("bk")) \
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        band = int(key[0])
+        ids, hashes = ([], [])
+        if state.exists:
+            s_ids, s_hashes = state.get
+            ids, hashes = list(s_ids), list(s_hashes)
+        out = {"doc_a": [], "doc_b": [], "hamming": [], "band": []}
+        for pdf in pdfs:
+            # deterministic order: pairs are emitted a<b regardless of
+            # arrival interleaving within the micro-batch
+            for doc_id, sh in sorted(zip(pdf["doc_id"].tolist(),
+                                         pdf["simhash"].tolist())):
+                for other_id, other_sh in zip(ids, hashes):
+                    if other_id == doc_id:
+                        continue
+                    h = bin(sh ^ other_sh).count("1")
+                    if h <= max_hamming:
+                        a, b = sorted((doc_id, other_id))
+                        out["doc_a"].append(a)
+                        out["doc_b"].append(b)
+                        out["hamming"].append(h)
+                        out["band"].append(band)
+                ids.append(doc_id)
+                hashes.append(sh)
+        if len(ids) > max_state_per_bucket:
+            ids = ids[-max_state_per_bucket:]
+            hashes = hashes[-max_state_per_bucket:]
+        state.update((ids, hashes))
+        if out["doc_a"]:
+            yield pd.DataFrame({
+                "doc_a": pd.Series(out["doc_a"], dtype="int64"),
+                "doc_b": pd.Series(out["doc_b"], dtype="int64"),
+                "hamming": pd.Series(out["hamming"], dtype="int32"),
+                "band": pd.Series(out["band"], dtype="int32")})
+
+    return (banded.groupBy("band", "key")
+            .applyInPandasWithState(fn, NEARDUP_OUT_SCHEMA, NEARDUP_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def stream_cell_counts(pages_stream: DataFrame, res: int = 12,
                        window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Windowed cell activity with late-data tolerance: count features

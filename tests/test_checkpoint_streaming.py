@@ -243,3 +243,49 @@ def test_streaming_windowed_counts(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM cellcounts_t").collect()
     assert sum(r["n_features"] for r in got) >= 4
+
+
+def test_simhash_expr_bit_parity_with_batch(spark):
+    """Row-local simhash_expr (streaming path) == shuffle-based batch
+    simhash, bit for bit."""
+    from pandarus_spark.operators.dedup import simhash, simhash_expr
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(120))
+    batch = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    row = {r["doc_id"]: r["sh"]
+           for r in docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()}
+    assert row == batch and len(row) == 120
+
+
+def test_stream_simhash_neardup_matches_batch(spark, tmp_path):
+    """Two micro-batches of documents through the stateful near-dup
+    operator: the deduped (doc_a, doc_b) pair set must equal the batch
+    operator's on the full corpus (pigeonhole-exact recall)."""
+    from pandarus_spark.operators.dedup import simhash_neardup_pairs
+    from pandarus_spark.streaming.stream import stream_simhash_neardup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 150))
+    src = str(tmp_path / "nd_in")
+    ck = str(tmp_path / "nd_ck")
+    got = set()
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            got.add((r["doc_a"], r["doc_b"], r["hamming"]))
+
+    halves = [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
+    for part in halves:
+        part.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (stream_simhash_neardup(stream, max_hamming=3, bands=4)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck).trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    want = {(r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_neardup_pairs(docs, max_hamming=3, bands=4).collect()}
+    # stream may emit a pair once per matching band — dedup exactly
+    assert got == want
+    assert len(want) > 0
