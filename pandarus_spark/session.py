@@ -42,11 +42,14 @@ def build_session(app: str = "pandarus-spark", master: str | None = None,
         # dim-sized tables (feature covers, label maps) should broadcast:
         # the 10MB default forces sort-merge exchanges for tables that fit
         # executor memory easily.  In local mode a broadcast is an
-        # in-process reference so the threshold can be generous; on a real
-        # cluster each executor pays a network copy, so keep it moderate.
+        # in-process reference (no copy at all), so the threshold can be
+        # GENEROUS — 1g keeps multi-million-row cached feature tables on
+        # the broadcast plan the round-1 bench measured (3.2M/side ≈
+        # 480 MB: broadcast 77 s vs shuffled 132 s under identical load).
+        # On a real cluster each executor pays a network copy, so 64m.
         .config("spark.sql.autoBroadcastJoinThreshold",
                 os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD",
-                               "64m" if cluster else "256m"))
+                               "64m" if cluster else "1g"))
         # prefer shuffled-HASH joins over sort-merge when the planner's
         # per-partition build-side bound allows: the overlay's geometry
         # join-backs past the broadcast threshold then skip sorting the
