@@ -531,25 +531,45 @@ def _clip_ring_general(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.nd
     return out
 
 
+_CROSS_CHUNK = 2048  # edge-pair blocks: bounds temporaries to ~chunk*m floats
+
+
+def _segment_crossings(a1, a2, b1, b2, lo: float, hi: float):
+    """Pairwise segment intersections between edge sets A (n,2 arrays)
+    and B, with both parameters restricted to (lo, hi).  Chunked over A
+    so memory stays O(chunk × m) — a 100k-vertex dirty coastline must
+    not allocate an (n×m) dense cube (round-2 review finding #8).
+
+    Yields (ti, t_vals) index/parameter pairs into A."""
+    m = len(b1)
+    d2 = b2 - b1
+    for start in range(0, len(a1), _CROSS_CHUNK):
+        ca1 = a1[start:start + _CROSS_CHUNK]
+        ca2 = a2[start:start + _CROSS_CHUNK]
+        d1 = (ca2 - ca1)[:, None, :]
+        diff = b1[None, :, :] - ca1[:, None, :]
+        denom = d1[..., 0] * d2[None, :, 1] - d1[..., 1] * d2[None, :, 0]
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            t = (diff[..., 0] * d2[None, :, 1] - diff[..., 1] * d2[None, :, 0]) / \
+                np.where(denom == 0, np.nan, denom)
+            u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / \
+                np.where(denom == 0, np.nan, denom)
+        ok = (np.isfinite(t) & np.isfinite(u)
+              & (t >= lo) & (t <= hi) & (u >= lo) & (u <= hi))
+        if ok.any():
+            ti, _ = np.nonzero(ok)
+            yield start + ti, t[ok]
+
+
 def _ring_cross_xs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
-    """x-coordinates of proper edge×edge intersections between two
-    closed rings (vectorized over all edge pairs)."""
+    """x-coordinates of edge×edge intersections between two closed
+    rings (chunked-vectorized over all edge pairs)."""
     a1, a2 = r1[:-1], r1[1:]
     b1, b2 = r2[:-1], r2[1:]
-    d1 = (a2 - a1)[:, None, :]   # (n,1,2)
-    d2 = (b2 - b1)[None, :, :]   # (1,m,2)
-    diff = b1[None, :, :] - a1[:, None, :]
-    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
-    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-        t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / \
-            np.where(denom == 0, np.nan, denom)
-        u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / \
-            np.where(denom == 0, np.nan, denom)
-    ok = np.isfinite(t) & np.isfinite(u) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    if not ok.any():
-        return np.empty(0)
-    ti, _ = np.nonzero(ok)
-    return (a1[ti, 0] + t[ok] * (a2[ti, 0] - a1[ti, 0]))
+    xs = [np.empty(0)]
+    for ti, t in _segment_crossings(a1, a2, b1, b2, 0.0, 1.0):
+        xs.append(a1[ti, 0] + t * (a2[ti, 0] - a1[ti, 0]))
+    return np.concatenate(xs)
 
 
 def union_rings_decompose(group_a: list, group_b: list) -> list[np.ndarray]:
@@ -686,30 +706,21 @@ def polygon_region_decompose(rings: list) -> list[np.ndarray]:
 
 def _has_proper_crossings(rings: list) -> bool:
     """True when any two edges (within a ring or across rings) cross at
-    interior points — the invalidity buffer(0) exists to repair."""
+    interior points — the invalidity buffer(0) exists to repair.
+    Chunked via :func:`_segment_crossings` (shared with
+    ``_ring_cross_xs``), so large dirty rings stay in bounded memory."""
     rs = []
     for r in rings:
         r = np.asarray(r, dtype=np.float64).reshape(-1, 2)
         if len(r) and not np.array_equal(r[0], r[-1]):
             r = np.vstack([r, r[0]])
         rs.append(r)
+    eps = 1e-12
     for i in range(len(rs)):
         for j in range(i, len(rs)):
-            a1, a2 = rs[i][:-1], rs[i][1:]
-            b1, b2 = rs[j][:-1], rs[j][1:]
-            d1 = (a2 - a1)[:, None, :]
-            d2 = (b2 - b1)[None, :, :]
-            diff = b1[None, :, :] - a1[:, None, :]
-            denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
-            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-                t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / \
-                    np.where(denom == 0, np.nan, denom)
-                u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / \
-                    np.where(denom == 0, np.nan, denom)
-            eps = 1e-12
-            ok = (np.isfinite(t) & np.isfinite(u)
-                  & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps))
-            if ok.any():
+            for _ti, _t in _segment_crossings(rs[i][:-1], rs[i][1:],
+                                              rs[j][:-1], rs[j][1:],
+                                              eps, 1 - eps):
                 return True
     return False
 
@@ -736,11 +747,18 @@ def make_valid(geom: dict) -> dict:
     else:
         return geom
     out_parts = []
+    changed = False
     for rings in parts:
         if rings and _has_proper_crossings(rings):
             out_parts.extend([q] for q in polygon_region_decompose(rings))
+            changed = True
         elif rings:
             out_parts.append(rings)
+    if not changed:
+        # fully clean input: return it UNCHANGED (same type, same
+        # object) — wrapping a clean Polygon in MultiPolygon would
+        # flip is_axis_rect and silently lose the rect fast paths
+        return geom
     if not out_parts:
         return {"type": "MultiPolygon", "coordinates": []}
     return {"type": "MultiPolygon", "coordinates": out_parts}

@@ -74,11 +74,17 @@ def _decode_bmp_pixels(b: bytes) -> tuple[str, np.ndarray]:
         gray = 0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]  # BGR order
         gray = np.round(gray).astype(np.uint8)
     elif bpp == 8:
+        # biClrUsed (offset 46): 0 means a full 256-entry palette;
+        # shorter palettes shift the pixel data start accordingly
+        n_colors, = struct.unpack_from("<I", b, 46)
+        n_colors = n_colors or 256
         pal_off = 14 + hdr_size
         pal = np.frombuffer(b, dtype=np.uint8, offset=pal_off,
-                            count=256 * 4).reshape(256, 4).astype(np.float64)
-        luma = np.round(0.114 * pal[:, 0] + 0.587 * pal[:, 1] + 0.299 * pal[:, 2]).astype(np.uint8)
-        gray = luma[raw[:, :w]]
+                            count=n_colors * 4).reshape(n_colors, 4).astype(np.float64)
+        luma = np.zeros(256, dtype=np.uint8)
+        luma[:n_colors] = np.round(0.114 * pal[:, 0] + 0.587 * pal[:, 1]
+                                   + 0.299 * pal[:, 2]).astype(np.uint8)
+        gray = luma[raw[:, :w]]  # out-of-palette indexes map to 0
     else:
         raise NotImplementedError(f"{bpp}-bit BMP is not supported (8/24 only)")
     return "bmp", gray if top_down else gray[::-1]
@@ -302,15 +308,18 @@ def synthetic_audio_df(spark, n: int = 16, seconds_scale: int = 64,
 
 
 def decode_samples(b: bytes) -> tuple[str, np.ndarray]:
-    """bytes → (format, mono float sample vector).  WAV: channel-mixed
-    normalized [-1, 1) PCM; FAKE: the uint8 payload as floats (legacy
-    synthetic semantics, pinned by the driver-gate oracle)."""
-    if b[:4] == b"RIFF":
-        fmt, _, _, s = _decode_wav_samples(b)
-        return fmt, s.mean(axis=1)
+    """bytes → (format, mono float sample vector) via the codec
+    registry (audio codecs channel-mix; a registered plug-in codec,
+    e.g. MP3, works here exactly as in decode_media).  FAKE payloads
+    keep the legacy uint8-as-float semantics, pinned by the
+    driver-gate oracle."""
     if b[:4] == MAGIC:
         _, px = _decode_fake_pixels(b)
         return "fake", px.ravel().astype(np.float64)
+    for name, sniff, kind, fn in CODECS:
+        if kind == "audio" and sniff(b):
+            fmt, _, _, s = fn(b)
+            return fmt, s.mean(axis=1)
     raise ValueError("unknown audio container")
 
 

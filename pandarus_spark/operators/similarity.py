@@ -101,7 +101,13 @@ def cosine_neardup_bucketed(embeddings: DataFrame, threshold: float = 0.9,
     brute-force SQL); production near-dup (cos ≥ 0.9) keeps the
     defaults."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        head = embeddings.select(vec_col).first()
+        if head is None or head[0] is None:
+            # empty corpus (or NULL lead vector): empty-but-well-typed
+            # result, matching cosine_neardup_pairs on the same input
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double")
+        dim = len(head[0])
     e = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
 
     tables = [lsh_bucket(F.col("v"), random_hyperplanes(dim, n_planes, seed + t))

@@ -274,6 +274,13 @@ def write_features_shapefile(features_df, path: str, label_field: str = "name") 
         f.write(header(100 + len(shx_buf)) + shx_buf)
 
     flen = max(8, max((len(lab.encode("latin-1")) for lab in labels), default=8))
+    if flen > 254:
+        # dBASE C fields cap at 254 bytes; silent truncation could
+        # collapse distinct labels, so refuse loudly instead
+        long_lab = next(lab for lab in labels if len(lab.encode("latin-1")) > 254)
+        raise ValueError(f"label {long_lab[:40]!r}… is {flen} bytes; dBASE "
+                         "character fields cap at 254 — shorten labels or "
+                         "use the GeoJSON/GPKG writers")
     dbf = bytearray()
     dbf += bytes([3, 126, 1, 1]) + struct.pack("<I", len(labels))
     dbf += struct.pack("<HH", 32 + 32 + 1, 1 + flen) + b"\x00" * 20

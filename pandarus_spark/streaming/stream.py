@@ -132,9 +132,14 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
             for pdf in pdfs:
                 ts = pd.Series(pdf[ts_col])
                 if getattr(ts.dt, "tz", None) is None:
-                    ts = ts.dt.tz_localize(session_tz, ambiguous="NaT",
+                    # DST-ambiguous wall times (fall-back hour) pick the
+                    # DST interpretation deterministically rather than
+                    # dropping the event — an instant was lost at the
+                    # Arrow naive-rendering boundary either way, and a
+                    # 1-hour-shifted event beats a silently missing one
+                    ts = ts.dt.tz_localize(session_tz, ambiguous=True,
                                            nonexistent="shift_forward")
-                ts = ts.dropna()  # DST-ambiguous wall times have no epoch
+                ts = ts.dropna()
                 epochs = ts.astype("int64").to_numpy() / 1e9
                 intervals.extend((float(t), float(t), 1) for t in epochs)
 
@@ -205,7 +210,10 @@ def stream_simhash_neardup(docs_stream: DataFrame, max_hamming: int = 3,
     width = bits // bands
     mask = (1 << width) - 1
 
-    hashed = docs_stream.select(
+    # NULL-text rows never reach the batch operator (explode of a NULL
+    # token array drops them) — mirror that here, otherwise they would
+    # all hash to 0 and pair quadratically as hamming-0 "near-dups"
+    hashed = docs_stream.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("doc_id"),
         simhash_expr(F.col(text_col), bits).alias("simhash"))
     banded = hashed.select(

@@ -289,3 +289,21 @@ def test_stream_simhash_neardup_matches_batch(spark, tmp_path):
     # stream may emit a pair once per matching band — dedup exactly
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_simhash_neardup_drops_null_text(spark, tmp_path):
+    """NULL-text docs must not hash to 0 and pair quadratically
+    (review finding #1) — mirror the batch operator, which drops them."""
+    from pandarus_spark.streaming.stream import stream_simhash_neardup
+    rows = [(1, "alpha beta gamma"), (2, None), (3, None), (4, None),
+            (5, "alpha beta gamma")]
+    src = str(tmp_path / "null_in")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (stream_simhash_neardup(stream, max_hamming=3, bands=4)
+         .writeStream.format("memory").queryName("nd_null")
+         .option("checkpointLocation", str(tmp_path / "null_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_a"], r["doc_b"]) for r in spark.sql("SELECT * FROM nd_null").collect()}
+    assert got == {(1, 5)}  # only the real duplicate pair; no NULL pairs

@@ -55,15 +55,20 @@ def test_hole_crossing_exterior_is_carved():
 
 
 def test_clean_input_untouched():
+    """Clean input comes back with its ORIGINAL type and vertex
+    structure — wrapping a Polygon into MultiPolygon would flip
+    is_axis_rect and lose the rect fast paths (review finding #5)."""
     sq = _close([[0, 0], [1, 0], [1, 1], [0, 1]])
     holed = {"type": "Polygon", "coordinates": [
         _close([[0, 0], [4, 0], [4, 4], [0, 4]]),
         _close([[1, 1], [2, 1], [2, 2], [1, 2]])]}
-    out = G.make_valid({"type": "Polygon", "coordinates": [sq]})
-    assert len(out["coordinates"]) == 1
-    np.testing.assert_array_equal(out["coordinates"][0][0], sq)
-    out2 = G.make_valid(holed)
-    assert len(out2["coordinates"]) == 1 and len(out2["coordinates"][0]) == 2
+    clean = {"type": "Polygon", "coordinates": [sq]}
+    out = G.make_valid(clean)
+    assert out is clean  # identity: type preserved, nothing rebuilt
+    assert G.is_axis_rect(out)
+    assert G.make_valid(holed) is holed
+    mp = {"type": "MultiPolygon", "coordinates": [[sq]]}
+    assert G.make_valid(mp) is mp
 
 
 def test_clean_geom_repair_flag():

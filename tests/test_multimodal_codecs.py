@@ -136,3 +136,39 @@ def test_register_codec_seam():
         assert (fmt, w, h, mean) == ("xyz", 3, 2, 0.0)
     finally:
         M.CODECS.pop(0)
+
+
+def test_bmp8_short_palette_biclrused():
+    """biClrUsed < 256: pixel data starts right after the short palette
+    (review finding #2)."""
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 64, (5, 5), dtype=np.uint8)
+    pal = np.arange(64, dtype=np.uint8) * 4
+    h, w = idx.shape
+    row_bytes = (w + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        body += bytes(idx[r].tolist()) + b"\x00" * (row_bytes - w)
+    palette = bytearray()
+    for v in pal:
+        palette += bytes([int(v), int(v), int(v), 0])
+    off = 14 + 40 + 64 * 4
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, 64, 0)
+    fmt, px = M.decode_pixels(hdr + dib + bytes(palette) + bytes(body))
+    assert fmt == "bmp"
+    np.testing.assert_array_equal(px, pal[idx])
+
+
+def test_decode_samples_uses_registry():
+    """An audio codec registered via register_codec must work in
+    decode_samples / audio_features too (review finding #3)."""
+    sniff = lambda b: b[:4] == b"AUD1"  # noqa: E731
+    decode = lambda b: ("aud", 4, 2, np.arange(8, dtype=float).reshape(4, 2))  # noqa: E731
+    M.register_codec("aud", sniff, "audio", decode)
+    try:
+        fmt, mono = M.decode_samples(b"AUD1xxxx")
+        assert fmt == "aud"
+        np.testing.assert_allclose(mono, [0.5, 2.5, 4.5, 6.5])
+    finally:
+        M.CODECS.pop(0)

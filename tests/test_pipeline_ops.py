@@ -312,3 +312,11 @@ def test_decode_rejects_real_codecs(spark):
         M._decode_one(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(ValueError):
         M._decode_one(b"garbage")
+
+
+def test_cosine_neardup_bucketed_empty_input(spark):
+    """Empty corpus: empty typed result, not a TypeError (review #4)."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = S.cosine_neardup_bucketed(emb)
+    assert out.columns == ["id_a", "id_b", "cos"]
+    assert out.count() == 0

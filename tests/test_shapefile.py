@@ -127,3 +127,12 @@ def test_repair_flag_through_reader(spark, tmp_path):
     assert g_fixed["type"] == "MultiPolygon"
     assert sum(G.polygon_area(part) for part in g_fixed["coordinates"]) == \
         pytest.approx(2.0, rel=1e-12)
+
+
+def test_overlong_labels_refused(spark, tmp_path):
+    feats = extract_features(pages_df(spark, "long", features=[
+        {"name": "x" * 300, "geometry": {"type": "Polygon", "coordinates": [np.array(
+            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])]}}]),
+        validate_unique=False)
+    with pytest.raises(ValueError, match="254"):
+        write_features_shapefile(feats, str(tmp_path / "long.shp"))
