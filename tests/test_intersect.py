@@ -128,3 +128,17 @@ def test_intersections_from_intersection(spark, grid):
 def test_disjoint_maps_empty(spark, grid):
     big = extract_features(pages_df(spark, "big-grid"))
     assert ps.intersect(big, grid).count() == 0
+
+
+def test_geometry_collection_feature_via_allow_collections(spark, grid):
+    """A GeometryCollection feature (allowed explicitly) intersects like
+    its contained polygon — the reference's recursive kind extraction
+    (recursive_geom_finder, utils/geometry.py:31-71)."""
+    gc = extract_features(pages_df(spark, "gc"), allow_collections=True)
+    got = _rows(ps.intersect(gc, grid))
+    square = extract_features(pages_df(spark, "square"))
+    want = {("complicated", t): m
+            for (s, t), m in _rows(ps.intersect(square, grid)).items()}
+    assert set(got) == set(want)
+    for k, m in want.items():
+        assert abs(got[k] - m) / m < 1e-12
