@@ -188,6 +188,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ps.raster_statistics(_fixtures(spark, "grid"), _range_cells(spark),
                                     method="centers")
 
+    def q_zonal_coverage_tiles(spark, sf_dir):
+        # CLUSTER path end-to-end: raster as a tile-parquet-shaped table
+        # (sources/raster.py contract) → cells_from_tiles → cell-key
+        # candidate join (strategy="tiles", no broadcast) — must hit the
+        # exact same reference goldens as the broadcast path
+        import numpy as np
+
+        from pandarus_spark.operators.raster_stats import RasterSpec
+        from pandarus_spark.sources.raster import cells_from_tiles, tiles_from_array
+        arr = np.arange(50, dtype=np.float32).reshape(10, 5).astype(np.float64)
+        arr[4, :] = -1.0
+        arr[5, :] = -1.0
+        spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0)
+        cells = cells_from_tiles(tiles_from_array(spark, arr, tile_size=4), spec,
+                                 tile_size=4)
+        return ps.raster_statistics(_fixtures(spark, "grid"), cells,
+                                    method="coverage", strategy="tiles")
+
     def q_vectorize_range(spark, sf_dir):
         out = ps.convert_to_vector(_range_cells(spark))
         return out.groupBy("val").agg(F.count("*").alias("n_regions"))
@@ -385,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_points_grid": q_knn_points_grid,
         "zonal_coverage": q_zonal_coverage,
         "zonal_centers": q_zonal_centers,
+        "zonal_coverage_tiles": q_zonal_coverage_tiles,
         "vectorize_range": q_vectorize_range,
         "clean_raster_range": q_clean_raster_range,
         "round_raster_lineitem": q_round_raster_lineitem,
@@ -730,6 +749,8 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "knn_points_grid": knn,
         "zonal_coverage": zonal_coverage,
         "zonal_centers": zonal_centers,
+        # tiles strategy + tile-table contract: same reference goldens
+        "zonal_coverage_tiles": zonal_coverage,
         "vectorize_range": vectorize,
         "clean_raster_range": clean_range,
         "round_raster_lineitem": round_li,
