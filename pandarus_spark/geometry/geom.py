@@ -379,7 +379,7 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     # even-odd crossing count
     dx, dy = x2 - x1, y2 - y1
     cond = (y1 > y) != (y2 > y)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xint = x1 + (y - y1) * dx / np.where(dy == 0, 1, dy)
     crossings = (cond & (x < xint)).sum(axis=1)
     return on_boundary | (crossings % 2 == 1)
