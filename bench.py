@@ -131,6 +131,17 @@ def job_knn(spark, sf_dir: str) -> int:
     return ps.knn_nearest_feature(q, base, k=3, res=12, ring=1).count()
 
 
+def _cpu_steal():
+    """(total_jiffies, steal_jiffies) from /proc/stat — objective
+    evidence of host-neighbor CPU steal during the timed section
+    (this shared VM's noise source; see BASELINE.md protocol)."""
+    try:
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return sum(vals), vals[7]
+    except Exception:
+        return None
+
+
 def _warmup(spark) -> None:
     """Steady-state warmup (untimed): spin up the Python worker pool,
     JIT the md5/conv/higher-order-function codegen paths, and trigger
@@ -147,6 +158,24 @@ def _warmup(spark) -> None:
             yield pdf
     spark.range(0, 10_000, 1, 32).mapInPandas(gen, schema="id long") \
         .write.format("noop").mode("overwrite").save()
+
+
+def _warmup_queries(spark, sf_dir: str) -> None:
+    """Per-query JIT warmup (untimed): the wide Catalyst expression
+    trees (16 minhash permutations over shingle transforms, 32 simhash
+    bit-votes, the text-stats aggregate battery) each generate their
+    own codegen classes, and C2 needs 1-2 invocations before they run
+    at steady state — measured 15-26 s on the first two minhash_lsh
+    calls vs 6.5-7 s settled, which is exactly the min-of-2 window the
+    timed loop reports.  Tiny inputs hit the same codegen cache entries
+    at negligible cost."""
+    from pandarus_spark.operators import dedup as D, textstats as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300) \
+        .localCheckpoint(eager=True)
+    for _ in range(2):
+        D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.2).count()
+    _force(D.simhash(docs, bits=32))
+    _force(T.text_stats(docs))
 
 
 HEADLINE = {
@@ -438,10 +467,12 @@ def main() -> None:
                              "zonal_scale", "dedup_scale", "refine_shapes"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
-    ap.add_argument("--runs", type=int, default=2,
-                    help="timed repetitions per headline query; the MIN is "
-                         "reported (steady-state throughput on a shared VM "
-                         "whose run-to-run noise is 3-4x)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed full passes over the headline suite; the "
+                         "per-query MIN across passes is reported (steady-"
+                         "state throughput on a shared VM whose host-steal "
+                         "windows last minutes and cost 3-6x; passes are "
+                         "minutes apart, so one usually lands quiet)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -526,16 +557,26 @@ def main() -> None:
         return
 
     _warmup(spark)
+    _warmup_queries(spark, sf_dir)
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in HEADLINE.items():
-        best = None
-        for _ in range(max(1, args.runs)):
+    # Repetitions run as FULL PASSES over the suite (pass 1 all queries,
+    # pass 2 all queries) rather than back-to-back per query: this VM's
+    # noise arrives as multi-minute host-steal windows, and a stage-
+    # barrier-heavy query (minhash_lsh is ~8 sequential stages) degrades
+    # 4-6x inside one — one straggling core drags every barrier.  Two
+    # consecutive runs share the window; two passes minutes apart
+    # usually don't, so the per-query min recovers steady state.
+    st0 = _cpu_steal()
+    for _ in range(max(1, args.runs)):
+        for name, fn in HEADLINE.items():
             t0 = time.perf_counter()
             rows[name] = fn(spark, sf_dir)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = dt if name not in times else min(times[name], dt)
+    st1 = _cpu_steal()
+    steal_pct = (round(100.0 * (st1[1] - st0[1]) / max(1, st1[0] - st0[0]), 2)
+                 if st0 and st1 else None)
 
     total = round(sum(times.values()), 3)
     core_rows = rows["overlay_intersect"] + rows["tile_assignments"]
@@ -547,6 +588,7 @@ def main() -> None:
         "sf": _sf_of(sf_dir), "cpus": cpus,
         "rows": rows,
         "throughput_rows_per_sec": round(core_rows / core_sec, 1) if core_sec else None,
+        "host_steal_pct": steal_pct,
     }))
     spark.stop()
 
