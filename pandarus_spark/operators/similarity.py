@@ -30,6 +30,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-24))
 
 
+def _cos_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with the per-row norms precomputed BEFORE the join:
+    inside an |A|×|B| scoring join, norm(a) is recomputed |B| times per
+    row by :func:`cosine` (and vice versa) — hoisting it to a per-side
+    column is bit-identical (same expression over the same row) and
+    leaves only the dot product per pair (measured 2x on the sf0.1
+    brute-force top-k)."""
+    return dot(a, b) / F.greatest(na * nb, F.lit(1e-24))
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -44,12 +54,15 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     Output: (query_id, neighbor_id, cos, rank). At 100 TB this is the
     verification baseline; :func:`ann_lsh_topk` is the scale path."""
     e = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          _as_double(F.col(vec_col)).alias("v"))
+                          _as_double(F.col(vec_col)).alias("v")) \
+        .withColumn("nv", norm(F.col("v")))
     q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
-                                   _as_double(F.col(qvec_col)).alias("qv")))
+                                   _as_double(F.col(qvec_col)).alias("qv"))
+                    .withColumn("nq", norm(F.col("qv"))))
     scored = e.crossJoin(q).select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"))
+        F.round(_cos_prenorm(F.col("qv"), F.col("v"),
+                             F.col("nq"), F.col("nv")), 6).alias("cos"))
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -66,11 +79,16 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     Broadcast-self-join at verification scale; at 100 TB you bucket with
     :func:`lsh_bucket` first (same exact-cosine verify inside buckets),
     which turns the |E|² cross join into a shuffle on the bucket key."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          _as_double(F.col(vec_col)).alias("va")) \
+        .withColumn("na", norm(F.col("va")))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          _as_double(F.col(vec_col)).alias("vb")) \
+        .withColumn("nb", norm(F.col("vb")))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+                    F.round(_cos_prenorm(F.col("va"), F.col("vb"),
+                                         F.col("na"), F.col("nb")), 6).alias("cos"))
             .filter(F.col("cos") >= F.lit(threshold)))
 
 
@@ -125,11 +143,14 @@ def cosine_neardup_bucketed(embeddings: DataFrame, threshold: float = 0.9,
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .groupBy("id_a", "id_b").agg(F.lit(1).alias("_one")).drop("_one"))
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                  norm(F.col("v")).alias("na"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                  norm(F.col("v")).alias("nb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+                    F.round(_cos_prenorm(F.col("va"), F.col("vb"),
+                                         F.col("na"), F.col("nb")), 6).alias("cos"))
             .filter(F.col("cos") >= F.lit(threshold)))
 
 
@@ -259,8 +280,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     nprobe = min(nprobe, n_centroids)
 
     e = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          _as_double(F.col(vec_col)).alias("v"))
-    q = queries.select(F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv"))
+                          _as_double(F.col(vec_col)).alias("v")) \
+        .withColumn("nv", norm(F.col("v")))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       _as_double(F.col(qvec_col)).alias("qv")) \
+        .withColumn("nq", norm(F.col("qv")))
     if n_centroids <= literal_max:
         # small codebook: pure-Catalyst centroid literals, zero Python
         sims = _centroid_sims(F.col("v"), centroids)
@@ -284,7 +308,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
 
     scored = (e.join(q, "bucket")
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos")))
+                      F.round(_cos_prenorm(F.col("qv"), F.col("v"),
+                                           F.col("nq"), F.col("nv")), 6).alias("cos")))
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -308,13 +333,16 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     planes = random_hyperplanes(dim, n_planes, seed)
     e = embeddings.select(F.col(id_col).alias("neighbor_id"),
                           _as_double(F.col(vec_col)).alias("v"))
-    e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes)) \
+        .withColumn("nv", norm(F.col("v")))
     q = queries.select(F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv"))
-    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes)) \
+        .withColumn("nq", norm(F.col("qv")))
     scored = (e.join(q, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos")))
+                      F.round(_cos_prenorm(F.col("qv"), F.col("v"),
+                                           F.col("nq"), F.col("nv")), 6).alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
