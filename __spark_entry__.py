@@ -64,15 +64,23 @@ def _intersect_fixture(spark, first: str, second: str) -> DataFrame:
               .orderBy("from_label", "to_label")
 
 
-def _range_cells(spark, drop_nodata: bool = True):
+def _range_raster():
+    """The shared range-raster fixture (array, spec) — single source of
+    truth for every zonal/raster gate query; the `zonal_coverage` and
+    `zonal_coverage_tiles` oracles both assume exactly this raster."""
     import numpy as np
 
-    from pandarus_spark.operators.raster_stats import RasterSpec, raster_cells_df
+    from pandarus_spark.operators.raster_stats import RasterSpec
     arr = np.arange(50, dtype=np.float32).reshape(10, 5).astype(np.float64)
     arr[4, :] = -1.0
     arr[5, :] = -1.0
-    return raster_cells_df(spark, RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0), arr,
-                           drop_nodata=drop_nodata)
+    return arr, RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0)
+
+
+def _range_cells(spark, drop_nodata: bool = True):
+    from pandarus_spark.operators.raster_stats import raster_cells_df
+    arr, spec = _range_raster()
+    return raster_cells_df(spark, spec, arr, drop_nodata=drop_nodata)
 
 
 # ---------------------------------------------------------------------------
@@ -193,14 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sources/raster.py contract) → cells_from_tiles → cell-key
         # candidate join (strategy="tiles", no broadcast) — must hit the
         # exact same reference goldens as the broadcast path
-        import numpy as np
-
-        from pandarus_spark.operators.raster_stats import RasterSpec
         from pandarus_spark.sources.raster import cells_from_tiles, tiles_from_array
-        arr = np.arange(50, dtype=np.float32).reshape(10, 5).astype(np.float64)
-        arr[4, :] = -1.0
-        arr[5, :] = -1.0
-        spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0)
+        arr, spec = _range_raster()
         cells = cells_from_tiles(tiles_from_array(spark, arr, tile_size=4), spec,
                                  tile_size=4)
         return ps.raster_statistics(_fixtures(spark, "grid"), cells,
