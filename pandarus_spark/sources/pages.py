@@ -355,3 +355,37 @@ def _stable_id(url: str) -> int:
     """Deterministic 63-bit id from the url (no global sort needed)."""
     import hashlib
     return int.from_bytes(hashlib.sha256(url.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def read_pages_table(spark, identifier: str):
+    """input_hint on-ramp for a stored pages table.
+
+    ``iceberg:<catalog.db.table>`` reads through the Iceberg Spark
+    catalog — the north_rule's 10^12-doc production shape, where the
+    per-``lang``-partition checkpoint ledger (plans/checkpoint.py)
+    tracks (snapshot, partition) lineage.  The iceberg-spark-runtime
+    jars ship on real clusters (``spark.jars.packages``); this sandbox
+    has none, so the path is error-guarded, not silently degraded.
+    ``parquet:<path>`` or a bare path reads parquet (the test/bench
+    shape).  Either way the input_hint schema is validated."""
+    if identifier.startswith("iceberg:"):
+        name = identifier[len("iceberg:"):]
+        try:
+            df = spark.read.format("iceberg").load(name)
+        except Exception as ex:
+            raise RuntimeError(
+                "reading an Iceberg pages table requires the "
+                "iceberg-spark-runtime jars on the cluster "
+                f"(spark.jars.packages); loading {name!r} failed: {ex}"
+            ) from ex
+    else:
+        df = spark.read.parquet(identifier.removeprefix("parquet:"))
+    missing = [c for c in PAGES_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"pages table {identifier!r} is missing columns {missing}; "
+            f"the input_hint schema is {PAGES_COLUMNS}")
+    return df

@@ -1,0 +1,70 @@
+"""spark-submit driver for the checkpoint-resumable overlay join (the
+north_rule's packaged job shape):
+
+    python tools/make_submit_zip.py
+    spark-submit --master <cluster> --py-files dist/pandarus_spark.zip \
+        tools/submit_overlay_job.py \
+        --pages <identifier> --second-pages <identifier> \
+        --out <dir> --ledger <dir> [--partition-col lang]
+
+``<identifier>`` is anything ``read_pages_table`` accepts:
+``iceberg:<catalog.db.table>`` on a real cluster, ``parquet:<path>`` or
+a bare path for test/bench data.  The job extracts features from both
+pages tables, overlays them one ``--partition-col`` unit at a time
+through the CheckpointLedger (idempotent markers with row-count +
+measure-sum lineage; re-running after an interruption skips completed
+partitions), writes per-partition parquet under ``--out``, and prints
+one JSON line with the per-partition metrics.
+
+No SparkSession is created at import time and the package is imported
+lazily inside main() so ``--py-files`` distribution works on executors
+that only see the zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True,
+                    help="pages table identifier for the FROM side")
+    ap.add_argument("--second-pages", required=True,
+                    help="pages table identifier for the polygonal TO side")
+    ap.add_argument("--out", required=True, help="output parquet directory")
+    ap.add_argument("--ledger", required=True, help="checkpoint ledger directory")
+    ap.add_argument("--partition-col", default="lang")
+    ap.add_argument("--dataset-id", default=None,
+                    help="ledger key; defaults to a digest of the identifiers")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pandarus_spark.plans.checkpoint import CheckpointLedger, intersect_partitioned
+    from pandarus_spark.sources.pages import extract_features, read_pages_table
+
+    spark = SparkSession.builder.appName("pandarus-overlay").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    pages = read_pages_table(spark, args.pages)
+    second = extract_features(read_pages_table(spark, args.second_pages),
+                              validate_unique=False)
+
+    if args.dataset_id is None:
+        import hashlib
+        args.dataset_id = hashlib.sha256(
+            f"{args.pages}|{args.second_pages}".encode()).hexdigest()[:16]
+
+    ledger = CheckpointLedger(args.ledger)
+    metrics = intersect_partitioned(
+        spark, pages, second, ledger, dataset_id=args.dataset_id,
+        partition_col=args.partition_col, out_dir=args.out)
+    print(json.dumps({"dataset_id": args.dataset_id,
+                      "partitions": metrics}, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
