@@ -330,7 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             T.token_count(t).alias("n_tokens"),
             T.whitespace_token_count(t).alias("n_words"),
-            F.length(t).alias("n_chars2"),
+            T.n_chars(t).alias("n_chars2"),
             T.lang_id(t).alias("lang_guess"),
             T.quality_score(t).alias("quality"),
             T.dup_ngram_fraction(t).alias("dup_2gram_frac"),
@@ -631,9 +631,9 @@ FROM events GROUP BY event_type"""
 
     text_stats = f"""
 SELECT doc_id,
-  len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS n_tokens,
-  len(string_split(text, ' ')) AS n_words,
-  length(text) AS n_chars2,
+  len(regexp_extract_all(coalesce(text, ''), '[\\w]+|[^\\w\\s]')) AS n_tokens,
+  len(string_split(coalesce(text, ''), ' ')) AS n_words,
+  length(coalesce(text, '')) AS n_chars2,
   {T.lang_id_sql('text')} AS lang_guess,
   {T.quality_score_sql('text')} AS quality,
   {T.dup_ngram_fraction_sql('text')} AS dup_2gram_frac,

@@ -137,7 +137,9 @@ def _cpu_steal():
     (this shared VM's noise source; see BASELINE.md protocol)."""
     try:
         vals = list(map(int, open("/proc/stat").readline().split()[1:]))
-        return sum(vals), vals[7]
+        # fields 0-7 only: guest/guest_nice (8-9) are already counted
+        # inside user/nice, so including them would understate steal
+        return sum(vals[:8]), vals[7]
     except Exception:
         return None
 

@@ -40,11 +40,27 @@ def hash60_sql(expr: str) -> str:
     return f"CAST('0x'||substr(md5({expr}),1,15) AS BIGINT)"
 
 
+def nz(col: Column) -> Column:
+    """NULL text ≡ '' in every text kernel, on both engines.
+
+    The zip_with/slice shingle rewrite (and DuckDB's string_split)
+    propagate NULL, while the round-1 kernels produced the
+    empty-string result — a NULL-text doc would silently vanish from
+    minhash_lsh_pairs (posexplode of a NULL signature emits no rows)
+    and null out text_stats columns.  External pages tables
+    (``read_pages_table``) legitimately carry NULL text, so totalize
+    here once; the SQL renderings coalesce identically."""
+    return F.coalesce(col, F.lit(""))
+
+
+NZ_SQL = "coalesce({t}, '')"
+
+
 def words(col: Column) -> Column:
-    return F.split(F.lower(col), " ")
+    return F.split(F.lower(nz(col)), " ")
 
 
-WORDS_SQL = "string_split(lower({t}), ' ')"
+WORDS_SQL = "string_split(lower(coalesce({t}, '')), ' ')"
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
@@ -433,7 +449,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_sql(source: str = "documents", where: str = "", bits: int = 32,
                 text_expr: str = "text", id_col: str = "doc_id") -> str:
     """DuckDB rendering of :func:`simhash` (bit parity)."""
-    tok = f"list_distinct(string_split(lower({text_expr}), ' '))"
+    tok = f"list_distinct({WORDS_SQL.format(t=text_expr)})"
     h = hash60_sql("t")
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits))

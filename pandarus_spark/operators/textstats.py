@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import hash60, word_shingles
+from .dedup import NZ_SQL, WORDS_SQL, hash60, nz, word_shingles, words
 
 # small marker sets per language for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -23,15 +23,19 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def token_count(text: Column) -> Column:
     """Whitespace-ish token count (BPE-ish word splitting: runs of
     word chars or single non-space punctuation)."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"[\w]+|[^\w\s]"), 0))
+    return F.size(F.regexp_extract_all(nz(text), F.lit(r"[\w]+|[^\w\s]"), 0))
 
 
 def whitespace_token_count(text: Column) -> Column:
-    return F.size(F.split(text, " "))
+    return F.size(F.split(nz(text), " "))
+
+
+def n_chars(text: Column) -> Column:
+    return F.length(nz(text))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    toks = F.split(F.lower(text), " ")
+    toks = words(text)
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -56,12 +60,12 @@ def lang_id(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Heuristic quality in [0,1]: unique-token ratio, length saturation,
     mean token length saturation (deterministic, SQL-expressible)."""
-    toks = F.split(F.lower(text), " ")
+    toks = words(text)
     n = F.size(toks)
     uniq = F.size(F.array_distinct(toks))
     unique_ratio = uniq / F.greatest(n, F.lit(1))
     len_sat = F.least(n / F.lit(200.0), F.lit(1.0))
-    avg_len = F.length(text) / F.greatest(n, F.lit(1))
+    avg_len = n_chars(text) / F.greatest(n, F.lit(1))
     len_tok_sat = F.least(avg_len / F.lit(8.0), F.lit(1.0))
     return F.round(0.5 * unique_ratio + 0.3 * len_sat + 0.2 * len_tok_sat, 6)
 
@@ -71,7 +75,7 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
     n-gram occurrences that are repeats of an earlier occurrence —
     ``1 - distinct_ngrams / total_ngrams``.  0 for repetition-free
     text, → 1 for degenerate boilerplate.  Pure Catalyst."""
-    w = F.split(F.lower(text), " ")
+    w = words(text)
     # distinct-count over struct n-tuples of shifted slices, not over
     # concat'd gram strings: words contain no spaces (split by " "), so
     # the distinct counts are identical, and skipping the string
@@ -86,7 +90,7 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
 
 
 def dup_ngram_fraction_sql(t: str, n: int = 2) -> str:
-    w = f"string_split(lower({t}), ' ')"
+    w = WORDS_SQL.format(t=t)
     grams = (f"[array_to_string(({w})[i:i+{n - 1}],' ') "
              f"for i in range(1, greatest(len({w})-{n - 2}, 2))]")
     return (f"round(1.0 - len(list_distinct({grams})) * 1.0 "
@@ -110,7 +114,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.col(id_col),
         token_count(t).alias("n_tokens"),
         whitespace_token_count(t).alias("n_words"),
-        F.length(t).alias("n_chars"),
+        n_chars(t).alias("n_chars"),
         lang_id(t).alias("lang_guess"),
         quality_score(t).alias("quality"),
         dup_ngram_fraction(t).alias("dup_2gram_frac"),
@@ -123,15 +127,15 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 # ---------------------------------------------------------------------------
 
 def quality_score_sql(t: str) -> str:
-    toks = f"string_split(lower({t}), ' ')"
+    toks = WORDS_SQL.format(t=t)
     return ("round(0.5 * (len(list_distinct({toks})) / greatest(len({toks}),1)) "
             "+ 0.3 * least(len({toks}) / 200.0, 1.0) "
             "+ 0.2 * least((length({t}) / greatest(len({toks}),1)) / 8.0, 1.0), 6)"
-            ).format(toks=toks, t=t)
+            ).format(toks=toks, t=NZ_SQL.format(t=t))
 
 
 def lang_id_sql(t: str) -> str:
-    toks = f"list_distinct(string_split(lower({t}), ' '))"
+    toks = f"list_distinct({WORDS_SQL.format(t=t)})"
     score = {lang: f"len(list_intersect({toks}, {_sql_list(m)}))" for lang, m in LANG_MARKERS.items()}
     # same fold as lang_id(): strictly-greater replaces, fixed order
     expr_lang, expr_score = "'und'", "0"

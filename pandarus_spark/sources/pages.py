@@ -357,7 +357,9 @@ def _stable_id(url: str) -> int:
     return int.from_bytes(hashlib.sha256(url.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
-PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+# derived from PAGES_SCHEMA so the validated on-ramp can't drift from
+# the schema the synthetic sources emit
+PAGES_COLUMNS = tuple(f.split(" ")[0] for f in PAGES_SCHEMA.split(", "))
 
 
 def read_pages_table(spark, identifier: str):
@@ -376,11 +378,19 @@ def read_pages_table(spark, identifier: str):
         try:
             df = spark.read.format("iceberg").load(name)
         except Exception as ex:
-            raise RuntimeError(
-                "reading an Iceberg pages table requires the "
-                "iceberg-spark-runtime jars on the cluster "
-                f"(spark.jars.packages); loading {name!r} failed: {ex}"
-            ) from ex
+            # only rewrap the missing-runtime failure; a typo'd table
+            # name or catalog/permission error on a properly configured
+            # cluster must surface as itself, not as a jar hint
+            msg = str(ex)
+            if ("Failed to find data source" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "ClassNotFoundException" in msg):
+                raise RuntimeError(
+                    "reading an Iceberg pages table requires the "
+                    "iceberg-spark-runtime jars on the cluster "
+                    f"(spark.jars.packages); loading {name!r} failed: {ex}"
+                ) from ex
+            raise
     else:
         df = spark.read.parquet(identifier.removeprefix("parquet:"))
     missing = [c for c in PAGES_COLUMNS if c not in df.columns]

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pandarus_spark.operators import dedup as D, textstats as T
 
 EDGE_TEXTS = [
+    None,            # NULL text ≡ '' (nz totalization, both engines)
     "",
     "one",
     "two words",
@@ -116,3 +117,20 @@ def test_simhash_expr_matches_batch_and_duckdb(corpus):
         D.simhash_sql(source="docs")).fetchall()}
     for i, s in want.items():
         assert expr[i] == s, i
+
+
+def test_null_text_totalized_end_to_end(spark):
+    """A NULL-text doc must behave exactly like an empty-text doc in
+    every text kernel — not vanish (posexplode of a NULL signature
+    emits no rows) or null out stats columns.  External pages tables
+    (read_pages_table) legitimately carry NULL text."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real words here")],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: list(r["sig"])
+            for r in D.minhash_signatures(df, num_hashes=4).collect()}
+    assert set(sigs) == {1, 2, 3}          # NULL row still present
+    assert sigs[1] == sigs[2]              # NULL ≡ ''
+    stats = {r["doc_id"]: r.asDict() for r in T.text_stats(df).collect()}
+    assert stats[1] == {**stats[2], "doc_id": 1}
+    assert all(v is not None for v in stats[1].values())

@@ -19,7 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def build(out_zip: str | None = None) -> str:
     out_zip = out_zip or os.path.join(REPO, "dist", "pandarus_spark.zip")
-    os.makedirs(os.path.dirname(out_zip), exist_ok=True)
+    out_dir = os.path.dirname(out_zip)
+    if out_dir:  # bare filename → cwd, nothing to create
+        os.makedirs(out_dir, exist_ok=True)
     pkg = os.path.join(REPO, "pandarus_spark")
     with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as z:
         for root, _dirs, files in os.walk(pkg):

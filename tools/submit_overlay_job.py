@@ -53,9 +53,15 @@ def main() -> None:
                               validate_unique=False)
 
     if args.dataset_id is None:
+        # the digest must cover everything that changes what a "done"
+        # marker means: the inputs, the partitioning column, and the
+        # output location — otherwise rerunning with a different
+        # --partition-col or --out against the same ledger would reuse
+        # stale markers and silently skip recomputation.
         import hashlib
         args.dataset_id = hashlib.sha256(
-            f"{args.pages}|{args.second_pages}".encode()).hexdigest()[:16]
+            f"{args.pages}|{args.second_pages}|{args.partition_col}"
+            f"|{args.out}".encode()).hexdigest()[:16]
 
     ledger = CheckpointLedger(args.ledger)
     metrics = intersect_partitioned(
