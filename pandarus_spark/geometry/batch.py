@@ -78,6 +78,13 @@ def _gather_next(arr: np.ndarray, cnt: np.ndarray) -> np.ndarray:
 _POLY_HDR = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"            # Polygon, 1 ring
 _MPOLY_HDR = (b"\x01\x06\x00\x00\x00\x01\x00\x00\x00" + _POLY_HDR)  # MultiPolygon[1]
 
+# rows above this vertex count take the scalar path: the batch decode
+# pads every row to the widest ring in the batch, so one 50k-vertex
+# coastline in a 5k-row Arrow batch would otherwise allocate
+# 5000×50001×16 B ≈ 4 GB (round-2 review finding).  4096 bounds the
+# dense array at maxRecordsPerBatch to a few hundred MB worst case.
+BATCH_MAX_VERTS = 4096
+
 
 def decode_simple_polygon_batch(wkbs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized decode of little-endian single-ring polygon WKBs.
@@ -103,8 +110,10 @@ def decode_simple_polygon_batch(wkbs: list) -> tuple[np.ndarray, np.ndarray, np.
             off = 22
         else:
             continue
+        if len(b) < off:
+            continue  # truncated header — scalar path reports the error
         npts = struct.unpack_from("<I", b, off - 4)[0]
-        if len(b) != off + 16 * npts or npts < 4:
+        if len(b) != off + 16 * npts or npts < 4 or npts > BATCH_MAX_VERTS:
             continue
         groups.setdefault((off, len(b)), []).append(i)
         ok[i] = True
@@ -192,11 +201,14 @@ def mollweide_area_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
     return ring_area_batch(proj, cnt)
 
 
-def multipolygon_wkb_batch(pts: np.ndarray, cnt: np.ndarray) -> list[bytes]:
+def multipolygon_wkb_batch(pts: np.ndarray, cnt: np.ndarray) -> list[bytes | None]:
     """Encode padded open rings as MultiPolygon[1 Polygon[1 ring]] WKBs
     (closed on the wire), grouped by vertex count so each group is one
     bulk byte assembly — the general-shape twin of the rect fast path's
-    inline WKB builder (operators/intersect.py)."""
+    inline WKB builder (operators/intersect.py).
+
+    Rows with ``cnt < 3`` (degenerate after clipping) stay ``None`` —
+    callers must filter them out or tolerate nulls in the column."""
     n = len(cnt)
     out: list[bytes | None] = [None] * n
     for c in np.unique(cnt):

@@ -282,12 +282,10 @@ def to_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np.n
 
     Mirrors Map.iter_latlong's normalize-at-ingest pass
     (reference pandarus/model.py:130-140)."""
-    out = _resolve_crs(crs)[0](x, y)
-    return out if isinstance(out, tuple) else (out[0], out[1])
+    return _resolve_crs(crs)[0](x, y)
 
 
 def from_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np.ndarray, np.ndarray]:
     """Project WGS84 degrees into a supported CRS (writer/test twin of
     :func:`to_wgs84`)."""
-    out = _resolve_crs(crs)[1](x, y)
-    return out if isinstance(out, tuple) else (out[0], out[1])
+    return _resolve_crs(crs)[1](x, y)
