@@ -250,11 +250,112 @@ CRS_FROM_WGS84 = {
 _LAEA_EUROPE = (10.0, 52.0, 4_321_000.0, 3_210_000.0)
 
 
+def _parse_proj4(s: str) -> dict:
+    """``'+proj=utm +zone=33 +south'`` → ``{'proj': 'utm', 'zone': '33',
+    'south': True}``.  Bare flags map to True; non-``+`` tokens are
+    ignored (matches PROJ's tolerance of stray whitespace/words)."""
+    out: dict = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            out[k] = v
+        else:
+            out[body] = True
+    return out
+
+
+#: ellipsoids our closed-form kernels are exact for.  GRS80 differs from
+#: WGS84 in flattening at 1e-11 (see _LAEA_EUROPE note) — accepted.
+_WGS84_ELLPS_OK = {"WGS84", "GRS80"}
+
+
+def _check_wgs84_ellps(p: dict, crs: str) -> None:
+    ell = p.get("datum") or p.get("ellps")
+    if ell is not None and str(ell).upper() not in _WGS84_ELLPS_OK:
+        raise ValueError(
+            f"unsupported ellipsoid {ell!r} in {crs!r}: the closed-form "
+            "kernels are WGS84/GRS80-exact only")
+
+
+def _resolve_proj4(crs: str):
+    """Dispatch a PROJ4 string onto the closed-form kernels.  Supported
+    projections: longlat/latlong (identity — the reference treats any
+    two geographic CRSs as interchangeable, utils/projection.py:54-57),
+    utm (+south), tmerc (any lat_0/lon_0/k/x_0/y_0), laea, moll (the
+    reference's measure CRS), and the spherical web-Mercator
+    parameterization of merc (EPSG:3857)."""
+    p = _parse_proj4(crs)
+    if "init" in p:  # '+init=epsg:32633' legacy form
+        return _resolve_crs(str(p["init"]))
+    proj = str(p.get("proj", "")).lower()
+    if proj in ("longlat", "latlong", "lonlat"):
+        _check_wgs84_ellps(p, crs)
+        return _IDENT, _IDENT
+    if proj == "utm":
+        _check_wgs84_ellps(p, crs)
+        zone = int(p.get("zone", 0))
+        if not 1 <= zone <= 60:
+            raise ValueError(f"bad UTM zone in {crs!r}")
+        y0 = 10_000_000.0 if p.get("south") else 0.0
+        lon0 = utm_lon0(zone)
+        return (lambda x, y: tm_inverse(x, y, lon0, y0=y0),
+                lambda x, y: tm_forward(x, y, lon0, y0=y0))
+    if proj == "tmerc":
+        _check_wgs84_ellps(p, crs)
+        lon0 = float(p.get("lon_0", 0.0))
+        lat0 = float(p.get("lat_0", 0.0))
+        k0 = float(p.get("k", p.get("k_0", 1.0)))
+        x0 = float(p.get("x_0", 0.0))
+        # fold the lat_0 origin into the false northing: PROJ's tmerc y
+        # is k0·(m(φ) − m(lat_0)) + y_0 and our kernel's is k0·m(φ) + y0
+        y0 = float(p.get("y_0", 0.0)) - k0 * float(_meridian_arc(np.radians(lat0)))
+        return (lambda x, y: tm_inverse(x, y, lon0, k0=k0, x0=x0, y0=y0),
+                lambda x, y: tm_forward(x, y, lon0, k0=k0, x0=x0, y0=y0))
+    if proj == "laea":
+        _check_wgs84_ellps(p, crs)
+        lon0 = float(p.get("lon_0", 0.0))
+        lat0 = float(p.get("lat_0", 0.0))
+        x0 = float(p.get("x_0", 0.0))
+        y0 = float(p.get("y_0", 0.0))
+        return (lambda x, y: laea_inverse(x, y, lon0, lat0, x0, y0),
+                lambda x, y: laea_forward(x, y, lon0, lat0, x0, y0))
+    if proj == "moll":
+        _check_wgs84_ellps(p, crs)
+        if any(float(p.get(k, 0.0)) != 0.0 for k in ("lon_0", "x_0", "y_0")):
+            raise ValueError(
+                f"only the reference's moll parameterization (lon_0=0, "
+                f"x_0=0, y_0=0) is supported, got {crs!r}")
+        return mollweide_inverse, mollweide_forward
+    if proj == "merc":
+        # accept only the spherical (EPSG:3857) parameterization; true
+        # ellipsoidal Mercator would need the conformal-latitude series
+        a = float(p.get("a", p.get("R", WGS84_A)))
+        b = float(p.get("b", a))
+        if (a != b or a != WGS84_A or float(p.get("lon_0", 0.0)) != 0.0
+                or float(p.get("lat_ts", 0.0)) != 0.0
+                or float(p.get("k", p.get("k_0", 1.0))) != 1.0
+                or float(p.get("x_0", 0.0)) != 0.0
+                or float(p.get("y_0", 0.0)) != 0.0):
+            raise ValueError(
+                f"only spherical web-Mercator (EPSG:3857 parameterization) "
+                f"is supported, got {crs!r}")
+        return web_mercator_inverse, web_mercator_forward
+    raise ValueError(
+        f"unsupported PROJ4 projection {proj!r} in {crs!r}; supported: "
+        "longlat, utm, tmerc, laea, moll, merc(spherical)")
+
+
 def _resolve_crs(crs: str):
-    """(to_wgs84, from_wgs84) for a CRS name, resolving UTM zones and
-    LAEA dynamically (reference accepts any PROJ4 string via pyproj,
-    utils/projection.py:23-60; this closed-form registry covers the
-    CRSs real LCA/web data actually arrives in)."""
+    """(to_wgs84, from_wgs84) for a CRS name or PROJ4 string, resolving
+    UTM zones and LAEA dynamically (reference accepts any PROJ4 string
+    via pyproj, utils/projection.py:23-60; this closed-form registry
+    covers the CRSs real LCA/web data actually arrives in, plus their
+    PROJ4 spellings so .prj / GeoJSON ``crs`` members resolve)."""
+    if crs.lstrip().startswith("+"):
+        return _resolve_proj4(crs)
     up = crs.upper().strip()
     if up in CRS_TO_WGS84:
         return CRS_TO_WGS84[up], CRS_FROM_WGS84[up]
@@ -274,7 +375,8 @@ def _resolve_crs(crs: str):
                 lambda x, y: laea_forward(x, y, lon0, lat0, x0, y0))
     raise ValueError(
         f"unsupported CRS {crs!r}; supported: {sorted(CRS_TO_WGS84)} "
-        "+ UTM zones EPSG:326xx/327xx + EPSG:3035 (LAEA Europe)")
+        "+ UTM zones EPSG:326xx/327xx + EPSG:3035 (LAEA Europe) "
+        "+ PROJ4 strings (+proj=longlat/utm/tmerc/laea/moll/merc)")
 
 
 def to_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np.ndarray, np.ndarray]:

@@ -92,7 +92,8 @@ def test_utm_and_laea_ingest_match_wgs84_goldens(spark, tmp_path):
     from pandarus_spark.geometry.projection import from_wgs84
 
     grid = read_geojson(spark, _write_fixture(tmp_path, "grid"))
-    for crs in ("EPSG:32631", "EPSG:3035"):
+    for crs in ("EPSG:32631", "EPSG:3035",
+                "+proj=utm +zone=31 +datum=WGS84 +units=m +no_defs"):
         def fwd(lon, lat, _crs=crs):
             x, y = from_wgs84(np.array([lon]), np.array([lat]), _crs)
             return float(x[0]), float(y[0])

@@ -107,3 +107,65 @@ def test_unsupported_crs_raises():
         to_wgs84(np.array([0.0]), np.array([0.0]), "EPSG:9999")
     with pytest.raises(ValueError, match="unsupported CRS"):
         to_wgs84(np.array([0.0]), np.array([0.0]), "EPSG:32699")  # zone 99
+
+
+def test_proj4_strings_match_epsg_twins():
+    """PROJ4 spellings must dispatch onto the exact same kernels as
+    their EPSG names (reference accepts any PROJ4 via pyproj,
+    utils/projection.py:23-60)."""
+    from pandarus_spark.geometry.projection import from_wgs84, to_wgs84 as inv
+    cases = [
+        ("+proj=utm +zone=31 +datum=WGS84 +units=m +no_defs", "EPSG:32631",
+         np.array([4.5, 1.2]), np.array([51.2, 43.0])),
+        ("+proj=utm +zone=33 +south +ellps=WGS84", "EPSG:32733",
+         np.array([13.5, 16.2]), np.array([-33.9, -8.8])),
+        ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+         "+ellps=GRS80 +units=m +no_defs", "EPSG:3035",
+         np.array([10.0, -5.0]), np.array([52.0, 60.0])),
+        ("+init=epsg:3857", "EPSG:3857",
+         np.array([4.5, -120.0]), np.array([51.2, 33.0])),
+    ]
+    for p4, epsg, lon, lat in cases:
+        xa, ya = from_wgs84(lon, lat, p4)
+        xb, yb = from_wgs84(lon, lat, epsg)
+        assert np.array_equal(xa, xb) and np.array_equal(ya, yb), p4
+        lo, la = inv(xa, ya, p4)
+        assert np.allclose(lo, lon, atol=1e-9) and np.allclose(la, lat, atol=1e-9), p4
+
+
+def test_proj4_tmerc_generic_origin_and_roundtrip():
+    """tmerc with a nonzero lat_0 folds the origin's meridian arc into
+    the false northing: forward(lon_0, lat_0) == (x_0, y_0) exactly and
+    the round trip holds at 1e-9 within the zone."""
+    from pandarus_spark.geometry.projection import from_wgs84, to_wgs84 as inv
+    p4 = "+proj=tmerc +lat_0=10 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=200000 +ellps=WGS84"
+    x, y = from_wgs84(np.array([9.0]), np.array([10.0]), p4)
+    assert x[0] == pytest.approx(500_000.0, abs=1e-6)
+    assert y[0] == pytest.approx(200_000.0, abs=1e-6)
+    lon = np.array([7.2, 11.9]); lat = np.array([5.0, 35.0])
+    lo, la = inv(*from_wgs84(lon, lat, p4), p4)
+    assert np.allclose(lo, lon, atol=1e-9) and np.allclose(la, lat, atol=1e-9)
+
+
+def test_proj4_longlat_identity_and_moll():
+    from pandarus_spark.geometry.projection import (
+        MOLLWEIDE, from_wgs84, mollweide_forward)
+    lon = np.array([4.5, -120.0]); lat = np.array([51.2, 33.0])
+    lo, la = to_wgs84(lon, lat, "+proj=longlat +ellps=WGS84 +datum=WGS84 +no_defs")
+    assert np.array_equal(lo, lon) and np.array_equal(la, lat)
+    xm, ym = from_wgs84(lon, lat, MOLLWEIDE)
+    xr, yr = mollweide_forward(lon, lat)
+    assert np.array_equal(xm, xr) and np.array_equal(ym, yr)
+
+
+def test_proj4_unsupported_raises():
+    from pandarus_spark.geometry.projection import to_wgs84 as inv
+    z = np.array([0.0])
+    with pytest.raises(ValueError, match="unsupported PROJ4 projection"):
+        inv(z, z, "+proj=aea +lat_1=29.5 +lat_2=45.5")
+    with pytest.raises(ValueError, match="unsupported ellipsoid"):
+        inv(z, z, "+proj=utm +zone=33 +ellps=clrk66")
+    with pytest.raises(ValueError, match="spherical web-Mercator"):
+        inv(z, z, "+proj=merc +lon_0=110 +ellps=WGS84")
+    with pytest.raises(ValueError, match="moll parameterization"):
+        inv(z, z, "+proj=moll +lon_0=90")
