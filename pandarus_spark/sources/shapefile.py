@@ -165,12 +165,84 @@ _PRJ_PATTERNS = [
 ]
 
 
+#: WKT PARAMETER name → PROJ4 key, covering ESRI WKT1 and OGC WKT2
+#: spellings (names normalized to lowercase words).
+_WKT_PARAM_KEYS = {
+    "false easting": "x_0",
+    "false northing": "y_0",
+    "central meridian": "lon_0",
+    "longitude of center": "lon_0",
+    "longitude of origin": "lon_0",
+    "longitude of natural origin": "lon_0",
+    "scale factor": "k",
+    "scale factor at natural origin": "k",
+    "latitude of origin": "lat_0",
+    "latitude of center": "lat_0",
+    "latitude of natural origin": "lat_0",
+}
+
+#: WKT PROJECTION/METHOD name → PROJ4 projection, restricted to what the
+#: closed-form kernels implement.
+_WKT_PROJ_NAMES = {
+    "transverse mercator": "tmerc",
+    "lambert azimuthal equal area": "laea",
+    "mollweide": "moll",
+}
+
+
+def _norm_wkt_name(s: str) -> str:
+    return " ".join(re.sub(r"[^a-z0-9]+", " ", s.lower()).split())
+
+
+def _proj4_from_projcs_wkt(wkt: str) -> str | None:
+    """Generic PROJCS WKT → PROJ4 string for the projections the engine
+    implements (tmerc/laea/moll); returns None when the WKT is not a
+    recognizable parameterized PROJCS.  The resulting string dispatches
+    through the PROJ4 front-end in geometry/projection.py, so ellipsoid
+    restrictions (WGS84/GRS80 only) are enforced there."""
+    m = re.search(r'(?:PROJECTION|METHOD)\s*\[\s*"([^"]+)"', wkt, re.I)
+    if not m:
+        return None
+    proj = _WKT_PROJ_NAMES.get(_norm_wkt_name(m.group(1)))
+    if proj is None:
+        return None
+    parts = [f"+proj={proj}"]
+    for name, val in re.findall(
+            r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt, re.I):
+        key = _WKT_PARAM_KEYS.get(_norm_wkt_name(name))
+        if key is not None:
+            parts.append(f"+{key}={float(val):.10g}")
+    ell = re.search(r'SPHEROID\s*\[\s*"([^"]+)"|ELLIPSOID\s*\[\s*"([^"]+)"',
+                    wkt, re.I)
+    if ell:
+        name = _norm_wkt_name(ell.group(1) or ell.group(2))
+        if "wgs" in name and "84" in name:
+            parts.append("+ellps=WGS84")
+        elif "grs" in name and ("80" in name or "1980" in name):
+            parts.append("+ellps=GRS80")
+        else:
+            raise ValueError(
+                f"unsupported spheroid {name!r} in .prj; the closed-form "
+                "kernels are WGS84/GRS80-exact only")
+    unit = re.search(r'UNIT\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)\s*\]\s*\]\s*$',
+                     wkt.strip(), re.I)
+    if unit and abs(float(unit.group(2)) - 1.0) > 1e-12:
+        raise ValueError(
+            f"non-metre projected unit {unit.group(1)!r} in .prj is not supported")
+    return " ".join(parts)
+
+
 def _crs_from_prj(path: str) -> str | None:
     prj = os.path.splitext(path)[0] + ".prj"
     if not os.path.isfile(prj):
         return None
     wkt = open(prj).read()
+    projected = re.search(r"(?:PROJECTION|METHOD)\s*\[", wkt, re.I) is not None
     for pat, tag in _PRJ_PATTERNS:
+        if tag == "EPSG:4326" and projected:
+            # a projected WKT embeds a geographic GEOGCS — matching its
+            # WGS84 name would silently skip the projection
+            continue
         m = pat.search(wkt)
         if not m:
             continue
@@ -179,6 +251,9 @@ def _crs_from_prj(path: str) -> str | None:
         zone = int(m.group(1))
         south = (m.group(2) or "").strip("_").upper() == "S" or "south" in wkt.lower()
         return f"EPSG:{327 if south else 326}{zone:02d}"
+    p4 = _proj4_from_projcs_wkt(wkt)
+    if p4 is not None:
+        return p4
     raise ValueError(f"unrecognized .prj CRS in {prj!r}; pass crs= explicitly")
 
 

@@ -136,3 +136,112 @@ def test_overlong_labels_refused(spark, tmp_path):
         validate_unique=False)
     with pytest.raises(ValueError, match="254"):
         write_features_shapefile(feats, str(tmp_path / "long.shp"))
+
+
+ESRI_TMERC_WKT = (
+    'PROJCS["Custom_TM_9E",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+    'UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",200000.0],'
+    'PARAMETER["Central_Meridian",9.0],PARAMETER["Scale_Factor",0.9996],'
+    'PARAMETER["Latitude_Of_Origin",10.0],UNIT["Meter",1.0]]')
+
+WKT2_LAEA = (
+    'PROJCRS["Custom LAEA",BASEGEOGCRS["ETRS89",DATUM["ETRS89",'
+    'ELLIPSOID["GRS 1980",6378137,298.257222101]]],CONVERSION["LAEA",'
+    'METHOD["Lambert Azimuthal Equal Area"],'
+    'PARAMETER["Latitude of natural origin",52],'
+    'PARAMETER["Longitude of natural origin",10],'
+    'PARAMETER["False easting",4321000],PARAMETER["False northing",3210000]]]')
+
+
+def test_prj_generic_projcs_wkt_to_proj4(spark, tmp_path):
+    """PROJCS WKT with explicit parameters (no recognizable name) must
+    resolve through the generic parser into a PROJ4 string that the CRS
+    registry dispatches — ESRI WKT1 and OGC WKT2 spellings both."""
+    import numpy as np
+
+    from pandarus_spark.geometry.projection import from_wgs84, to_wgs84
+    from pandarus_spark.sources.shapefile import _crs_from_prj
+
+    p = _write_fixture_shp(spark, tmp_path, "square")
+    with open(str(tmp_path / "square.prj"), "w") as f:
+        f.write(ESRI_TMERC_WKT)
+    crs = _crs_from_prj(p)
+    assert crs.startswith("+proj=tmerc")
+    x, y = from_wgs84(np.array([9.0]), np.array([10.0]), crs)
+    assert x[0] == pytest.approx(500_000.0, abs=1e-6)
+    assert y[0] == pytest.approx(200_000.0, abs=1e-6)
+
+    with open(str(tmp_path / "square.prj"), "w") as f:
+        f.write(WKT2_LAEA)
+    crs = _crs_from_prj(p)
+    assert crs.startswith("+proj=laea")
+    # parameter-for-parameter the EPSG:3035 definition
+    xa, ya = from_wgs84(np.array([10.0, -5.0]), np.array([52.0, 60.0]), crs)
+    xb, yb = from_wgs84(np.array([10.0, -5.0]), np.array([52.0, 60.0]), "EPSG:3035")
+    assert np.allclose(xa, xb, atol=1e-9) and np.allclose(ya, yb, atol=1e-9)
+    lo, la = to_wgs84(xa, ya, crs)
+    assert np.allclose(lo, [10.0, -5.0], atol=1e-9)
+
+    # a projected WKT whose GEOGCS mentions WGS84 must NOT fall back to
+    # the geographic EPSG:4326 detection (ordering hazard)
+    assert _crs_from_prj(p) != "EPSG:4326"
+
+
+def test_prj_generic_wkt_error_paths(spark, tmp_path):
+    from pandarus_spark.sources.shapefile import _crs_from_prj
+
+    p = _write_fixture_shp(spark, tmp_path, "square")
+    with open(str(tmp_path / "square.prj"), "w") as f:
+        f.write(ESRI_TMERC_WKT.replace('SPHEROID["WGS_1984"', 'SPHEROID["Clarke_1866"'))
+    with pytest.raises(ValueError, match="unsupported spheroid"):
+        _crs_from_prj(p)
+    with open(str(tmp_path / "square.prj"), "w") as f:
+        f.write(ESRI_TMERC_WKT.replace('UNIT["Meter",1.0]',
+                                       'UNIT["Foot_US",0.3048006096012192]'))
+    with pytest.raises(ValueError, match="non-metre"):
+        _crs_from_prj(p)
+    # an unimplemented projection with full params still raises the
+    # pass-crs= message rather than misdetecting
+    with open(str(tmp_path / "square.prj"), "w") as f:
+        f.write(ESRI_TMERC_WKT.replace("Transverse_Mercator", "Albers"))
+    with pytest.raises(ValueError, match="pass crs="):
+        _crs_from_prj(p)
+
+
+def test_shapefile_projected_prj_ingest_matches_goldens(spark, tmp_path):
+    """End to end: a shapefile stored in a custom tmerc CRS with only a
+    parameterized .prj on disk must hit the WGS84 overlay goldens."""
+    import numpy as np
+
+    import pandarus_spark as ps
+    from pandarus_spark.geometry.projection import from_wgs84
+    from pandarus_spark.sources.pages import pages_df, extract_features
+    from pandarus_spark.sources.shapefile import read_shapefile, write_features_shapefile
+
+    from pandarus_spark.geometry.geom import wkb_dumps
+
+    crs = "+proj=tmerc +lat_0=10 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=200000 +ellps=WGS84"
+    sq = {"type": "Polygon",
+          "coordinates": [np.column_stack(from_wgs84(
+              np.array([0.5, 1.5, 1.5, 0.5, 0.5]),
+              np.array([0.5, 0.5, 1.5, 1.5, 0.5]), crs))]}
+    src = spark.createDataFrame(
+        [(0, "single", bytearray(wkb_dumps(sq)))],
+        "feature_id long, label string, geom_wkb binary")
+    path = write_features_shapefile(src, str(tmp_path / "proj_square.shp"))
+    with open(str(tmp_path / "proj_square.prj"), "w") as f:
+        f.write(ESRI_TMERC_WKT)
+    square = read_shapefile(spark, path)
+    grid = extract_features(pages_df(spark, "grid"))
+    out = {(r["from_label"], r["to_label"]): r["measure"]
+           for r in ps.intersect(square, grid).collect()}
+    assert len(out) == 4
+    for (_, g_lab), m in out.items():
+        want = 3097719886.0413523 if g_lab in ("grid cell 0", "grid cell 2") \
+            else 3097248058.207057
+        # 1e-7: the WGS84→tmerc→WGS84 round trip through the Snyder
+        # series with a lat_0 false-northing fold carries ~2e-8 relative
+        # area truncation (vs 1e-2 in the reference's analytic tests)
+        assert m == pytest.approx(want, rel=1e-7)
