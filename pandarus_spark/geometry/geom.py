@@ -624,20 +624,44 @@ def _segment_crossings(a1, a2, b1, b2, lo: float, hi: float):
     pad = (ghi - glo) / nbins * 1e-9  # candidate slop: the computed
     # crossing x can round a hair past an edge's bbox; widening the
     # SELECTION never duplicates reports (the x-filter still partitions)
-    for k in range(nbins):
+    sel_a = _bin_members(axl, axh, cuts, pad)
+    sel_b = _bin_members(bxl, bxh, cuts, pad)
+    for k, (sa, sb) in enumerate(zip(sel_a, sel_b)):
+        if not len(sa) or not len(sb):
+            continue
         c0, c1 = cuts[k], cuts[k + 1]
-        sa = np.flatnonzero((axl <= c1 + pad) & (axh >= c0 - pad))
-        if not len(sa):
-            continue
-        sb = np.flatnonzero((bxl <= c1 + pad) & (bxh >= c0 - pad))
-        if not len(sb):
-            continue
         for ti, t in _segment_crossings_dense(
                 a1[sa], a2[sa], b1[sb], b2[sb], lo, hi,
                 xlo=(-np.inf if k == 0 else c0),
                 xhi=(np.inf if k == nbins - 1 else c1),
                 xhi_closed=(k == nbins - 1)):
             yield sa[ti], t
+
+
+def _bin_members(xl: np.ndarray, xh: np.ndarray, cuts: np.ndarray, pad: float):
+    """Per-bin sorted index arrays of intervals [xl, xh] overlapping
+    [cuts[k]-pad, cuts[k+1]+pad] — the sweep twin of the mask
+    ``(xl <= c1+pad) & (xh >= c0-pad)``: intervals enter from a pre-sort
+    on xl and leave via a heap on xh (both bin edges are monotone in k,
+    so pops are final).  O(E log E + Σ|active|) instead of an O(E) mask
+    per bin, which re-quadratified the crossing scan around 1M edges."""
+    import heapq
+    order = np.argsort(xl, kind="stable")
+    heap: list[tuple[float, int]] = []
+    ai, n = 0, len(order)
+    out = []
+    for k in range(len(cuts) - 1):
+        c0, c1 = cuts[k] - pad, cuts[k + 1] + pad
+        while ai < n and xl[order[ai]] <= c1:
+            e = int(order[ai])
+            ai += 1
+            heapq.heappush(heap, (xh[e], e))
+        while heap and heap[0][0] < c0:
+            heapq.heappop(heap)
+        idx = np.fromiter((e for _, e in heap), dtype=np.int64, count=len(heap))
+        idx.sort()
+        out.append(idx)
+    return out
 
 
 def _ring_cross_xs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
