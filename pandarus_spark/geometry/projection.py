@@ -230,6 +230,73 @@ def laea_inverse(x, y, lon0_deg: float, lat0_deg: float,
     return np.degrees(lam), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Ellipsoidal Albers equal-area conic (Snyder 14-3..14-12, 3-16)
+# ---------------------------------------------------------------------------
+
+
+def _albers_consts(lat1_deg: float, lat2_deg: float, lat0_deg: float):
+    phi1, phi2, phi0 = np.radians([lat1_deg, lat2_deg, lat0_deg])
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+
+    m1, m2 = m(phi1), m(phi2)
+    q1, q2 = _authalic_q(np.array(phi1)), _authalic_q(np.array(phi2))
+    if abs(lat1_deg - lat2_deg) < 1e-12:
+        n = float(np.sin(phi1))
+    else:
+        n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+    if abs(n) < 1e-12:
+        raise ValueError(
+            "Albers with standard parallels symmetric about the equator "
+            "degenerates to a cylinder (n=0); pick non-symmetric parallels")
+    c = float(m1 * m1 + n * q1)
+    q0 = float(_authalic_q(np.array(phi0)))
+    rho0 = WGS84_A * np.sqrt(c - n * q0) / n
+    return n, c, rho0
+
+
+def albers_forward(lon_deg, lat_deg, lat1_deg: float, lat2_deg: float,
+                   lat0_deg: float, lon0_deg: float,
+                   x0: float = 0.0, y0: float = 0.0):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    n, c, rho0 = _albers_consts(lat1_deg, lat2_deg, lat0_deg)
+    q = _authalic_q(phi)
+    rho = WGS84_A * np.sqrt(np.maximum(c - n * q, 0.0)) / n
+    theta = n * (lam - np.radians(lon0_deg))
+    return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
+
+
+def albers_inverse(x, y, lat1_deg: float, lat2_deg: float,
+                   lat0_deg: float, lon0_deg: float,
+                   x0: float = 0.0, y0: float = 0.0):
+    x = np.asarray(x, dtype=np.float64) - x0
+    y = np.asarray(y, dtype=np.float64) - y0
+    n, c, rho0 = _albers_consts(lat1_deg, lat2_deg, lat0_deg)
+    rho = np.hypot(x, rho0 - y)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+    q = (c - (rho * n / WGS84_A) ** 2) / n
+    lam = np.radians(lon0_deg) + theta / n
+    # geodetic latitude from authalic q — same Newton loop as LAEA
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(30):
+        sp = np.sin(phi)
+        f = (q / (1 - _E2) - sp / (1 - _E2 * sp * sp)
+             + (1 / (2 * _E)) * np.log((1 - _E * sp) / (1 + _E * sp)))
+        corr = (1 - _E2 * sp * sp) ** 2 / (2.0 * np.maximum(np.cos(phi), 1e-15)) * f
+        phi = phi + corr
+        if not np.any(np.abs(corr) > 1e-15):
+            break
+    return np.degrees(lam), np.degrees(phi)
+
+
+#: EPSG:5070 — NAD83 / Conus Albers (lat_1=29.5, lat_2=45.5, lat_0=23,
+#: lon_0=-96); NAD83's GRS80 ellipsoid is WGS84-equal at 1e-11 flattening.
+_ALBERS_CONUS = (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+
+
 #: CRS registry: name -> to_wgs84 fn. WGS84 itself is identity.
 #: UTM zones (EPSG:326xx/327xx) and LAEA (EPSG:3035) resolve dynamically.
 _IDENT = (lambda x, y: (np.asarray(x, float), np.asarray(y, float)))
@@ -322,6 +389,16 @@ def _resolve_proj4(crs: str):
         y0 = float(p.get("y_0", 0.0))
         return (lambda x, y: laea_inverse(x, y, lon0, lat0, x0, y0),
                 lambda x, y: laea_forward(x, y, lon0, lat0, x0, y0))
+    if proj == "aea":
+        _check_wgs84_ellps(p, crs)
+        lat1 = float(p.get("lat_1", 0.0))
+        lat2 = float(p.get("lat_2", lat1))
+        lat0 = float(p.get("lat_0", 0.0))
+        lon0 = float(p.get("lon_0", 0.0))
+        x0 = float(p.get("x_0", 0.0))
+        y0 = float(p.get("y_0", 0.0))
+        return (lambda x, y: albers_inverse(x, y, lat1, lat2, lat0, lon0, x0, y0),
+                lambda x, y: albers_forward(x, y, lat1, lat2, lat0, lon0, x0, y0))
     if proj == "moll":
         _check_wgs84_ellps(p, crs)
         if any(float(p.get(k, 0.0)) != 0.0 for k in ("lon_0", "x_0", "y_0")):
@@ -373,10 +450,15 @@ def _resolve_crs(crs: str):
         lon0, lat0, x0, y0 = _LAEA_EUROPE
         return (lambda x, y: laea_inverse(x, y, lon0, lat0, x0, y0),
                 lambda x, y: laea_forward(x, y, lon0, lat0, x0, y0))
+    if up == "EPSG:5070":
+        a = _ALBERS_CONUS
+        return (lambda x, y: albers_inverse(x, y, *a),
+                lambda x, y: albers_forward(x, y, *a))
     raise ValueError(
         f"unsupported CRS {crs!r}; supported: {sorted(CRS_TO_WGS84)} "
         "+ UTM zones EPSG:326xx/327xx + EPSG:3035 (LAEA Europe) "
-        "+ PROJ4 strings (+proj=longlat/utm/tmerc/laea/moll/merc)")
+        "+ EPSG:5070 (Conus Albers) "
+        "+ PROJ4 strings (+proj=longlat/utm/tmerc/laea/aea/moll/merc)")
 
 
 def to_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np.ndarray, np.ndarray]:

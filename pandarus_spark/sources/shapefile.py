@@ -179,6 +179,10 @@ _WKT_PARAM_KEYS = {
     "latitude of origin": "lat_0",
     "latitude of center": "lat_0",
     "latitude of natural origin": "lat_0",
+    "standard parallel 1": "lat_1",
+    "standard parallel 2": "lat_2",
+    "latitude of 1st standard parallel": "lat_1",
+    "latitude of 2nd standard parallel": "lat_2",
 }
 
 #: WKT PROJECTION/METHOD name → PROJ4 projection, restricted to what the
@@ -187,6 +191,9 @@ _WKT_PROJ_NAMES = {
     "transverse mercator": "tmerc",
     "lambert azimuthal equal area": "laea",
     "mollweide": "moll",
+    "albers": "aea",
+    "albers conic equal area": "aea",
+    "albers equal area": "aea",
 }
 
 

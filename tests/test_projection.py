@@ -162,10 +162,56 @@ def test_proj4_unsupported_raises():
     from pandarus_spark.geometry.projection import to_wgs84 as inv
     z = np.array([0.0])
     with pytest.raises(ValueError, match="unsupported PROJ4 projection"):
-        inv(z, z, "+proj=aea +lat_1=29.5 +lat_2=45.5")
+        inv(z, z, "+proj=sinu +lon_0=0")
     with pytest.raises(ValueError, match="unsupported ellipsoid"):
         inv(z, z, "+proj=utm +zone=33 +ellps=clrk66")
     with pytest.raises(ValueError, match="spherical web-Mercator"):
         inv(z, z, "+proj=merc +lon_0=110 +ellps=WGS84")
     with pytest.raises(ValueError, match="moll parameterization"):
         inv(z, z, "+proj=moll +lon_0=90")
+
+
+def test_albers_roundtrip_origin_and_proj4_twin():
+    """EPSG:5070 (Conus Albers, Snyder 14-3..14-12): origin maps to the
+    false origin exactly, round-trips over CONUS at 1e-12, and the PROJ4
+    spelling dispatches onto the identical kernel."""
+    from pandarus_spark.geometry.projection import from_wgs84, to_wgs84 as inv
+    x, y = from_wgs84(np.array([-96.0]), np.array([23.0]), "EPSG:5070")
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-125, -66, 500); lat = rng.uniform(24, 50, 500)
+    lo, la = inv(*from_wgs84(lon, lat, "EPSG:5070"), "EPSG:5070")
+    assert np.allclose(lo, lon, atol=1e-12) and np.allclose(la, lat, atol=1e-12)
+    p4 = ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+          "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+    xa, ya = from_wgs84(lon, lat, p4)
+    xb, yb = from_wgs84(lon, lat, "EPSG:5070")
+    assert np.array_equal(xa, xb) and np.array_equal(ya, yb)
+
+
+def test_albers_area_matches_laea():
+    """Cross-oracle between two independent ellipsoidal equal-area
+    implementations: a densified polygon's area through Albers must
+    equal its area through LAEA (the reference's moll is spherical, so
+    it is NOT this oracle — see the module header)."""
+    from pandarus_spark.geometry.geom import ring_area
+    from pandarus_spark.geometry.projection import from_wgs84
+    box = np.array([[-100.0, 35.0], [-90.0, 35.0], [-90.0, 42.0], [-100.0, 42.0]])
+    t = np.linspace(0, 1, 2001)[:-1]
+    dens = np.vstack([np.column_stack([
+        box[i, 0] + (box[(i + 1) % 4, 0] - box[i, 0]) * t,
+        box[i, 1] + (box[(i + 1) % 4, 1] - box[i, 1]) * t]) for i in range(4)])
+    dens = np.vstack([dens, dens[0]])
+    ax, ay = from_wgs84(dens[:, 0], dens[:, 1], "EPSG:5070")
+    lx, ly = from_wgs84(dens[:, 0], dens[:, 1],
+                        "+proj=laea +lat_0=38 +lon_0=-95 +ellps=WGS84")
+    a_alb = abs(ring_area(np.column_stack([ax, ay])))
+    a_laea = abs(ring_area(np.column_stack([lx, ly])))
+    assert a_alb == pytest.approx(a_laea, rel=1e-9)
+
+
+def test_albers_degenerate_parallels_raise():
+    from pandarus_spark.geometry.projection import from_wgs84
+    with pytest.raises(ValueError, match="degenerates"):
+        from_wgs84(np.array([0.0]), np.array([10.0]),
+                   "+proj=aea +lat_1=-10 +lat_2=10")

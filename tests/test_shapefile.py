@@ -205,7 +205,7 @@ def test_prj_generic_wkt_error_paths(spark, tmp_path):
     # an unimplemented projection with full params still raises the
     # pass-crs= message rather than misdetecting
     with open(str(tmp_path / "square.prj"), "w") as f:
-        f.write(ESRI_TMERC_WKT.replace("Transverse_Mercator", "Albers"))
+        f.write(ESRI_TMERC_WKT.replace("Transverse_Mercator", "Sinusoidal"))
     with pytest.raises(ValueError, match="pass crs="):
         _crs_from_prj(p)
 
@@ -245,3 +245,30 @@ def test_shapefile_projected_prj_ingest_matches_goldens(spark, tmp_path):
         # series with a lat_0 false-northing fold carries ~2e-8 relative
         # area truncation (vs 1e-2 in the reference's analytic tests)
         assert m == pytest.approx(want, rel=1e-7)
+
+
+def test_prj_albers_wkt_detection(spark, tmp_path):
+    """ESRI Albers WKT with standard parallels resolves through the
+    generic parser onto the aea kernel == EPSG:5070."""
+    import numpy as np
+
+    from pandarus_spark.geometry.projection import from_wgs84
+    from pandarus_spark.sources.shapefile import _crs_from_prj
+
+    wkt = (
+        'PROJCS["NAD_1983_Contiguous_USA_Albers",GEOGCS["GCS_North_American_1983",'
+        'DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Albers"],PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",-96.0],'
+        'PARAMETER["Standard_Parallel_1",29.5],PARAMETER["Standard_Parallel_2",45.5],'
+        'PARAMETER["Latitude_Of_Origin",23.0],UNIT["Meter",1.0]]')
+    p = _write_fixture_shp(spark, tmp_path, "square")
+    with open(str(tmp_path / "square.prj"), "w") as f:
+        f.write(wkt)
+    crs = _crs_from_prj(p)
+    assert crs.startswith("+proj=aea")
+    lon = np.array([-100.0, -80.5]); lat = np.array([30.0, 44.0])
+    xa, ya = from_wgs84(lon, lat, crs)
+    xb, yb = from_wgs84(lon, lat, "EPSG:5070")
+    assert np.allclose(xa, xb, atol=1e-9) and np.allclose(ya, yb, atol=1e-9)
