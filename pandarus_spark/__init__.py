@@ -31,6 +31,7 @@ from .operators.knn import knn_nearest_feature
 from .sources.geojson import intersect_files, read_geojson, read_vector, write_geojson
 from .sources.gpkg import read_gpkg, write_gpkg
 from .sources.shapefile import read_shapefile
+from .geometry.projection import project_geom
 
 __all__ = [
     "intersect", "intersections_from_intersection", "candidate_pairs",
@@ -38,6 +39,7 @@ __all__ = [
     "clean_raster", "round_raster", "convert_to_vector",
     "knn_nearest_feature", "intersect_files", "read_geojson", "read_vector",
     "write_geojson", "read_gpkg", "write_gpkg", "read_shapefile",
+    "project_geom",
 ]
 
 __version__ = "0.1.0"

@@ -473,3 +473,42 @@ def from_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np
     """Project WGS84 degrees into a supported CRS (writer/test twin of
     :func:`to_wgs84`)."""
     return _resolve_crs(crs)[1](x, y)
+
+
+def _is_geographic(crs: str) -> bool:
+    """True when the CRS is a geographic (lon/lat degree) system — the
+    reference's ``Proj.crs.is_geographic`` equivalent for the registry."""
+    try:
+        fwd = _resolve_crs(crs)[1]
+    except ValueError:
+        return False
+    return fwd is _IDENT
+
+
+def project_geom(geom: dict, from_proj: str | None = None,
+                 to_proj: str | None = None) -> dict:
+    """Project a GeoJSON-like geometry dict between supported CRSs —
+    the reference's public ``project_geom`` (utils/projection.py:23-60):
+    ``from_proj`` defaults to WGS84 (also for falsey/'+no_defs' values,
+    mirroring ``wgs84()``, projection.py:14-20), ``to_proj`` defaults to
+    the Mollweide measure CRS, and the transform short-circuits when
+    source and target resolve to the same kernel or are both geographic
+    (projection.py:54-57)."""
+    from .geom import transform_geom
+
+    if not from_proj or from_proj == "+no_defs":
+        from_proj = WGS84
+    if to_proj is None:
+        to_proj = MOLLWEIDE
+    elif not to_proj or to_proj == "+no_defs":
+        to_proj = WGS84
+    inv_from, fwd_from = _resolve_crs(from_proj)
+    inv_to, fwd_to = _resolve_crs(to_proj)
+    if fwd_from is fwd_to or (fwd_from is _IDENT and fwd_to is _IDENT):
+        return geom
+
+    def fn(x, y):
+        lon, lat = inv_from(x, y)
+        return fwd_to(lon, lat)
+
+    return transform_geom(geom, fn)

@@ -215,3 +215,29 @@ def test_albers_degenerate_parallels_raise():
     with pytest.raises(ValueError, match="degenerates"):
         from_wgs84(np.array([0.0]), np.array([10.0]),
                    "+proj=aea +lat_1=-10 +lat_2=10")
+
+
+def test_project_geom_reference_semantics():
+    """project_geom mirrors the reference API (utils/projection.py:
+    23-60): falsey from_proj → WGS84, to_proj default → Mollweide,
+    same-CRS and geographic-geographic short-circuits return the input
+    object untouched."""
+    from pandarus_spark.geometry.projection import (
+        MOLLWEIDE, from_wgs84, mollweide_forward, project_geom)
+    sq = {"type": "Polygon", "coordinates": [np.array(
+        [[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]])]}
+    out = project_geom(sq)  # WGS84 -> Mollweide default
+    mx, my = mollweide_forward(np.array([0.5]), np.array([0.5]))
+    assert np.allclose(out["coordinates"][0][0], [mx[0], my[0]])
+    assert project_geom(sq, None, None) is not sq  # projected: new object
+    # short-circuits return the SAME object (reference returns geom)
+    assert project_geom(sq, "EPSG:4326",
+                        "+proj=longlat +ellps=WGS84 +datum=WGS84 +no_defs") is sq
+    assert project_geom(sq, MOLLWEIDE, MOLLWEIDE) is sq
+    assert project_geom(sq, "", "EPSG:4326") is sq  # falsey from -> WGS84
+    # projected -> projected chains through WGS84
+    pt = {"type": "Point", "coordinates": np.array(
+        from_wgs84(np.array([-96.0]), np.array([40.0]), "EPSG:5070")).reshape(2)}
+    back = project_geom(project_geom(pt, "EPSG:5070", "EPSG:3035"),
+                        "EPSG:3035", "EPSG:4326")
+    assert np.allclose(back["coordinates"], [-96.0, 40.0], atol=1e-9)
