@@ -303,12 +303,16 @@ _IDENT = (lambda x, y: (np.asarray(x, float), np.asarray(y, float)))
 CRS_TO_WGS84 = {
     "EPSG:4326": _IDENT,
     "WGS84": _IDENT,
+    "OGC:CRS84": _IDENT,
+    "CRS84": _IDENT,
     "EPSG:3857": web_mercator_inverse,
 }
 #: forward (WGS84 -> CRS) twins, for writers/tests.
 CRS_FROM_WGS84 = {
     "EPSG:4326": _IDENT,
     "WGS84": _IDENT,
+    "OGC:CRS84": _IDENT,
+    "CRS84": _IDENT,
     "EPSG:3857": web_mercator_forward,
 }
 
@@ -475,9 +479,11 @@ def from_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np
     return _resolve_crs(crs)[1](x, y)
 
 
-def _is_geographic(crs: str) -> bool:
+def is_geographic(crs: str) -> bool:
     """True when the CRS is a geographic (lon/lat degree) system — the
-    reference's ``Proj.crs.is_geographic`` equivalent for the registry."""
+    reference's ``Proj.crs.is_geographic`` equivalent for the registry.
+    Unknown CRSs return False (the projected path raises its clear
+    unsupported-CRS error when the transform actually runs)."""
     try:
         fwd = _resolve_crs(crs)[1]
     except ValueError:

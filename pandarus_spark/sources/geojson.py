@@ -90,7 +90,7 @@ def read_geojson(spark, path: str, identifying_field: str = "name",
     (tests/integration/test_intersect.py:288-356).  If omitted, the
     file-level ``crs`` member is honoured when present (legacy GeoJSON),
     else WGS84 per RFC 7946."""
-    from ..geometry.projection import to_wgs84
+    from ..geometry.projection import is_geographic, to_wgs84
     from .pages import FEATURES_SCHEMA, _np_geometry
 
     with _open_maybe_bz2(path, "r") as f:
@@ -98,7 +98,7 @@ def read_geojson(spark, path: str, identifying_field: str = "name",
     if crs is None:
         crs = _file_crs(fc)
     project = None
-    if crs is not None and crs.upper() not in ("EPSG:4326", "WGS84", "OGC:CRS84"):
+    if crs is not None and not is_geographic(crs):
         project = lambda x, y: to_wgs84(x, y, crs)  # noqa: E731
     rows, seen = [], set()
     for idx, feat in enumerate(fc["features"]):

@@ -80,7 +80,7 @@ def read_gpkg(spark, path: str, identifying_field: str = "name",
     ``table`` picks a layer (defaults to the only/first feature table);
     ``crs`` overrides the layer's declared SRS (else ``EPSG:{srs_id}``
     from ``gpkg_geometry_columns``, with 4326/0/-1 treated as WGS84)."""
-    from ..geometry.projection import to_wgs84
+    from ..geometry.projection import is_geographic, to_wgs84
     from .pages import FEATURES_SCHEMA
 
     con = sqlite3.connect(path)
@@ -97,7 +97,7 @@ def read_gpkg(spark, path: str, identifying_field: str = "name",
         if crs is None and srs_id not in (4326, 0, -1):
             crs = f"EPSG:{srs_id}"
         project = None
-        if crs is not None and crs.upper() not in ("EPSG:4326", "WGS84", "OGC:CRS84"):
+        if crs is not None and not is_geographic(crs):
             project = lambda x, y: to_wgs84(x, y, crs)  # noqa: E731
 
         cols = [r[1] for r in con.execute(f'PRAGMA table_info("{tbl}")')]

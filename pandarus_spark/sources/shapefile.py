@@ -271,7 +271,7 @@ def read_shapefile(spark, path: str, identifying_field: str = "name",
     contract as ``read_geojson`` / ``read_gpkg`` (stable enumeration
     ids, label uniqueness, WGS84 normalization, WKB + kind + bbox +
     is_rect)."""
-    from ..geometry.projection import to_wgs84
+    from ..geometry.projection import is_geographic, to_wgs84
     from .pages import FEATURES_SCHEMA
 
     geoms = _read_shp(path)
@@ -287,7 +287,7 @@ def read_shapefile(spark, path: str, identifying_field: str = "name",
     if crs is None:
         crs = _crs_from_prj(path)
     project = None
-    if crs is not None and crs.upper() not in ("EPSG:4326", "WGS84", "OGC:CRS84"):
+    if crs is not None and not is_geographic(crs):
         project = lambda x, y: to_wgs84(x, y, crs)  # noqa: E731
 
     rows, seen = [], set()
