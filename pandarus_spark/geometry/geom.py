@@ -30,7 +30,6 @@ Semantics ported from the reference (file:line cites into /root/reference):
 from __future__ import annotations
 
 import struct
-import warnings
 
 import numpy as np
 
@@ -484,69 +483,17 @@ def clip_ring_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray | None
     return np.vstack([out, out[0]])
 
 
-def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
-    """Ear-clipping triangulation of a simple (hole-free) ring.
-
-    Used to decompose a non-convex clip polygon into convex pieces so
-    Sutherland–Hodgman applies piecewise; piece areas sum exactly in the
-    plane (interior edges cancel in the shoelace sum)."""
-    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
-    if np.array_equal(r[0], r[-1]):
-        r = r[:-1]
-    if ring_area(np.vstack([r, r[0]])) < 0:
-        r = r[::-1]
-    idx = list(range(len(r)))
-    tris = []
-    # no iteration cap: every pass either pops a vertex (at most n-3
-    # pops) or breaks on no-ear, so the loop is finite by construction.
-    # A cap would silently truncate valid rings above the cap size and
-    # return a wrong decomposition (round-2 review finding).
-    while len(idx) > 3:
-        n = len(idx)
-        ear_found = False
-        for k in range(n):
-            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
-            a, b, c = r[i0], r[i1], r[i2]
-            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-            if cross <= _EPS:
-                continue  # reflex or degenerate
-            tri = np.array([a, b, c, a])
-            others = r[[i for i in idx if i not in (i0, i1, i2)]]
-            if len(others) and points_in_ring(others, tri).any():
-                continue
-            tris.append(np.array([a, b, c, a]))
-            idx.pop(k)
-            ear_found = True
-            break
-        if not ear_found:
-            # a simple ring always has >= 2 ears, so no-ear means the
-            # remainder is non-simple or numerically degenerate.  Drop
-            # it with a warning — conservative (never invents area);
-            # the old fallback appended one arbitrary triangle from the
-            # remainder, which could add area outside the polygon.
-            warnings.warn(
-                f"triangulate_ring: no ear among {len(idx)} remaining "
-                "vertices (non-simple or degenerate ring); dropping the "
-                "remainder — area may be understated")
-            return tris
-    if len(idx) == 3:
-        a, b, c = r[idx[0]], r[idx[1]], r[idx[2]]
-        tris.append(np.array([a, b, c, a]))
-    return tris
-
-
-def _clip_ring_general(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
-    """subject ∩ clip_ring as a list of disjoint pieces: one S-H pass
-    when the clip ring is convex, else piecewise over its ear-clip
-    triangulation (triangles partition the ring, so pieces are
-    interior-disjoint and their areas sum exactly)."""
-    pieces = [clip_ring] if is_convex(clip_ring) else triangulate_ring(clip_ring)
-    out = []
-    for piece in pieces:
-        r = clip_ring_convex(subject, piece)
-        if r is not None and abs(ring_area(r)) > 1e-18:
-            out.append(r)
-    return out
+def _convex_cover(ring: np.ndarray) -> list[np.ndarray]:
+    """Disjoint convex pieces covering a ring's even-odd region: the
+    ring itself when convex, else its trapezoid decomposition.  Ear-clip
+    triangulation was used here before, but it assumes a SIMPLE ring —
+    and clip_polygon_by_polygon feeds this the exteriors Sutherland–
+    Hodgman emits for concave subjects, which carry zero-width bridge
+    degeneracies; ear-clipping those silently produced triangles outside
+    the region (round-2 fuzz: clip-hole subtraction wrong by up to 1e-2
+    relative, one case with hole pieces 4000× the part exterior).  The
+    trapezoid sweep is even-odd-correct on exactly such rings."""
+    return [ring] if is_convex(ring) else polygon_region_decompose([ring])
 
 
 _CROSS_CHUNK = 2048  # edge-pair blocks: bounds temporaries to ~chunk*m floats
@@ -724,9 +671,15 @@ def union_rings_decompose(group_a: list, group_b: list) -> list[np.ndarray]:
     if not rings:
         return []
     xs = [r[:, 0] for r in rings]
-    for ra in rings[:len(group_a)]:          # already normalized above
-        for rb in rings[len(group_a):]:
-            xs.append(_ring_cross_xs(ra, rb))
+    # slab boundaries at ALL pairwise edge crossings, including each
+    # ring with itself: the hole pieces Sutherland–Hodgman hands us can
+    # be bridge-degenerate (self-crossing at pinch points), and a
+    # crossing inside a slab breaks the per-ring midline parity pairing
+    # (round-2 fuzz: both-holed overlay areas wrong by up to 2e-3 rel).
+    # polygon_region_decompose already sweeps i <= j for the same reason.
+    for i in range(len(rings)):
+        for j in range(i, len(rings)):
+            xs.append(_ring_cross_xs(rings[i], rings[j]))
     bounds_x = np.unique(np.concatenate(xs))
     edges1 = np.vstack([r[:-1] for r in rings])
     edges2 = np.vstack([r[1:] for r in rings])
@@ -897,56 +850,66 @@ def make_valid(geom: dict) -> dict:
 def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]:
     """Intersection of two polygons -> list of polygon part payloads.
 
-    Strategy: convex clip ring -> single Sutherland–Hodgman pass (exact
-    for the reference fixtures, which are axis-aligned boxes); concave
-    clip -> ear-clip triangulation + piecewise S-H. Holes on either
-    side are clipped against the relevant exterior (piecewise for
-    concave exteriors) and attached as inner rings, so each hole's
-    area subtraction is exact.
+    Strategy: every ring (both exteriors, every hole) is reduced to a
+    disjoint convex cover — the ring itself when convex (the reference
+    fixtures are axis-aligned boxes, so they stay single-pass), its
+    trapezoid decomposition otherwise — and all clipping is
+    convex×convex Sutherland–Hodgman, which is exact with convex
+    simple output.  One output part per nonempty (subject piece ×
+    clip piece); holes are clipped against each part's exterior.
 
-    Hole×hole (round-2): when BOTH inputs carry holes, overlapping
-    subject/clip hole pieces would double-subtract if attached
-    directly; instead the union of all hole pieces is re-decomposed
-    into disjoint trapezoids (:func:`union_rings_decompose`) before
-    attachment — inclusion–exclusion exact area, even-odd-correct
-    containment.  Single-sided holes keep the direct (vertex-
-    preserving) attachment."""
+    Hole×hole: when BOTH inputs carry holes, overlapping subject/clip
+    hole pieces would double-subtract if attached directly; instead
+    the union of all hole pieces is re-decomposed into disjoint
+    trapezoids (:func:`union_rings_decompose`) before attachment —
+    inclusion–exclusion exact area, even-odd-correct containment.
+    Single-sided holes keep the direct attachment (pieces of disjoint
+    holes are disjoint)."""
     if not subject_rings or not clip_rings:
         return []
-    clip_ext = clip_rings[0]
-    if is_convex(clip_ext):
-        convex_pieces = [clip_ext]
-    else:
-        convex_pieces = triangulate_ring(clip_ext)
-    both_holed = len(subject_rings) > 1 and len(clip_rings) > 1
+    # Exactness (round-2 fuzz): Sutherland–Hodgman is only area-exact
+    # when the SUBJECT is convex — a concave subject whose intersection
+    # with the window is disconnected gets bridge edges along the window
+    # boundary that can cancel real area (measured: up to 80% of the
+    # true area lost on random star polygons).  So both exteriors and
+    # every hole are reduced to disjoint convex covers first, and every
+    # S-H pass below is convex×convex (exact, convex simple output).
+    sub_cover = _convex_cover(np.asarray(subject_rings[0], dtype=np.float64))
+    clip_cover = _convex_cover(np.asarray(clip_rings[0], dtype=np.float64))
+    s_hole_covers = [_convex_cover(np.asarray(h, dtype=np.float64))
+                     for h in subject_rings[1:]]
+    c_hole_covers = [_convex_cover(np.asarray(h, dtype=np.float64))
+                     for h in clip_rings[1:]]
+    both_holed = bool(s_hole_covers) and bool(c_hole_covers)
     parts = []
     s_holes_per_part: list[list[np.ndarray]] = []
-    for piece in convex_pieces:
-        ext = clip_ring_convex(subject_rings[0], piece)
-        if ext is None or abs(ring_area(ext)) <= 1e-18:
-            continue
-        rings = [ext]
-        sh = []
-        for hole in subject_rings[1:]:
-            h = clip_ring_convex(hole, piece)
-            if h is not None and abs(ring_area(h)) > 1e-18:
-                (sh if both_holed else rings).append(h)
-        parts.append(rings)
-        s_holes_per_part.append(sh)
-    # subtract clip-side holes: clip each hole against the part
-    # exterior (piecewise when the part is concave — previously a
-    # partially-overlapping hole of a concave part was dropped
-    # entirely, overstating the area) and attach the pieces as holes
+    for s in sub_cover:
+        for c in clip_cover:
+            ext = clip_ring_convex(s, c)
+            if ext is None or abs(ring_area(ext)) <= 1e-18:
+                continue
+            rings = [ext]
+            sh = []
+            for cover in s_hole_covers:
+                for hq in cover:
+                    h = clip_ring_convex(hq, ext)
+                    if h is not None and abs(ring_area(h)) > 1e-18:
+                        (sh if both_holed else rings).append(h)
+            parts.append(rings)
+            s_holes_per_part.append(sh)
+    # clip-side holes, against each part's (convex) exterior
     c_holes_per_part: list[list[np.ndarray]] = [[] for _ in parts]
-    for hole in clip_rings[1:]:
-        hole = np.asarray(hole, dtype=np.float64)
+    for cover in c_hole_covers:
         for pi, rings in enumerate(parts):
-            overlap = _clip_ring_general(hole, rings[0])
-            if both_holed:
-                c_holes_per_part[pi].extend(overlap)
-            else:
-                rings.extend(overlap)
+            for hq in cover:
+                h = clip_ring_convex(hq, rings[0])
+                if h is not None and abs(ring_area(h)) > 1e-18:
+                    (c_holes_per_part[pi] if both_holed else rings).append(h)
     if both_holed:
+        # a subject hole and a clip hole can overlap inside a part:
+        # attaching both would double-subtract, so the union of all
+        # hole pieces is re-decomposed into disjoint trapezoids
+        # (inclusion–exclusion exact, even-odd-correct containment)
         for pi, rings in enumerate(parts):
             sh, ch = s_holes_per_part[pi], c_holes_per_part[pi]
             if sh and ch:

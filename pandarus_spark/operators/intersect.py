@@ -247,13 +247,17 @@ def _refine_rects(fminx, fminy, fmaxx, fmaxy, tminx, tminy, tmaxx, tmaxy):
 
 
 def _refine_simple_batch(rows, B):
-    """Batched general refine for simple-polygon × convex-polygon rows.
+    """Batched general refine for convex-polygon × convex-polygon rows.
 
     ``rows``: pandas frame of candidate pairs (non-rect, polygon kind).
     Returns (handled_mask, result_frame): rows the batch path could not
-    take (holes, multi-part, concave clip, foreign WKB) stay for the
-    scalar path.  Semantics identical to
-    G.intersection → G.measure (single S-H pass, planar 1e-18 piece
+    take (holes, multi-part, a concave ring on EITHER side, foreign
+    WKB) stay for the scalar path.  Both sides must be convex because
+    Sutherland–Hodgman is only area-exact for convex subjects — a
+    concave subject with a disconnected intersection loses real area
+    to bridge edges (round-2 fuzz; the scalar kernel decomposes concave
+    rings into convex covers for the same reason).  Semantics identical
+    to G.intersection → G.measure (single S-H pass, planar 1e-18 piece
     filter, Mollweide measure, m<=0 drop)."""
     import pandas as pd
     f_pts, f_cnt, f_ok = B.decode_simple_polygon_batch(list(rows["from_wkb"]))
@@ -261,7 +265,8 @@ def _refine_simple_batch(rows, B):
     handled = f_ok & t_ok
     if handled.any():
         conv = np.zeros(len(rows), dtype=bool)
-        conv[handled] = B.is_convex_batch(t_pts[handled], t_cnt[handled])
+        conv[handled] = (B.is_convex_batch(t_pts[handled], t_cnt[handled])
+                         & B.is_convex_batch(f_pts[handled], f_cnt[handled]))
         handled &= conv
     if not handled.any():
         return handled, None
@@ -298,12 +303,13 @@ def refine_pairs(pairs_with_geoms: DataFrame, rect_fast: bool = True,
 
     1. rect × rect polygon pairs — closed-form bbox clip, pure numpy
        (``_refine_rects``);
-    2. simple-polygon × convex-polygon pairs — batched
+    2. convex-polygon × convex-polygon pairs — batched
        Sutherland–Hodgman across the whole Arrow batch
        (geometry/batch.py; the round-2 fix for the per-row general
-       loop);
-    3. everything else (holes, multi-part, concave clip side, lines,
-       points, collections) — the scalar kernel per row.
+       loop — convex-only on both sides because S-H drops area for
+       concave subjects with disconnected intersections);
+    3. everything else (holes, multi-part, a concave ring on either
+       side, lines, points, collections) — the scalar kernel per row.
 
     Topology errors are skipped per row, like the reference
     (utils/multiprocess.py:102-104)."""

@@ -125,3 +125,104 @@ def test_single_sided_holes_keep_direct_attachment():
     parts = G.clip_polygon_by_polygon([ext_s, hole_s], [_box_ring(0, 0, 10, 10)])
     assert len(parts) == 1 and len(parts[0]) == 2
     assert G.polygon_area(parts[0]) == pytest.approx(100 - 16)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 fuzz regressions: S-H is only area-exact for convex subjects
+# ---------------------------------------------------------------------------
+
+C_SHAPE = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 2], [3, 2],
+                    [3, 3], [0, 3], [0, 0]], dtype=float)
+
+
+def test_concave_subject_disconnected_intersection_exact():
+    """A C-shaped subject clipped by a box overlapping both arms has a
+    DISCONNECTED intersection (two 1.0x0.5 rects, plane area 1.0).  The
+    old single-pass Sutherland–Hodgman lost area to bridge edges here;
+    the convex-cover kernel must be exact."""
+    clip = np.array([[2, 0.5], [3, 0.5], [3, 2.5], [2, 2.5], [2, 0.5]], dtype=float)
+    parts = G.clip_polygon_by_polygon([C_SHAPE], [clip])
+    area = sum(abs(G.ring_area(np.asarray(p[0]))) -
+               sum(abs(G.ring_area(np.asarray(h))) for h in p[1:]) for p in parts)
+    assert area == pytest.approx(1.0, rel=1e-12)
+    # and through the public kind-typed API
+    inter = G.intersection({"type": "Polygon", "coordinates": [C_SHAPE]},
+                           "polygon",
+                           {"type": "Polygon", "coordinates": [clip]})
+    got = G.measure(inter, "polygon")
+    want = sum(G.measure({"type": "Polygon", "coordinates": [np.array(b, dtype=float)]},
+                         "polygon")
+               for b in ([[2, 0.5], [3, 0.5], [3, 1], [2, 1], [2, 0.5]],
+                         [[2, 2], [3, 2], [3, 2.5], [2, 2.5], [2, 2]]))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def _quad_pair_area(qa, qb):
+    tot = 0.0
+    for a in qa:
+        for b in qb:
+            r = G.clip_ring_convex(a, b)
+            if r is not None:
+                tot += abs(G.ring_area(r))
+    return tot
+
+
+def _area_of_parts(parts):
+    return sum(abs(G.ring_area(np.asarray(p[0]))) -
+               sum(abs(G.ring_area(np.asarray(h))) for h in p[1:]) for p in parts)
+
+
+def test_spiky_concave_pairs_match_decompose_oracle():
+    """Seeded fuzz: heavily concave star pairs (no holes) — the kernel
+    area must match the independent trapezoid-pairwise oracle exactly.
+    The pre-fix kernel failed ~1% of these with errors up to 80%."""
+    rng = np.random.default_rng(99)
+    for trial in range(120):
+        polys = []
+        for _ in range(2):
+            n = int(rng.integers(5, 14))
+            th = np.sort(rng.uniform(0, 2 * np.pi, n))
+            r = rng.uniform(0.3, 1.2, n)
+            ring = np.c_[r * np.cos(th), r * np.sin(th)]
+            polys.append([np.vstack([ring, ring[0]])])
+        sub, clip = polys
+        got = _area_of_parts(G.clip_polygon_by_polygon(sub, clip))
+        want = _quad_pair_area(G.polygon_region_decompose(sub),
+                               G.polygon_region_decompose(clip))
+        assert got == pytest.approx(want, abs=1e-12), trial
+
+
+def test_valid_holed_pairs_match_decompose_oracle():
+    """Seeded fuzz: valid polygons with 0-2 disjoint interior holes on
+    both sides — kernel area == trapezoid-pairwise oracle at 1e-12.
+    Catches the bridge-degenerate hole-piece handling the round-2 fuzz
+    exposed (union sweep missing self-crossing slab boundaries)."""
+    rng = np.random.default_rng(777)
+
+    def gen():
+        n = int(rng.integers(14, 24))
+        th = (np.arange(n) + rng.uniform(-0.35, 0.35, n)) * (2 * np.pi / n) \
+            + rng.uniform(0, 2 * np.pi)
+        cx, cy = rng.uniform(-0.5, 0.5, 2)
+        r = rng.uniform(0.9, 1.1, n)
+        ext = np.c_[cx + r * np.cos(th), cy + r * np.sin(th)]
+        rings = [np.vstack([ext, ext[0]])]
+        nh = int(rng.integers(0, 3))
+        if nh:
+            base = rng.uniform(0, 2 * np.pi)
+            for i in range(nh):
+                ang = base + i * 2 * np.pi / nh
+                hx, hy = cx + 0.35 * np.cos(ang), cy + 0.35 * np.sin(ang)
+                m = int(rng.integers(4, 9))
+                hth = np.sort(rng.uniform(0, 2 * np.pi, m))
+                hr = rng.uniform(0.08, 0.22, m)
+                h = np.c_[hx + hr * np.cos(hth), hy + hr * np.sin(hth)]
+                rings.append(np.vstack([h, h[0]]))
+        return rings
+
+    for trial in range(120):
+        sub, clip = gen(), gen()
+        got = _area_of_parts(G.clip_polygon_by_polygon(sub, clip))
+        want = _quad_pair_area(G.polygon_region_decompose(sub),
+                               G.polygon_region_decompose(clip))
+        assert got == pytest.approx(want, abs=1e-12), trial

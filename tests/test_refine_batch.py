@@ -100,3 +100,27 @@ def test_mixed_rect_and_hex_batch(spark, grid):
     assert set(got) == set(exp)
     for k, v in exp.items():
         assert got[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_concave_disconnected_intersection_through_intersect(spark):
+    """A C-shaped feature over a box that overlaps both arms: the true
+    intersection is two disjoint rects.  Single-pass S-H lost area here
+    (round-2 fuzz), and the tier-2 batch path must defer concave
+    subjects to the scalar kernel — the overlay measure must equal the
+    sum of the two rects' Mollweide measures exactly."""
+    c_shape = {"type": "Polygon", "coordinates": [np.array(
+        [[0, 0], [3, 0], [3, 1], [1, 1], [1, 2], [3, 2], [3, 3], [0, 3], [0, 0]],
+        dtype=float)]}
+    box = {"type": "Polygon", "coordinates": [np.array(
+        [[2, 0.5], [3, 0.5], [3, 2.5], [2, 2.5], [2, 0.5]], dtype=float)]}
+    feats = extract_features(pages_df(spark, "cshape", features=[
+        {"name": "c", "geometry": c_shape}]))
+    base = extract_features(pages_df(spark, "cbox", features=[
+        {"name": "b", "geometry": box}]))
+    rows = ps.intersect(feats, base).collect()
+    assert len(rows) == 1
+    want = sum(G.measure({"type": "Polygon", "coordinates": [np.array(b, dtype=float)]},
+                         "polygon")
+               for b in ([[2, 0.5], [3, 0.5], [3, 1], [2, 1], [2, 0.5]],
+                         [[2, 2], [3, 2], [3, 2.5], [2, 2.5], [2, 2]]))
+    assert rows[0]["measure"] == pytest.approx(want, rel=1e-12)
