@@ -211,12 +211,19 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
                     out["label"].extend(labels[mask]); out["value"].extend(vals[mask])
                     out["weight"].extend([1.0] * int(mask.sum()))
                 elif batch_weights:
-                    # batched coverage weights: clip each feature RING
-                    # (subject, arbitrary shape) against every cell box
-                    # (convex clip) in ONE vectorized S-H pass; holes
-                    # subtract (they lie inside their exterior, so
-                    # area(box∩poly) = area(box∩ext) - Σ area(box∩hole)
-                    # — the same value the scalar decomposition sums).
+                    # batched coverage weights: clip each feature ring's
+                    # CONVEX COVER (the ring itself when convex, its
+                    # trapezoid decomposition otherwise) against every
+                    # cell box in vectorized S-H passes.  Covers are
+                    # needed because S-H drops area for a concave
+                    # subject whose intersection with the box is
+                    # disconnected (round-2 fuzz, same fix as the
+                    # overlay kernel); cover pieces partition the
+                    # ring's region, so per-cell piece areas sum to
+                    # area(box∩ring).  Holes subtract (they lie inside
+                    # their exterior): area(box∩poly) =
+                    # area(box∩ext) − Σ area(box∩hole), the same value
+                    # the scalar decomposition sums.
                     ncell = len(vals)
                     clip_pts = np.stack([
                         np.column_stack([mnx, mny]), np.column_stack([mxx, mny]),
@@ -226,12 +233,16 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
                     area_tot = np.zeros(ncell)
                     for rings in rings_list:
                         for ri, ring in enumerate(rings):
-                            sp, sc = B.pad_rings([ring])
-                            subj = np.broadcast_to(sp, (ncell,) + sp.shape[1:])
-                            scnt = np.full(ncell, sc[0], dtype=np.int64)
-                            op, oc = B.clip_convex_batch(subj, scnt, clip_pts, clip_cnt)
-                            a = B.ring_area_batch(op, oc)
-                            area_tot += a if ri == 0 else -a
+                            cover = G._convex_cover(
+                                np.asarray(ring, dtype=np.float64))
+                            for piece in cover:
+                                sp, sc = B.pad_rings([piece])
+                                subj = np.broadcast_to(sp, (ncell,) + sp.shape[1:])
+                                scnt = np.full(ncell, sc[0], dtype=np.int64)
+                                op, oc = B.clip_convex_batch(subj, scnt,
+                                                             clip_pts, clip_cnt)
+                                a = B.ring_area_batch(op, oc)
+                                area_tot += a if ri == 0 else -a
                     cell_area = (mxx - mnx) * (mxy - mny)
                     frac = area_tot / cell_area
                     keep = frac > 1e-12

@@ -219,3 +219,34 @@ def test_raster_cells_range_matches_df(spark):
     a = sorted(tuple(r) for r in raster_cells_df(spark, spec, vals).collect())
     b = sorted(tuple(r) for r in raster_cells_range(spark, spec).collect())
     assert a == b
+
+
+def test_coverage_batch_weights_concave_stars_match_scalar(spark, range_cells):
+    """Round-2 fuzz regression: batched coverage weights on concave
+    star features must match the scalar clip loop (the exact kernel).
+    Without the per-ring convex cover, the batched S-H lost area for
+    stars whose intersection with a cell box is disconnected."""
+    # deterministic instance where the cover-less batched S-H loses 83%
+    # of the true clip area against cell [0.8,1.2]x[1.4,1.6] (fuzz-found
+    # star, affinely mapped onto that cell)
+    feats = [{"name": "bridgestar", "geometry": {"type": "Polygon", "coordinates": [
+        np.array([[1.038104623, 1.429775605], [1.002600022, 1.332278806],
+                  [1.040774373, 1.395407218], [1.107464794, 1.419279228],
+                  [1.25029029, 1.323365067], [1.038104623, 1.429775605]])]}}]
+    rng = np.random.default_rng(99)
+    for i in range(25):
+        n = int(rng.integers(5, 14))
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.3, 1.2, n)
+        ring = np.c_[1.0 + 0.8 * r * np.cos(th), 1.0 + 0.8 * r * np.sin(th)]
+        feats.append({"name": f"star{i}", "geometry": {
+            "type": "Polygon", "coordinates": [np.vstack([ring, ring[0]])]}})
+    fdf = extract_features(pages_df(spark, "zstars", features=feats))
+    fast = {r["label"]: (r["min"], r["max"], r["mean"], r["count"])
+            for r in raster_statistics(fdf, range_cells, method="coverage").collect()}
+    slow = {r["label"]: (r["min"], r["max"], r["mean"], r["count"])
+            for r in raster_statistics(fdf, range_cells, method="coverage",
+                                       batch_weights=False).collect()}
+    assert set(fast) == set(slow)
+    for k in slow:
+        assert fast[k] == pytest.approx(slow[k], rel=1e-9), k
