@@ -48,7 +48,13 @@ def union_measure(kind: str, geoms: list[dict]) -> float:
         return float(len(np.unique(np.round(pts, 9), axis=0)))
     if kind == "line":
         return _union_length(proj)
-    # polygon: inclusion-exclusion to first order
+    # polygon: inclusion-exclusion to first order.  Exact under the
+    # reference's precondition that the SECOND overlay input is
+    # non-overlapping (core.py:51-53): one source feature's
+    # intersection geoms are then interior-disjoint, so every pairwise
+    # term is 0 and no triple-overlap correction can arise.  Only
+    # overlapping second-side polygons (already outside the contract)
+    # would make this approximate.
     parts = [p for g in proj for p in G.extract_kind_parts(g, "polygon")]
     total = sum(G.polygon_area(p) for p in parts)
     for i in range(len(parts)):
