@@ -586,17 +586,20 @@ def _segment_crossings(a1, a2, b1, b2, lo: float, hi: float):
 
 
 def _bin_members(xl: np.ndarray, xh: np.ndarray, cuts: np.ndarray, pad: float):
-    """Per-bin sorted index arrays of intervals [xl, xh] overlapping
-    [cuts[k]-pad, cuts[k+1]+pad] — the sweep twin of the mask
-    ``(xl <= c1+pad) & (xh >= c0-pad)``: intervals enter from a pre-sort
-    on xl and leave via a heap on xh (both bin edges are monotone in k,
-    so pops are final).  O(E log E + Σ|active|) instead of an O(E) mask
-    per bin, which re-quadratified the crossing scan around 1M edges."""
+    """Yield per-bin sorted index arrays of intervals [xl, xh]
+    overlapping [cuts[k]-pad, cuts[k+1]+pad] — the sweep twin of the
+    mask ``(xl <= c1+pad) & (xh >= c0-pad)``: intervals enter from a
+    pre-sort on xl and leave via a heap on xh (both bin edges are
+    monotone in k, so pops are final).  O(E log E + Σ|active|) instead
+    of an O(E) mask per bin, which re-quadratified the crossing scan
+    around 1M edges.  A GENERATOR so peak memory is one bin's active
+    set — materializing every bin would hold Σ|active| int64s, which
+    for full-x-span edge sets (fans/stars) is bins×edges (round-2
+    review finding)."""
     import heapq
     order = np.argsort(xl, kind="stable")
     heap: list[tuple[float, int]] = []
     ai, n = 0, len(order)
-    out = []
     for k in range(len(cuts) - 1):
         c0, c1 = cuts[k] - pad, cuts[k + 1] + pad
         while ai < n and xl[order[ai]] <= c1:
@@ -607,8 +610,7 @@ def _bin_members(xl: np.ndarray, xh: np.ndarray, cuts: np.ndarray, pad: float):
             heapq.heappop(heap)
         idx = np.fromiter((e for _, e in heap), dtype=np.int64, count=len(heap))
         idx.sort()
-        out.append(idx)
-    return out
+        yield idx
 
 
 def _ring_cross_xs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
@@ -874,37 +876,56 @@ def clip_polygon_by_polygon(subject_rings: list, clip_rings: list) -> list[list]
     # true area lost on random star polygons).  So both exteriors and
     # every hole are reduced to disjoint convex covers first, and every
     # S-H pass below is convex×convex (exact, convex simple output).
-    sub_cover = _convex_cover(np.asarray(subject_rings[0], dtype=np.float64))
-    clip_cover = _convex_cover(np.asarray(clip_rings[0], dtype=np.float64))
-    s_hole_covers = [_convex_cover(np.asarray(h, dtype=np.float64))
+    def _boxed(cover):
+        return [(piece, (piece[:, 0].min(), piece[:, 1].min(),
+                         piece[:, 0].max(), piece[:, 1].max()))
+                for piece in cover]
+
+    # bbox prescreen on every piece pair: a concave 2k-vertex ring
+    # decomposes into ~2k trapezoids, and without the screen each
+    # (subject piece × clip piece) combination would run a Python-level
+    # S-H even though almost all pairs are spatially disjoint
+    # (round-2 review finding)
+    sub_cover = _boxed(_convex_cover(np.asarray(subject_rings[0], dtype=np.float64)))
+    clip_cover = _boxed(_convex_cover(np.asarray(clip_rings[0], dtype=np.float64)))
+    s_hole_covers = [_boxed(_convex_cover(np.asarray(h, dtype=np.float64)))
                      for h in subject_rings[1:]]
-    c_hole_covers = [_convex_cover(np.asarray(h, dtype=np.float64))
+    c_hole_covers = [_boxed(_convex_cover(np.asarray(h, dtype=np.float64)))
                      for h in clip_rings[1:]]
     both_holed = bool(s_hole_covers) and bool(c_hole_covers)
     parts = []
     s_holes_per_part: list[list[np.ndarray]] = []
-    for s in sub_cover:
-        for c in clip_cover:
+    for s, sbox in sub_cover:
+        for c, cbox in clip_cover:
+            if not bbox_intersects(sbox, cbox):
+                continue
             ext = clip_ring_convex(s, c)
             if ext is None or abs(ring_area(ext)) <= 1e-18:
                 continue
             rings = [ext]
+            ebox = (ext[:, 0].min(), ext[:, 1].min(),
+                    ext[:, 0].max(), ext[:, 1].max())
             sh = []
             for cover in s_hole_covers:
-                for hq in cover:
+                for hq, hbox in cover:
+                    if not bbox_intersects(hbox, ebox):
+                        continue
                     h = clip_ring_convex(hq, ext)
                     if h is not None and abs(ring_area(h)) > 1e-18:
                         (sh if both_holed else rings).append(h)
-            parts.append(rings)
+            parts.append((rings, ebox))
             s_holes_per_part.append(sh)
     # clip-side holes, against each part's (convex) exterior
     c_holes_per_part: list[list[np.ndarray]] = [[] for _ in parts]
     for cover in c_hole_covers:
-        for pi, rings in enumerate(parts):
-            for hq in cover:
+        for pi, (rings, ebox) in enumerate(parts):
+            for hq, hbox in cover:
+                if not bbox_intersects(hbox, ebox):
+                    continue
                 h = clip_ring_convex(hq, rings[0])
                 if h is not None and abs(ring_area(h)) > 1e-18:
                     (c_holes_per_part[pi] if both_holed else rings).append(h)
+    parts = [rings for rings, _ in parts]
     if both_holed:
         # a subject hole and a clip hole can overlap inside a part:
         # attaching both would double-subtract, so the union of all

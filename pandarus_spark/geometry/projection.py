@@ -338,9 +338,14 @@ def _parse_proj4(s: str) -> dict:
     return out
 
 
-#: ellipsoids our closed-form kernels are exact for.  GRS80 differs from
-#: WGS84 in flattening at 1e-11 (see _LAEA_EUROPE note) — accepted.
-_WGS84_ELLPS_OK = {"WGS84", "GRS80"}
+#: ellipsoids/datums our closed-form kernels are exact for.  GRS80
+#: differs from WGS84 in flattening at 1e-11 (see _LAEA_EUROPE note);
+#: NAD83 and ETRS89 are GRS80-based datums (their PROJ4 spellings are
+#: what PROJ itself emits for EPSG:5070 / EPSG:3035) — all accepted.
+_WGS84_ELLPS_OK = {"WGS84", "GRS80", "NAD83", "ETRS89"}
+
+#: WGS84 semi-minor axis (a·(1−1/f)); GRS80's differs in the 4th decimal.
+_WGS84_B = WGS84_A * (1.0 - 1.0 / WGS84_INV_F)
 
 
 def _check_wgs84_ellps(p: dict, crs: str) -> None:
@@ -349,6 +354,30 @@ def _check_wgs84_ellps(p: dict, crs: str) -> None:
         raise ValueError(
             f"unsupported ellipsoid {ell!r} in {crs!r}: the closed-form "
             "kernels are WGS84/GRS80-exact only")
+    # explicit axis overrides (+a/+b/+R) replace the ellipsoid entirely —
+    # e.g. EPSG:2163's sphere '+a=6370997'; silently using WGS84_A would
+    # shift coordinates by km (round-2 review finding)
+    if "R" in p:
+        raise ValueError(
+            f"spherical +R override in {crs!r} is not supported by the "
+            "WGS84-ellipsoid kernels")
+    a = p.get("a")
+    if a is not None and abs(float(a) - WGS84_A) > 1e-3:
+        raise ValueError(
+            f"+a={a} in {crs!r} is not the WGS84 semi-major axis")
+    b = p.get("b")
+    if b is not None and abs(float(b) - _WGS84_B) > 1e-3:
+        raise ValueError(
+            f"+b={b} in {crs!r} is not the WGS84 semi-minor axis")
+    # non-Greenwich prime meridians and datum shifts silently offset
+    # every coordinate if ignored
+    pm = p.get("pm")
+    if pm not in (None, True, "greenwich", "0", "0.0"):
+        raise ValueError(f"non-Greenwich prime meridian {pm!r} in {crs!r}")
+    tw = p.get("towgs84")
+    if tw not in (None, True) and any(abs(float(v)) > 1e-12
+                                      for v in str(tw).split(",")):
+        raise ValueError(f"nonzero +towgs84 datum shift in {crs!r}")
 
 
 def _resolve_proj4(crs: str):
@@ -419,7 +448,8 @@ def _resolve_proj4(crs: str):
                 or float(p.get("lat_ts", 0.0)) != 0.0
                 or float(p.get("k", p.get("k_0", 1.0))) != 1.0
                 or float(p.get("x_0", 0.0)) != 0.0
-                or float(p.get("y_0", 0.0)) != 0.0):
+                or float(p.get("y_0", 0.0)) != 0.0
+                or p.get("pm") not in (None, True, "greenwich", "0", "0.0")):
             raise ValueError(
                 f"only spherical web-Mercator (EPSG:3857 parameterization) "
                 f"is supported, got {crs!r}")
@@ -508,6 +538,12 @@ def project_geom(geom: dict, from_proj: str | None = None,
         to_proj = MOLLWEIDE
     elif not to_proj or to_proj == "+no_defs":
         to_proj = WGS84
+    # dynamically resolved CRSs (UTM/PROJ4/...) build fresh closures, so
+    # function identity alone misses the equal-CRS case — a same-zone
+    # round trip would perturb coordinates by the series error instead
+    # of being the reference's no-op (round-2 review finding)
+    if from_proj.strip().upper() == to_proj.strip().upper():
+        return geom
     inv_from, fwd_from = _resolve_crs(from_proj)
     inv_to, fwd_to = _resolve_crs(to_proj)
     if fwd_from is fwd_to or (fwd_from is _IDENT and fwd_to is _IDENT):

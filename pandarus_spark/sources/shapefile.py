@@ -160,7 +160,12 @@ _PRJ_PATTERNS = [
     # order matters: a UTM PROJCS embeds a WGS84 GEOGCS, so the most
     # specific projected spellings must win over the geographic one
     (re.compile(r"UTM[_ ]?[Zz]one[_ ]?(\d{1,2})(N|S|_N|_S|\b)", re.I), "UTM"),
-    (re.compile(r"Web_Mercator|Pseudo[-_]?Mercator|3857", re.I), "EPSG:3857"),
+    # a bare '3857' substring would misfire on e.g. a False_Northing of
+    # 3857000 or an unrelated authority code — require the name or the
+    # explicit EPSG authority node (round-2 review finding)
+    (re.compile(r"Web_Mercator|Pseudo[-_]?Mercator"
+                r"|AUTHORITY\s*\[\s*\"EPSG\"\s*,\s*\"3857\"\s*\]"
+                r"|ID\s*\[\s*\"EPSG\"\s*,\s*3857\s*\]", re.I), "EPSG:3857"),
     (re.compile(r"GCS_WGS_1984|WGS\s*84|WGS_1984", re.I), "EPSG:4326"),
 ]
 
@@ -183,6 +188,11 @@ _WKT_PARAM_KEYS = {
     "standard parallel 2": "lat_2",
     "latitude of 1st standard parallel": "lat_1",
     "latitude of 2nd standard parallel": "lat_2",
+    # WKT2 conic spellings (EPSG dataset names for aea/lcc)
+    "latitude of false origin": "lat_0",
+    "longitude of false origin": "lon_0",
+    "easting at false origin": "x_0",
+    "northing at false origin": "y_0",
 }
 
 #: WKT PROJECTION/METHOD name → PROJ4 projection, restricted to what the
@@ -218,7 +228,17 @@ def _proj4_from_projcs_wkt(wkt: str) -> str | None:
             r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt, re.I):
         key = _WKT_PARAM_KEYS.get(_norm_wkt_name(name))
         if key is not None:
-            parts.append(f"+{key}={float(val):.10g}")
+            # repr keeps the value exact: '%.10g' truncated repeating
+            # decimals like -84.16666666666667 (US state-plane
+            # meridians) by ~4e-8 deg (round-2 review finding)
+            parts.append(f"+{key}={float(val)!r}")
+        else:
+            # silently dropping an unrecognized parameter mis-projects
+            # every coordinate (e.g. WKT2's 'Longitude of false origin'
+            # before it was mapped); refuse instead
+            raise ValueError(
+                f"unrecognized projection parameter {name!r} in .prj; "
+                "pass crs= explicitly")
     ell = re.search(r'SPHEROID\s*\[\s*"([^"]+)"|ELLIPSOID\s*\[\s*"([^"]+)"',
                     wkt, re.I)
     if ell:
@@ -231,11 +251,18 @@ def _proj4_from_projcs_wkt(wkt: str) -> str | None:
             raise ValueError(
                 f"unsupported spheroid {name!r} in .prj; the closed-form "
                 "kernels are WGS84/GRS80-exact only")
-    unit = re.search(r'UNIT\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)\s*\]\s*\]\s*$',
-                     wkt.strip(), re.I)
-    if unit and abs(float(unit.group(2)) - 1.0) > 1e-12:
-        raise ValueError(
-            f"non-metre projected unit {unit.group(1)!r} in .prj is not supported")
+    # the projected unit is the LAST UNIT/LENGTHUNIT node (the GEOGCS
+    # degree unit precedes PROJECTION); anchoring to end-of-string
+    # missed GDAL WKTs where AUTHORITY/AXIS nodes follow the unit,
+    # letting foot-based CRSs through to the metre kernels silently
+    # (round-2 review finding)
+    units = re.findall(r'\b(?:LENGTHUNIT|UNIT)\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)',
+                       wkt, re.I)  # \b keeps ANGLEUNIT (degrees) out
+    if units:
+        uname, ufac = units[-1]
+        if abs(float(ufac) - 1.0) > 1e-12:
+            raise ValueError(
+                f"non-metre projected unit {uname!r} in .prj is not supported")
     return " ".join(parts)
 
 

@@ -241,3 +241,33 @@ def test_project_geom_reference_semantics():
     back = project_geom(project_geom(pt, "EPSG:5070", "EPSG:3035"),
                         "EPSG:3035", "EPSG:4326")
     assert np.allclose(back["coordinates"], [-96.0, 40.0], atol=1e-9)
+
+
+def test_proj4_review_fix_regressions():
+    """Round-2 review findings on the PROJ4 front-end: NAD83/ETRS89
+    datums accepted (GRS80-based — the spellings PROJ emits for
+    EPSG:5070/3035), axis overrides and non-Greenwich meridians
+    rejected, zero towgs84 tolerated, and project_geom short-circuits
+    equal CRS strings."""
+    from pandarus_spark.geometry.projection import from_wgs84, project_geom
+    lon = np.array([-100.0]); lat = np.array([40.0])
+    # canonical PROJ spelling of EPSG:5070
+    p5070 = ("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+             "+x_0=0 +y_0=0 +datum=NAD83 +units=m +no_defs")
+    xa, ya = from_wgs84(lon, lat, p5070)
+    xb, yb = from_wgs84(lon, lat, "EPSG:5070")
+    assert np.array_equal(xa, xb) and np.array_equal(ya, yb)
+    # EPSG:2163-style sphere override must raise, not silently use WGS84
+    with pytest.raises(ValueError, match="semi-major|sphere|spherical"):
+        from_wgs84(lon, lat, "+proj=laea +lat_0=45 +lon_0=-100 +a=6370997 +b=6370997")
+    with pytest.raises(ValueError, match="prime meridian"):
+        from_wgs84(lon, lat, "+proj=longlat +ellps=WGS84 +pm=paris")
+    # all-zero towgs84 (the common WGS84 spelling) is fine
+    lo, la = to_wgs84(lon, lat, "+proj=longlat +ellps=WGS84 +towgs84=0,0,0,0,0,0,0")
+    assert np.array_equal(lo, lon) and np.array_equal(la, lat)
+    with pytest.raises(ValueError, match="towgs84"):
+        to_wgs84(lon, lat, "+proj=longlat +ellps=WGS84 +towgs84=100,0,0")
+    # same-CRS short-circuit for dynamically resolved CRSs
+    pt = {"type": "Point", "coordinates": np.array([500000.0, 4649776.0])}
+    assert project_geom(pt, "EPSG:32633", "EPSG:32633") is pt
+    assert project_geom(pt, "+proj=utm +zone=33", "+proj=utm +zone=33") is pt

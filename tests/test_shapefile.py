@@ -272,3 +272,63 @@ def test_prj_albers_wkt_detection(spark, tmp_path):
     xa, ya = from_wgs84(lon, lat, crs)
     xb, yb = from_wgs84(lon, lat, "EPSG:5070")
     assert np.allclose(xa, xb, atol=1e-9) and np.allclose(ya, yb, atol=1e-9)
+
+
+def test_prj_review_fix_regressions(spark, tmp_path):
+    """Round-2 review findings on the WKT front-end: WKT2 false-origin
+    parameters must be honored (not silently zeroed), GDAL-style WKTs
+    with AUTHORITY nodes after a foot unit must be rejected, a bare
+    '3857' substring must not hijack detection, unrecognized parameters
+    must raise, and repeating-decimal parameters survive exactly."""
+    import numpy as np
+
+    from pandarus_spark.geometry.projection import from_wgs84
+    from pandarus_spark.sources.shapefile import _crs_from_prj, _proj4_from_projcs_wkt
+
+    p = _write_fixture_shp(spark, tmp_path, "square")
+
+    def put(wkt):
+        with open(str(tmp_path / "square.prj"), "w") as f:
+            f.write(wkt)
+
+    # WKT2 Albers with false-origin parameter names == EPSG:5070
+    put('PROJCRS["Conus Albers",BASEGEOGCRS["NAD83",DATUM["NAD83",'
+        'ELLIPSOID["GRS 1980",6378137,298.257222101]]],CONVERSION["Albers",'
+        'METHOD["Albers Equal Area"],'
+        'PARAMETER["Latitude of false origin",23],'
+        'PARAMETER["Longitude of false origin",-96],'
+        'PARAMETER["Latitude of 1st standard parallel",29.5],'
+        'PARAMETER["Latitude of 2nd standard parallel",45.5],'
+        'PARAMETER["Easting at false origin",0],'
+        'PARAMETER["Northing at false origin",0]]]')
+    crs = _crs_from_prj(p)
+    lon = np.array([-100.0, -80.5]); lat = np.array([30.0, 44.0])
+    xa, ya = from_wgs84(lon, lat, crs)
+    xb, yb = from_wgs84(lon, lat, "EPSG:5070")
+    assert np.allclose(xa, xb, atol=1e-9) and np.allclose(ya, yb, atol=1e-9)
+
+    # GDAL WKT1 with trailing AUTHORITY after a US-survey-foot unit
+    put(ESRI_TMERC_WKT.replace(
+        'UNIT["Meter",1.0]',
+        'UNIT["US survey foot",0.3048006096012192,'
+        'AUTHORITY["EPSG","9003"]],AUTHORITY["EPSG","2240"'))
+    with pytest.raises(ValueError, match="non-metre"):
+        _crs_from_prj(p)
+
+    # a False_Northing containing 3857 must not detect as web mercator
+    put(ESRI_TMERC_WKT.replace('PARAMETER["False_Northing",200000.0]',
+                               'PARAMETER["False_Northing",3857000.0]'))
+    crs = _crs_from_prj(p)
+    assert crs.startswith("+proj=tmerc") and "+y_0=3857000" in crs
+
+    # unrecognized parameter: refuse rather than silently drop
+    put(ESRI_TMERC_WKT.replace('PARAMETER["Scale_Factor",0.9996]',
+                               'PARAMETER["Rectified_Grid_Angle",12.0]'))
+    with pytest.raises(ValueError, match="unrecognized projection parameter"):
+        _crs_from_prj(p)
+
+    # repeating-decimal meridian preserved exactly through the rebuild
+    wkt = ESRI_TMERC_WKT.replace('PARAMETER["Central_Meridian",9.0]',
+                                 'PARAMETER["Central_Meridian",-84.16666666666667]')
+    crs = _proj4_from_projcs_wkt(wkt)
+    assert "+lon_0=-84.16666666666667" in crs
