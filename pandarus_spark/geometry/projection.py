@@ -297,6 +297,76 @@ def albers_inverse(x, y, lat1_deg: float, lat2_deg: float,
 _ALBERS_CONUS = (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Ellipsoidal Lambert conformal conic, 1SP/2SP (Snyder 15-1..15-11, 7-9/7-10)
+# ---------------------------------------------------------------------------
+
+
+def _lcc_m(phi):
+    return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+
+
+def _lcc_t(phi):
+    sp = np.sin(phi)
+    return (np.tan(np.pi / 4 - phi / 2)
+            / ((1 - _E * sp) / (1 + _E * sp)) ** (_E / 2))
+
+
+def _lcc_consts(lat1_deg: float, lat2_deg: float, lat0_deg: float):
+    phi1, phi2, phi0 = np.radians([lat1_deg, lat2_deg, lat0_deg])
+    t1 = float(_lcc_t(np.array(phi1)))
+    if abs(lat1_deg - lat2_deg) < 1e-12:
+        n = float(np.sin(phi1))
+    else:
+        m1, m2 = float(_lcc_m(np.array(phi1))), float(_lcc_m(np.array(phi2)))
+        t2 = float(_lcc_t(np.array(phi2)))
+        n = float(np.log(m1 / m2) / np.log(t1 / t2))
+    if abs(n) < 1e-12:
+        raise ValueError(
+            "Lambert conformal conic with standard parallels symmetric "
+            "about the equator degenerates (n=0); pick other parallels")
+    f = float(_lcc_m(np.array(phi1))) / (n * t1 ** n)
+    t0 = float(_lcc_t(np.array(phi0)))
+    rho0 = WGS84_A * f * t0 ** n
+    return n, f, rho0
+
+
+def lcc_forward(lon_deg, lat_deg, lat1_deg: float, lat2_deg: float,
+                lat0_deg: float, lon0_deg: float,
+                x0: float = 0.0, y0: float = 0.0):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    n, f, rho0 = _lcc_consts(lat1_deg, lat2_deg, lat0_deg)
+    with np.errstate(divide="ignore"):
+        rho = WGS84_A * f * _lcc_t(phi) ** n
+    theta = n * (lam - np.radians(lon0_deg))
+    return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
+
+
+def lcc_inverse(x, y, lat1_deg: float, lat2_deg: float,
+                lat0_deg: float, lon0_deg: float,
+                x0: float = 0.0, y0: float = 0.0):
+    x = np.asarray(x, dtype=np.float64) - x0
+    y = np.asarray(y, dtype=np.float64) - y0
+    n, f, rho0 = _lcc_consts(lat1_deg, lat2_deg, lat0_deg)
+    rho = np.sign(n) * np.hypot(x, rho0 - y)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+    lam = np.radians(lon0_deg) + theta / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (rho / (WGS84_A * f)) ** (1.0 / n)
+    # iterate geodetic latitude (Snyder 7-9): phi = pi/2 - 2 atan(t·χ(phi))
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(30):
+        sp = np.sin(phi)
+        new = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - _E * sp) / (1 + _E * sp)) ** (_E / 2))
+        if not np.any(np.abs(new - phi) > 1e-15):
+            phi = new
+            break
+        phi = new
+    return np.degrees(lam), np.degrees(phi)
+
+
 #: CRS registry: name -> to_wgs84 fn. WGS84 itself is identity.
 #: UTM zones (EPSG:326xx/327xx) and LAEA (EPSG:3035) resolve dynamically.
 _IDENT = (lambda x, y: (np.asarray(x, float), np.asarray(y, float)))
@@ -432,6 +502,22 @@ def _resolve_proj4(crs: str):
         y0 = float(p.get("y_0", 0.0))
         return (lambda x, y: albers_inverse(x, y, lat1, lat2, lat0, lon0, x0, y0),
                 lambda x, y: albers_forward(x, y, lat1, lat2, lat0, lon0, x0, y0))
+    if proj == "lcc":
+        _check_wgs84_ellps(p, crs)
+        if "k" in p or "k_0" in p:
+            k0 = float(p.get("k", p.get("k_0", 1.0)))
+            if k0 != 1.0:
+                raise ValueError(
+                    f"LCC with a scale factor (+k={k0}) is the Belgium/1SP-"
+                    f"scaled variant, not supported: {crs!r}")
+        lat0 = float(p.get("lat_0", 0.0))
+        lat1 = float(p.get("lat_1", lat0))
+        lat2 = float(p.get("lat_2", lat1))
+        lon0 = float(p.get("lon_0", 0.0))
+        x0 = float(p.get("x_0", 0.0))
+        y0 = float(p.get("y_0", 0.0))
+        return (lambda x, y: lcc_inverse(x, y, lat1, lat2, lat0, lon0, x0, y0),
+                lambda x, y: lcc_forward(x, y, lat1, lat2, lat0, lon0, x0, y0))
     if proj == "moll":
         _check_wgs84_ellps(p, crs)
         if any(float(p.get(k, 0.0)) != 0.0 for k in ("lon_0", "x_0", "y_0")):
@@ -456,7 +542,7 @@ def _resolve_proj4(crs: str):
         return web_mercator_inverse, web_mercator_forward
     raise ValueError(
         f"unsupported PROJ4 projection {proj!r} in {crs!r}; supported: "
-        "longlat, utm, tmerc, laea, moll, merc(spherical)")
+        "longlat, utm, tmerc, laea, aea, lcc, moll, merc(spherical)")
 
 
 def _resolve_crs(crs: str):
@@ -492,7 +578,7 @@ def _resolve_crs(crs: str):
         f"unsupported CRS {crs!r}; supported: {sorted(CRS_TO_WGS84)} "
         "+ UTM zones EPSG:326xx/327xx + EPSG:3035 (LAEA Europe) "
         "+ EPSG:5070 (Conus Albers) "
-        "+ PROJ4 strings (+proj=longlat/utm/tmerc/laea/aea/moll/merc)")
+        "+ PROJ4 strings (+proj=longlat/utm/tmerc/laea/aea/lcc/moll/merc)")
 
 
 def to_wgs84(x: np.ndarray, y: np.ndarray, crs: str = "EPSG:4326") -> tuple[np.ndarray, np.ndarray]:

@@ -204,6 +204,11 @@ _WKT_PROJ_NAMES = {
     "albers": "aea",
     "albers conic equal area": "aea",
     "albers equal area": "aea",
+    "lambert conformal conic": "lcc",
+    "lambert conformal conic 2sp": "lcc",
+    "lambert conformal conic 1sp": "lcc",
+    "lambert conic conformal 2sp": "lcc",
+    "lambert conic conformal 1sp": "lcc",
 }
 
 

@@ -271,3 +271,42 @@ def test_proj4_review_fix_regressions():
     pt = {"type": "Point", "coordinates": np.array([500000.0, 4649776.0])}
     assert project_geom(pt, "EPSG:32633", "EPSG:32633") is pt
     assert project_geom(pt, "+proj=utm +zone=33", "+proj=utm +zone=33") is pt
+
+
+def test_lcc_lambert93_properties():
+    """Ellipsoidal Lambert conformal conic (Snyder 15): Lambert-93
+    (EPSG:2154 parameters) must round-trip at 1e-12, map the grid
+    origin exactly, hold scale exactly 1 along BOTH standard parallels
+    (the defining 2SP property), be locally isotropic (conformal), and
+    hit the known Paris coordinate to the metre."""
+    from pandarus_spark.geometry.projection import (
+        WGS84_A, _E2, from_wgs84, to_wgs84 as inv)
+    p = ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+         "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs")
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-5, 9, 500); lat = rng.uniform(41, 51, 500)
+    lo, la = inv(*from_wgs84(lon, lat, p), p)
+    assert np.allclose(lo, lon, atol=1e-12) and np.allclose(la, lat, atol=1e-12)
+    x, y = from_wgs84(np.array([3.0]), np.array([46.5]), p)
+    assert x[0] == pytest.approx(700_000.0, abs=1e-6)
+    assert y[0] == pytest.approx(6_600_000.0, abs=1e-6)
+    for lat_sp in (49.0, 44.0):
+        phi = np.radians(lat_sp)
+        d = 1e-5
+        x1, y1 = from_wgs84(np.array([3.0]), np.array([lat_sp]), p)
+        x2, y2 = from_wgs84(np.array([3.0 + d]), np.array([lat_sp]), p)
+        chord = float(np.hypot(x2[0] - x1[0], y2[0] - y1[0]))
+        true = float(WGS84_A * np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+                     * np.radians(d))
+        assert chord / true == pytest.approx(1.0, abs=1e-9), lat_sp
+    x, y = from_wgs84(np.array([2.3522]), np.array([48.8566]), p)
+    assert x[0] == pytest.approx(652_469.0, abs=1.0)
+    assert y[0] == pytest.approx(6_862_035.3, abs=1.0)
+    # southern cone
+    ps = "+proj=lcc +lat_1=-30 +lat_2=-60 +lat_0=-45 +lon_0=170 +ellps=WGS84"
+    lon = rng.uniform(160, 180, 300); lat = rng.uniform(-58, -32, 300)
+    lo, la = inv(*from_wgs84(lon, lat, ps), ps)
+    assert np.allclose(lo, lon, atol=1e-12) and np.allclose(la, lat, atol=1e-12)
+    # Belgium/scaled variants refuse rather than mis-project
+    with pytest.raises(ValueError, match="scale factor"):
+        from_wgs84(lon, lat, "+proj=lcc +lat_1=49 +lat_0=49 +k=0.9996 +ellps=WGS84")

@@ -332,3 +332,32 @@ def test_prj_review_fix_regressions(spark, tmp_path):
                                  'PARAMETER["Central_Meridian",-84.16666666666667]')
     crs = _proj4_from_projcs_wkt(wkt)
     assert "+lon_0=-84.16666666666667" in crs
+
+
+def test_prj_lcc_wkt_detection(spark, tmp_path):
+    """ESRI Lambert_Conformal_Conic WKT resolves onto the lcc kernel
+    with Lambert-93 parameters."""
+    import numpy as np
+
+    from pandarus_spark.geometry.projection import from_wgs84
+    from pandarus_spark.sources.shapefile import _crs_from_prj
+
+    wkt = (
+        'PROJCS["RGF93_Lambert_93",GEOGCS["GCS_RGF_1993",DATUM["D_RGF_1993",'
+        'SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],'
+        'UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic"],'
+        'PARAMETER["False_Easting",700000.0],'
+        'PARAMETER["False_Northing",6600000.0],'
+        'PARAMETER["Central_Meridian",3.0],'
+        'PARAMETER["Standard_Parallel_1",49.0],'
+        'PARAMETER["Standard_Parallel_2",44.0],'
+        'PARAMETER["Latitude_Of_Origin",46.5],UNIT["Meter",1.0]]')
+    p = _write_fixture_shp(spark, tmp_path, "square")
+    with open(str(tmp_path / "square.prj"), "w") as f:
+        f.write(wkt)
+    crs = _crs_from_prj(p)
+    assert crs.startswith("+proj=lcc")
+    x, y = from_wgs84(np.array([2.3522]), np.array([48.8566]), crs)
+    assert x[0] == pytest.approx(652_469.0, abs=1.0)
+    assert y[0] == pytest.approx(6_862_035.3, abs=1.0)
