@@ -36,6 +36,15 @@ WGS84 = "EPSG:4326"
 _SQRT2 = float(np.sqrt(2.0))
 
 
+
+def _wrap_dlam(dlam: np.ndarray) -> np.ndarray:
+    """Wrap a longitude difference into (-pi, pi] — PROJ's default
+    behavior.  The conic/TM formulas use (lam - lam0) LINEARLY, so an
+    antimeridian-crossing input (e.g. lon -179.5 against UTM zone 60's
+    lon_0=177) would otherwise land ~2pi away (round-2 review
+    follow-up: x = -2.35e9 m instead of 883810 m)."""
+    return dlam - 2.0 * np.pi * np.round(dlam / (2.0 * np.pi))
+
 def mollweide_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Project WGS84 degrees -> Mollweide metres (vectorized).
 
@@ -44,7 +53,7 @@ def mollweide_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndar
     ``x = (2*sqrt(2)/pi) * R * lambda * cos(theta)``,
     ``y = sqrt(2) * R * sin(theta)``.
     """
-    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lam = _wrap_dlam(np.radians(np.asarray(lon_deg, dtype=np.float64)))
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     theta = phi.copy()
     target = np.pi * np.sin(phi)
@@ -88,7 +97,7 @@ def web_mercator_inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.n
 
 
 def web_mercator_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lam = _wrap_dlam(np.radians(np.asarray(lon_deg, dtype=np.float64)))
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     return WGS84_A * lam, WGS84_A * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
 
@@ -122,7 +131,7 @@ def tm_forward(lon_deg, lat_deg, lon0_deg: float, k0: float = 0.9996,
     n = WGS84_A / np.sqrt(1 - _E2 * sp * sp)
     t = (sp / np.where(cp == 0, 1.0, cp)) ** 2
     c = _EP2 * cp * cp
-    a_ = (lam - lam0) * cp
+    a_ = _wrap_dlam(lam - lam0) * cp
     m = _meridian_arc(phi)
     x = k0 * n * (a_ + (1 - t + c) * a_ ** 3 / 6
                   + (5 - 18 * t + t * t + 72 * c - 58 * _EP2) * a_ ** 5 / 120) + x0
@@ -265,7 +274,7 @@ def albers_forward(lon_deg, lat_deg, lat1_deg: float, lat2_deg: float,
     n, c, rho0 = _albers_consts(lat1_deg, lat2_deg, lat0_deg)
     q = _authalic_q(phi)
     rho = WGS84_A * np.sqrt(np.maximum(c - n * q, 0.0)) / n
-    theta = n * (lam - np.radians(lon0_deg))
+    theta = n * _wrap_dlam(lam - np.radians(lon0_deg))
     return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
 
 
@@ -339,7 +348,7 @@ def lcc_forward(lon_deg, lat_deg, lat1_deg: float, lat2_deg: float,
     n, f, rho0 = _lcc_consts(lat1_deg, lat2_deg, lat0_deg)
     with np.errstate(divide="ignore"):
         rho = WGS84_A * f * _lcc_t(phi) ** n
-    theta = n * (lam - np.radians(lon0_deg))
+    theta = n * _wrap_dlam(lam - np.radians(lon0_deg))
     return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
 
 

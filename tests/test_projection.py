@@ -310,3 +310,29 @@ def test_lcc_lambert93_properties():
     # Belgium/scaled variants refuse rather than mis-project
     with pytest.raises(ValueError, match="scale factor"):
         from_wgs84(lon, lat, "+proj=lcc +lat_1=49 +lat_0=49 +k=0.9996 +ellps=WGS84")
+
+
+def test_antimeridian_longitude_wrap():
+    """(lam - lam0) must wrap into +-pi (PROJ's default): a zone-60 UTM
+    feature at lon -179.5 (3.5 deg east of lon_0=177 across the
+    antimeridian) must project identically to its +180.5 alias, and the
+    same for conic theta = n*(lam - lam0) in aea/lcc and for the plain
+    lam in merc/moll."""
+    from pandarus_spark.geometry.projection import from_wgs84, mollweide_forward
+    cases = [
+        ("EPSG:32660", -179.5, 10.0),
+        ("+proj=lcc +lat_1=-30 +lat_2=-60 +lat_0=-45 +lon_0=170 +ellps=WGS84",
+         -175.0, -45.0),
+        ("+proj=aea +lat_1=35 +lat_2=45 +lat_0=40 +lon_0=175 +ellps=WGS84",
+         -179.0, 40.0),
+        ("EPSG:3857", -170.0, 20.0),
+    ]
+    for crs, lon, lat in cases:
+        x1, y1 = from_wgs84(np.array([lon]), np.array([lat]), crs)
+        x2, y2 = from_wgs84(np.array([lon + 360.0]), np.array([lat]), crs)
+        assert x1[0] == pytest.approx(x2[0], abs=1e-6), crs
+        assert y1[0] == pytest.approx(y2[0], abs=1e-6), crs
+    xm1, ym1 = mollweide_forward(np.array([170.0]), np.array([10.0]))
+    xm2, ym2 = mollweide_forward(np.array([-190.0]), np.array([10.0]))
+    assert xm1[0] == pytest.approx(xm2[0], abs=1e-6)
+    assert ym1[0] == pytest.approx(ym2[0], abs=1e-6)
