@@ -38,8 +38,9 @@ _SQRT2 = float(np.sqrt(2.0))
 
 
 def _wrap_dlam(dlam: np.ndarray) -> np.ndarray:
-    """Wrap a longitude difference into (-pi, pi] — PROJ's default
-    behavior.  The conic/TM formulas use (lam - lam0) LINEARLY, so an
+    """Wrap a longitude difference into [-pi, pi] (ties keep their
+    sign via round-half-to-even) — PROJ's default behavior.  The
+    conic/TM formulas use (lam - lam0) LINEARLY, so an
     antimeridian-crossing input (e.g. lon -179.5 against UTM zone 60's
     lon_0=177) would otherwise land ~2pi away (round-2 review
     follow-up: x = -2.35e9 m instead of 883810 m)."""
@@ -53,7 +54,12 @@ def mollweide_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndar
     ``x = (2*sqrt(2)/pi) * R * lambda * cos(theta)``,
     ``y = sqrt(2) * R * sin(theta)``.
     """
-    lam = _wrap_dlam(np.radians(np.asarray(lon_deg, dtype=np.float64)))
+    # deliberately NOT wrapped: this is the MEASURE projection, and the
+    # projected-CRS inverses hand back antimeridian-crossing geometries
+    # as CONTIGUOUS spans (e.g. lon 178..182 from a UTM zone-60 read);
+    # x is linear in lam, so the span measures exactly, while wrapping
+    # per-vertex would tear a 4-degree edge into a world-spanning one.
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     theta = phi.copy()
     target = np.pi * np.sin(phi)
@@ -192,6 +198,12 @@ _QP = float(_authalic_q(np.array(np.pi / 2)))
 _RQ = WGS84_A * np.sqrt(_QP / 2.0)
 
 
+def _snyder_m(phi):
+    """Snyder's m(phi) = cos(phi)/sqrt(1 - e2 sin^2 phi) — shared by
+    LAEA, Albers, and LCC (one definition, not four drifting copies)."""
+    return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+
+
 def laea_forward(lon_deg, lat_deg, lon0_deg: float, lat0_deg: float,
                  x0: float = 0.0, y0: float = 0.0):
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
@@ -199,7 +211,7 @@ def laea_forward(lon_deg, lat_deg, lon0_deg: float, lat0_deg: float,
     lam0, phi0 = np.radians(lon0_deg), np.radians(lat0_deg)
     beta = np.arcsin(np.clip(_authalic_q(phi) / _QP, -1.0, 1.0))
     beta1 = np.arcsin(np.clip(_authalic_q(np.array(phi0)) / _QP, -1.0, 1.0))
-    m1 = np.cos(phi0) / np.sqrt(1 - _E2 * np.sin(phi0) ** 2)
+    m1 = _snyder_m(phi0)
     d = WGS84_A * m1 / (_RQ * np.cos(beta1))
     denom = 1 + np.sin(beta1) * np.sin(beta) + np.cos(beta1) * np.cos(beta) * np.cos(lam - lam0)
     b = _RQ * np.sqrt(2.0 / np.where(denom == 0, 1e-300, denom))
@@ -215,7 +227,7 @@ def laea_inverse(x, y, lon0_deg: float, lat0_deg: float,
     y = np.asarray(y, dtype=np.float64) - y0
     lam0, phi0 = np.radians(lon0_deg), np.radians(lat0_deg)
     beta1 = np.arcsin(np.clip(_authalic_q(np.array(phi0)) / _QP, -1.0, 1.0))
-    m1 = np.cos(phi0) / np.sqrt(1 - _E2 * np.sin(phi0) ** 2)
+    m1 = _snyder_m(phi0)
     d = WGS84_A * m1 / (_RQ * np.cos(beta1))
     rho = np.sqrt((x / d) ** 2 + (d * y) ** 2)
     ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _RQ), -1.0, 1.0))
@@ -246,11 +258,7 @@ def laea_inverse(x, y, lon0_deg: float, lat0_deg: float,
 
 def _albers_consts(lat1_deg: float, lat2_deg: float, lat0_deg: float):
     phi1, phi2, phi0 = np.radians([lat1_deg, lat2_deg, lat0_deg])
-
-    def m(phi):
-        return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
-
-    m1, m2 = m(phi1), m(phi2)
+    m1, m2 = _snyder_m(phi1), _snyder_m(phi2)
     q1, q2 = _authalic_q(np.array(phi1)), _authalic_q(np.array(phi2))
     if abs(lat1_deg - lat2_deg) < 1e-12:
         n = float(np.sin(phi1))
@@ -311,10 +319,6 @@ _ALBERS_CONUS = (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
 # ---------------------------------------------------------------------------
 
 
-def _lcc_m(phi):
-    return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
-
-
 def _lcc_t(phi):
     sp = np.sin(phi)
     return (np.tan(np.pi / 4 - phi / 2)
@@ -324,17 +328,18 @@ def _lcc_t(phi):
 def _lcc_consts(lat1_deg: float, lat2_deg: float, lat0_deg: float):
     phi1, phi2, phi0 = np.radians([lat1_deg, lat2_deg, lat0_deg])
     t1 = float(_lcc_t(np.array(phi1)))
+    m1 = float(_snyder_m(np.array(phi1)))
     if abs(lat1_deg - lat2_deg) < 1e-12:
         n = float(np.sin(phi1))
     else:
-        m1, m2 = float(_lcc_m(np.array(phi1))), float(_lcc_m(np.array(phi2)))
+        m2 = float(_snyder_m(np.array(phi2)))
         t2 = float(_lcc_t(np.array(phi2)))
         n = float(np.log(m1 / m2) / np.log(t1 / t2))
     if abs(n) < 1e-12:
         raise ValueError(
             "Lambert conformal conic with standard parallels symmetric "
             "about the equator degenerates (n=0); pick other parallels")
-    f = float(_lcc_m(np.array(phi1))) / (n * t1 ** n)
+    f = m1 / (n * t1 ** n)
     t0 = float(_lcc_t(np.array(phi0)))
     rho0 = WGS84_A * f * t0 ** n
     return n, f, rho0
@@ -346,8 +351,16 @@ def lcc_forward(lon_deg, lat_deg, lat1_deg: float, lat2_deg: float,
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     n, f, rho0 = _lcc_consts(lat1_deg, lat2_deg, lat0_deg)
-    with np.errstate(divide="ignore"):
-        rho = WGS84_A * f * _lcc_t(phi) ** n
+    # the pole OPPOSITE the cone has t -> inf: rho would be inf/NaN and
+    # propagate silently into WKB; refuse like PROJ does (the cone-side
+    # pole is fine: t -> 0, rho -> 0)
+    limit = np.radians(89.999999)
+    bad = (phi < -limit) if n > 0 else (phi > limit)
+    if np.any(bad):
+        raise ValueError(
+            "latitude at/near the pole opposite the LCC cone cannot be "
+            "projected (rho diverges)")
+    rho = WGS84_A * f * _lcc_t(phi) ** n
     theta = n * _wrap_dlam(lam - np.radians(lon0_deg))
     return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
 
@@ -463,9 +476,9 @@ def _resolve_proj4(crs: str):
     """Dispatch a PROJ4 string onto the closed-form kernels.  Supported
     projections: longlat/latlong (identity — the reference treats any
     two geographic CRSs as interchangeable, utils/projection.py:54-57),
-    utm (+south), tmerc (any lat_0/lon_0/k/x_0/y_0), laea, moll (the
-    reference's measure CRS), and the spherical web-Mercator
-    parameterization of merc (EPSG:3857)."""
+    utm (+south), tmerc (any lat_0/lon_0/k/x_0/y_0), laea, aea, lcc
+    (1SP/2SP), moll (the reference's measure CRS), and the spherical
+    web-Mercator parameterization of merc (EPSG:3857)."""
     p = _parse_proj4(crs)
     if "init" in p:  # '+init=epsg:32633' legacy form
         return _resolve_crs(str(p["init"]))
@@ -519,8 +532,13 @@ def _resolve_proj4(crs: str):
                 raise ValueError(
                     f"LCC with a scale factor (+k={k0}) is the Belgium/1SP-"
                     f"scaled variant, not supported: {crs!r}")
+        if "lat_1" not in p:
+            # PROJ defaults a missing lat_1 to 0, which silently yields a
+            # different cone than the lat_0 fallback would — refuse the
+            # ambiguous spelling rather than diverge
+            raise ValueError(f"+proj=lcc without +lat_1 in {crs!r}")
         lat0 = float(p.get("lat_0", 0.0))
-        lat1 = float(p.get("lat_1", lat0))
+        lat1 = float(p["lat_1"])
         lat2 = float(p.get("lat_2", lat1))
         lon0 = float(p.get("lon_0", 0.0))
         x0 = float(p.get("x_0", 0.0))

@@ -218,7 +218,7 @@ def _norm_wkt_name(s: str) -> str:
 
 def _proj4_from_projcs_wkt(wkt: str) -> str | None:
     """Generic PROJCS WKT → PROJ4 string for the projections the engine
-    implements (tmerc/laea/moll); returns None when the WKT is not a
+    implements (tmerc/laea/aea/lcc/moll); returns None when the WKT is not a
     recognizable parameterized PROJCS.  The resulting string dispatches
     through the PROJ4 front-end in geometry/projection.py, so ellipsoid
     restrictions (WGS84/GRS80 only) are enforced there."""

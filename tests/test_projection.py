@@ -332,7 +332,40 @@ def test_antimeridian_longitude_wrap():
         x2, y2 = from_wgs84(np.array([lon + 360.0]), np.array([lat]), crs)
         assert x1[0] == pytest.approx(x2[0], abs=1e-6), crs
         assert y1[0] == pytest.approx(y2[0], abs=1e-6), crs
-    xm1, ym1 = mollweide_forward(np.array([170.0]), np.array([10.0]))
-    xm2, ym2 = mollweide_forward(np.array([-190.0]), np.array([10.0]))
-    assert xm1[0] == pytest.approx(xm2[0], abs=1e-6)
-    assert ym1[0] == pytest.approx(ym2[0], abs=1e-6)
+    # mollweide_forward is deliberately NOT in the list: it is the
+    # MEASURE projection and stays linear in lam so that contiguous
+    # >180-lon spans (what projected-CRS inverses return at the
+    # antimeridian) measure exactly — see
+    # test_lcc_review_fix_regressions for the area-parity assertion.
+    xm1, _ = mollweide_forward(np.array([170.0]), np.array([10.0]))
+    xm2, _ = mollweide_forward(np.array([190.0]), np.array([10.0]))
+    assert xm2[0] > xm1[0]  # linear continuation past 180, no tear
+
+
+def test_lcc_review_fix_regressions():
+    """Second review pass: contiguous >180-lon spans (what projected-CRS
+    inverses hand back at the antimeridian) must measure exactly through
+    Mollweide; +proj=lcc without lat_1 refuses (PROJ would default to a
+    different cone); the pole opposite the LCC cone raises instead of
+    emitting NaN/inf."""
+    from pandarus_spark.geometry.geom import ring_area
+    from pandarus_spark.geometry.projection import from_wgs84, mollweide_forward
+    # a 1x1-deg box straddling the antimeridian stored CONTIGUOUSLY
+    # (lon 179.5..180.5) must have the same Mollweide area as its
+    # within-range twin at the same latitude
+    def area(lon0):
+        box = np.array([[lon0, 10.0], [lon0 + 1, 10.0], [lon0 + 1, 11.0],
+                        [lon0, 11.0], [lon0, 10.0]])
+        x, y = mollweide_forward(box[:, 0], box[:, 1])
+        return abs(ring_area(np.column_stack([x, y])))
+    assert area(179.5) == pytest.approx(area(120.0), rel=1e-9)
+    z = np.array([0.0])
+    with pytest.raises(ValueError, match="without \\+lat_1"):
+        from_wgs84(z, z, "+proj=lcc +lat_0=40 +lat_2=45 +lon_0=-96 +ellps=WGS84")
+    with pytest.raises(ValueError, match="pole opposite"):
+        from_wgs84(np.array([3.0]), np.array([-90.0]),
+                   "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +ellps=GRS80")
+    # the cone-side pole projects cleanly (t -> 0, rho -> 0)
+    x, y = from_wgs84(np.array([3.0]), np.array([90.0]),
+                      "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +ellps=GRS80")
+    assert np.isfinite(x[0]) and np.isfinite(y[0])
