@@ -240,6 +240,48 @@ def test_cosine_neardup_bucketed_exhaustive_matches_bruteforce(spark):
     assert bucketed == brute and len(brute) >= 5
 
 
+def test_lsh_udf_and_literal_paths_agree(spark):
+    """Same planes, same data: the broadcast-matrix Arrow path must
+    assign the same buckets as the literal path (sign-bit parity), so
+    both near-dup pairs and ANN top-k are identical."""
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for i in range(5):
+        v = base[i] + 0.05 * rng.standard_normal(16)
+        rows.append((100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = sorted(map(tuple, S.cosine_neardup_bucketed(
+        emb, threshold=0.8, n_tables=6, n_planes=4, literal_max=10**9).collect()))
+    udf = sorted(map(tuple, S.cosine_neardup_bucketed(
+        emb, threshold=0.8, n_tables=6, n_planes=4, literal_max=0).collect()))
+    assert lit == udf and len(lit) >= 5
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qvec"))
+    lit_k = sorted(map(tuple, S.ann_lsh_topk(emb, q, k=3, n_planes=4,
+                                             literal_max=10**9).collect()))
+    udf_k = sorted(map(tuple, S.ann_lsh_topk(emb, q, k=3, n_planes=4,
+                                             literal_max=0).collect()))
+    assert lit_k == udf_k and len(lit_k) > 0
+
+
+def test_cosine_neardup_bucketed_udf_path_exhaustive(spark):
+    """Exhaustive config through the broadcast-planes path must still
+    equal brute force exactly (the at-scale configuration of the
+    driver-gate guarantee)."""
+    rng = np.random.default_rng(37)
+    base = rng.standard_normal((30, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    for i in range(4):
+        v = base[i] + 0.05 * rng.standard_normal(16)
+        rows.append((100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = sorted(map(tuple, S.cosine_neardup_pairs(emb, threshold=0.8).collect()))
+    bucketed = sorted(map(tuple, S.cosine_neardup_bucketed(
+        emb, threshold=0.8, n_tables=24, n_planes=2, literal_max=0).collect()))
+    assert bucketed == brute and len(brute) >= 4
+
+
 def test_cosine_neardup_bucketed_subset_semantics(spark):
     """With a selective configuration the result is a subset of brute
     force with bit-identical cosines (exact verify inside buckets)."""

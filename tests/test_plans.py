@@ -109,6 +109,37 @@ def test_ivf_big_codebook_plan_stays_bounded(spark):
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
 
 
+def test_lsh_big_dim_plan_stays_bounded(spark):
+    """dim 1024 with 8x8 tables/planes: the broadcast-planes path must
+    keep the plan O(1) in n_tables*n_planes*dim (round-2 verdict #1:
+    per-coefficient literals put ~65k constants in one projection)."""
+    import numpy as np
+
+    from pandarus_spark.operators import similarity as S
+    rng = np.random.default_rng(41)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(1024)]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    e = emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("v"))
+    big = plan_of(S._lsh_hashed(e, 1024, 8, 8, seed=7, literal_max=4096))
+    small = plan_of(S._lsh_hashed(e, 1024, 2, 2, seed=7, literal_max=0))
+    # bounded: the 8x8 signature plan text is not meaningfully larger
+    # than the 2x2 plan (vs ~16x with literals), and it runs through
+    # Arrow; the downstream candidate join sees only the checkpointed
+    # (id, t, bucket) table either way
+    assert len(big) < 3 * len(small)
+    assert "ArrowEvalPython" in big or "PythonUDF" in big
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qvec"))
+    topk = plan_of(S.ann_lsh_topk(emb, q, k=2, n_planes=8, dim=1024))
+    topk_small = plan_of(S.ann_lsh_topk(emb, q, k=2, n_planes=2, dim=1024,
+                                        literal_max=0))
+    assert "ArrowEvalPython" in topk or "PythonUDF" in topk
+    # O(1) in plane count: 8-plane plan ~= 2-plane plan (vs 4x literals)
+    assert len(topk) < 1.5 * len(topk_small)
+
+
 def test_knn_rect_path_has_no_python_stage(spark):
     """All-rect features: distances must stay in whole-stage codegen —
     the Arrow kernel branch must be empty (knn rect fast path)."""
