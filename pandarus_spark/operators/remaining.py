@@ -10,20 +10,33 @@ intersect two vector features")::
     remaining = measure(orig)                       # when no geoms
 
 The reference finds each feature's intersection rows with a quadratic
-nested scan (core.py:364-369); here it is a broadcast/shuffled **left
-outer join** on the label followed by ``applyInPandas`` per source
-feature (the group needs all of a feature's intersection geometries
-together — a genuine grouping barrier).
+nested scan (core.py:364-369); here every term of the formula is
+computed DISTRIBUTIVELY (round-2 verdict #2: the former
+``applyInPandas`` per source feature shipped ALL of a feature's
+intersection geometries to one task — a continent-sized feature over
+a fine second map became a single straggler doing quadratic work).
 
 ``unary_union`` has no pure-python equivalent, so the union *measure*
-is computed per kind:
+is computed per kind — each as an aggregation, never a per-feature
+group:
 
-* point — count of distinct coordinates;
-* line — exact: collinear segments are grouped by (direction, offset)
-  and their 1-D intervals merged; crossing points have measure zero;
-* polygon — first-order inclusion–exclusion (sum of areas minus
-  pairwise intersection areas), exact under the reference's documented
-  non-overlap precondition on the second map (core.py:51-53).
+* point — count of distinct rounded coordinates (``countDistinct``
+  over exploded points);
+* line — exact: collinear segments are keyed by (direction, offset)
+  and their 1-D intervals merged with a gaps-and-islands window per
+  (label, direction, offset) — far finer granularity than the
+  feature;
+* polygon — sum of per-geometry Mollweide areas.  Exact under the
+  reference's documented non-overlap precondition on the second map
+  (core.py:51-53): one source feature's intersection geometries are
+  interior-disjoint, so every pairwise inclusion–exclusion term is 0
+  and ``union == individ``.  (:func:`union_measure` keeps the
+  pairwise-correcting kernel for out-of-contract inputs and as the
+  single-machine oracle the distributed path is tested against.)
+
+Per-geometry measures run in ``mapInPandas`` (each row independent);
+the only shuffles are hash aggregations on the label and the line
+windows' fine-grained keys — no single-group barrier anywhere.
 """
 
 from __future__ import annotations
@@ -80,19 +93,11 @@ def _union_length(geoms: list[dict]) -> float:
                 segs.append((arr[i], arr[i + 1]))
     groups: dict[tuple, list[tuple[float, float]]] = {}
     for p, q in segs:
-        d = q - p
-        L = float(np.hypot(*d))
-        if L == 0.0:
-            continue
-        u = d / L
-        if u[0] < 0 or (u[0] == 0 and u[1] < 0):
-            u = -u
         # line signature: direction + signed offset from origin
-        off = p[0] * u[1] - p[1] * u[0]
-        key = (round(float(u[0]), 9), round(float(u[1]), 9), round(float(off), 6))
-        t0 = float(p[0] * u[0] + p[1] * u[1])
-        t1 = float(q[0] * u[0] + q[1] * u[1])
-        groups.setdefault(key, []).append((min(t0, t1), max(t0, t1)))
+        ki = _seg_key_interval(p, q)
+        if ki is None:
+            continue
+        groups.setdefault(ki[:3], []).append((ki[3], ki[4]))
     total = 0.0
     for ivs in groups.values():
         ivs.sort()
@@ -119,26 +124,134 @@ def remaining_measure(orig: dict, kind: str, geoms: list[dict]) -> float:
     return (actual - union) * (individ / union)
 
 
+def _seg_key_interval(p: np.ndarray, q: np.ndarray):
+    """Canonical (direction, offset) key + 1-D interval of a segment —
+    the exact signature :func:`_union_length` uses, factored out so the
+    distributed line-union path merges the same groups."""
+    d = q - p
+    L = float(np.hypot(*d))
+    if L == 0.0:
+        return None
+    u = d / L
+    if u[0] < 0 or (u[0] == 0 and u[1] < 0):
+        u = -u
+    off = p[0] * u[1] - p[1] * u[0]
+    t0 = float(p[0] * u[0] + p[1] * u[1])
+    t1 = float(q[0] * u[0] + q[1] * u[1])
+    return (round(float(u[0]), 9), round(float(u[1]), 9), round(float(off), 6),
+            min(t0, t1), max(t0, t1))
+
+
 def calculate_remaining(source_features: DataFrame, intersections: DataFrame) -> DataFrame:
-    """source features ⟕ intersections on label == from_label, grouped
-    per feature, remaining formula applied in Arrow batches.
+    """Distributed `calculate_remaining`: every formula term is an
+    aggregation over per-geometry rows — no per-feature grouping
+    barrier (round-2 verdict #2).
 
     ``intersections`` needs columns (from_label, geom_wkb) — the
     overlay output of :func:`~pandarus_spark.intersect`. Output:
     (label, remaining) like the reference's JSON ``data`` rows
-    (core.py:381-387)."""
+    (core.py:381-387).
+
+    Terms (formula utils/geometry.py:177-208):
+
+    * ``actual``  — one ``mapInPandas`` row per source feature;
+    * ``individ`` — per-intersection-geometry :func:`G.measure` in
+      ``mapInPandas``, ``sum`` per label;
+    * ``union``   — polygon: ``== individ`` under the reference's
+      non-overlap precondition on the second map (core.py:51-53);
+      point: ``countDistinct`` over exploded rounded coordinates;
+      line: gaps-and-islands interval merge per (label, direction,
+      offset) window key, summed per label.
+    """
+    from pyspark.sql import Window
     src = source_features.select("feature_id", "label",
                                  F.col("geom_wkb").alias("src_wkb"), "kind")
     inter = intersections.select(F.col("from_label").alias("label"),
                                  F.col("geom_wkb").alias("int_wkb"))
-    joined = src.join(inter, "label", "left")
+    pairs = inter.join(src.select("label", "kind"), "label")
 
-    def fn(pdf):
+    def actual_fn(it):
         import pandas as pd
-        orig = G.wkb_loads(bytes(pdf["src_wkb"].iloc[0]))
-        kind = pdf["kind"].iloc[0]
-        geoms = [G.wkb_loads(bytes(b)) for b in pdf["int_wkb"] if b is not None]
-        return pd.DataFrame({"label": [pdf["label"].iloc[0]],
-                             "remaining": [remaining_measure(orig, kind, geoms)]})
+        for pdf in it:
+            yield pd.DataFrame({
+                "label": pdf["label"],
+                "kind": pdf["kind"],
+                "actual": [G.measure(G.wkb_loads(bytes(b)), k)
+                           for b, k in zip(pdf["src_wkb"], pdf["kind"])]})
 
-    return joined.groupBy("feature_id").applyInPandas(fn, schema=REMAINING_SCHEMA)
+    base = src.mapInPandas(actual_fn, schema="label string, kind string, actual double")
+
+    def measure_fn(it):
+        import pandas as pd
+        for pdf in it:
+            yield pd.DataFrame({
+                "label": pdf["label"],
+                "m": [G.measure(G.wkb_loads(bytes(b)), k)
+                      for b, k in zip(pdf["int_wkb"], pdf["kind"])]})
+
+    individ = (pairs.mapInPandas(measure_fn, schema="label string, m double")
+               .groupBy("label").agg(F.sum("m").alias("individ")))
+
+    # point union: explode rounded coordinates, distinct count per label
+    def points_fn(it):
+        import pandas as pd
+        for pdf in it:
+            labels, xs, ys = [], [], []
+            for label, b in zip(pdf["label"], pdf["int_wkb"]):
+                g = G.wkb_loads(bytes(b))
+                for part in G.extract_kind_parts(g, "point"):
+                    pts = np.round(np.asarray(part, dtype=np.float64).reshape(-1, 2), 9)
+                    for x, y in pts:
+                        labels.append(label); xs.append(float(x)); ys.append(float(y))
+            yield pd.DataFrame({"label": labels, "px": xs, "py": ys})
+
+    point_union = (pairs.filter(F.col("kind") == "point")
+                   .mapInPandas(points_fn, schema="label string, px double, py double")
+                   .groupBy("label")
+                   .agg(F.countDistinct("px", "py").cast("double").alias("u_point")))
+
+    # line union: Mollweide segments keyed by (direction, offset);
+    # gaps-and-islands merge per fine-grained window key, never per
+    # feature — one hot feature's segments spread over many keys
+    def segs_fn(it):
+        import pandas as pd
+        for pdf in it:
+            out = {"label": [], "kx": [], "ky": [], "koff": [], "t0": [], "t1": []}
+            for label, b in zip(pdf["label"], pdf["int_wkb"]):
+                g = G.transform_geom(G.wkb_loads(bytes(b)), mollweide_forward)
+                for line in G.extract_kind_parts(g, "line"):
+                    arr = np.asarray(line, dtype=np.float64).reshape(-1, 2)
+                    for i in range(len(arr) - 1):
+                        ki = _seg_key_interval(arr[i], arr[i + 1])
+                        if ki is None:
+                            continue
+                        out["label"].append(label)
+                        out["kx"].append(ki[0]); out["ky"].append(ki[1])
+                        out["koff"].append(ki[2])
+                        out["t0"].append(ki[3]); out["t1"].append(ki[4])
+            yield pd.DataFrame(out)
+
+    segs = (pairs.filter(F.col("kind") == "line")
+            .mapInPandas(segs_fn, schema=("label string, kx double, ky double, "
+                                          "koff double, t0 double, t1 double")))
+    wkey = Window.partitionBy("label", "kx", "ky", "koff").orderBy("t0", "t1")
+    prev_max = F.max("t1").over(wkey.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        F.when(prev_max.isNull() | (F.col("t0") > prev_max), 1).otherwise(0)
+    ).over(wkey.rowsBetween(Window.unboundedPreceding, 0))
+    line_union = (segs.withColumn("island", island)
+                  .groupBy("label", "kx", "ky", "koff", "island")
+                  .agg((F.max("t1") - F.min("t0")).alias("len"))
+                  .groupBy("label").agg(F.sum("len").alias("u_line")))
+
+    out = (base.join(individ, "label", "left")
+           .join(point_union, "label", "left")
+           .join(line_union, "label", "left"))
+    union = (F.when(F.col("kind") == "point", F.coalesce(F.col("u_point"), F.lit(0.0)))
+             .when(F.col("kind") == "line", F.coalesce(F.col("u_line"), F.lit(0.0)))
+             .otherwise(F.coalesce(F.col("individ"), F.lit(0.0))))
+    remaining = (F.when(F.col("individ").isNull(), F.col("actual"))
+                 .when(union == 0.0, F.col("actual"))
+                 .otherwise((F.col("actual") - union)
+                            * (F.col("individ") / union)))
+    return out.select("label", remaining.alias("remaining"))
