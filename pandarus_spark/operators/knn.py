@@ -142,13 +142,23 @@ def _split_distances(cand: DataFrame) -> DataFrame:
 def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
                         res: int = 6, ring: int = 1) -> DataFrame:
     """queries(query_id, qx, qy) × features(feature_id, label, geom_wkb,
-    bbox) → (query_id, feature_id, label, dist, rank), rank 1..k."""
+    bbox) → (query_id, feature_id, label, dist, rank), rank 1..k.
+
+    Queries that find fewer than ``min(k, |features|)`` candidates in
+    their initial ``ring`` are re-probed with DOUBLING ring radii
+    (2·ring, 4·ring, …) — each pass touches only the still-short
+    queries, at most ``res`` passes before the ring spans the whole
+    grid (SURVEY §2.1.8's "growing k-ring neighborhoods"; round-2
+    verdict #3: the old backstop broadcast the FULL feature table,
+    an OOM at 100× feature scale).  The brute-force last resort
+    broadcasts the residual SHORT-QUERY side — tiny by construction —
+    and keeps the feature table distributed."""
     from ..operators.intersect import _ensure_persisted, cover_features
 
     features = _ensure_persisted(features)
     qcells_rows = queries.select(
         "query_id", "qx", "qy",
-        _cell_udf(res)(F.col("qx"), F.col("qy")).alias("cells"))
+        _cell_udf(res, ring)(F.col("qx"), F.col("qy")).alias("cells"))
     qcells = qcells_rows.select("query_id", "qx", "qy", F.explode("cells").alias("cell"))
 
     fcells = cover_features(features, res, max_cells=256)
@@ -160,21 +170,47 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("feature_id").asc())
     ranked = dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    # the backstop existence check below is an action — persist so the
+    # the backstop existence checks below are actions — persist so the
     # candidate+refine pipeline isn't executed twice
     ranked = _ensure_persisted(ranked)
 
-    # backstop: queries with < k matches fall back to brute force
-    short = (queries.join(ranked.groupBy("query_id").agg(F.count("*").alias("n")), "query_id", "left")
-             .filter((F.col("n").isNull()) | (F.col("n") < k)).select("query_id", "qx", "qy"))
-    if short.limit(1).count() > 0:
-        # same split (JVM rect expr / Arrow kernel) as the ring pass, so
-        # a feature scored by both paths gets the IDENTICAL dist and the
-        # pair dedup below is value-deterministic
-        brute = short.crossJoin(F.broadcast(fgeom))
-        bdists = _split_distances(brute)
-        ranked = (_dedup_union(ranked.drop("rank"), bdists)
-                  .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
+    # a query can never match more than |features| rows: clamp the
+    # shortness bar so a tiny feature table doesn't loop to brute force
+    want = min(k, fgeom.count())
+    n_cells = 1 << res
+    r = ring
+    while True:
+        short = (queries.join(ranked.groupBy("query_id").agg(F.count("*").alias("n")),
+                              "query_id", "left")
+                 .filter((F.col("n").isNull()) | (F.col("n") < want))
+                 .select("query_id", "qx", "qy"))
+        if want == 0 or short.limit(1).count() == 0:
+            break
+        if r >= n_cells:
+            # last resort: the k-ring already spans the grid, so any
+            # still-short query lives in a genuinely sparse region —
+            # broadcast the (small) short side against the distributed
+            # feature table.  Same split (JVM rect expr / Arrow kernel)
+            # as the ring passes, so a feature scored by both paths
+            # gets the IDENTICAL dist and the pair dedup is
+            # value-deterministic.
+            brute = fgeom.crossJoin(F.broadcast(short))
+            bdists = _split_distances(brute)
+            ranked = _ensure_persisted(
+                _dedup_union(ranked.drop("rank"), bdists)
+                .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
+            break
+        r *= 2
+        scells = short.select("query_id", "qx", "qy",
+                              F.explode(_cell_udf(res, r)(F.col("qx"), F.col("qy")))
+                              .alias("cell"))
+        cand_r = (scells.join(fcells, "cell")
+                  .select("query_id", "qx", "qy", "feature_id")
+                  .dropDuplicates(["query_id", "feature_id"])
+                  .join(fgeom, "feature_id"))
+        ranked = _ensure_persisted(
+            _dedup_union(ranked.drop("rank"), _split_distances(cand_r))
+            .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
 
     return ranked.join(features.select("feature_id", "label"), "feature_id") \
                  .select("query_id", "feature_id", "label", "dist", "rank")

@@ -92,3 +92,53 @@ def test_points_geom_distance_batch_matches_scalar():
     # hole interior: distance > 0 (to the hole boundary), not 0
     d = points_geom_distance(np.array([[2.0, 2.0]]), geoms[0])
     assert d[0] == pytest.approx(1.0)
+
+
+def test_knn_ring_growth_finds_far_features(spark):
+    """Queries whose initial ring misses every feature must be
+    re-probed with doubled rings (round-2 verdict #3: growth, not a
+    full-feature-table broadcast) and still return exact nearest."""
+    grid = extract_features(pages_df(spark, "grid"))  # cells in [0,2]^2
+    # at res 6 a cell is 360/64 = 5.625 deg wide; (90, 45) is ~16 cells
+    # away in x — ring 1 cannot see the grid
+    q = spark.createDataFrame([(1, 90.0, 45.0), (2, 0.25, 0.25)],
+                              "query_id long, qx double, qy double")
+    out = knn_nearest_feature(q, grid, k=2, res=6, ring=1)
+    rows = sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"]))
+    got = {(r["query_id"], r["rank"]): (r["label"], r["dist"]) for r in rows}
+    # exact distances from the driver-side kernel as oracle
+    feats = {r["label"]: r["geom_wkb"] for r in grid.collect()}
+    from pandarus_spark.geometry import geom as G
+    dists = sorted((point_geom_distance(90.0, 45.0, G.wkb_loads(bytes(w))), lab)
+                   for lab, w in feats.items())
+    assert got[(1, 1)][0] == dists[0][1]
+    assert got[(1, 1)][1] == pytest.approx(dists[0][0], abs=1e-12)
+    assert got[(1, 2)][1] == pytest.approx(dists[1][0], abs=1e-12)
+    assert got[(2, 1)][1] == 0.0  # near query unaffected by growth
+
+
+def test_knn_ring_param_is_threaded(spark):
+    """ring=4 initial radius must produce the same result rows as
+    ring=1 (growth invariance) — and actually reach _cell_udf (the
+    old code silently ignored it)."""
+    grid = extract_features(pages_df(spark, "grid"))
+    q = spark.createDataFrame([(1, 5.0, 0.5), (2, 0.25, 0.25)],
+                              "query_id long, qx double, qy double")
+    a = sorted(map(tuple, knn_nearest_feature(q, grid, k=2, res=6, ring=1).collect()))
+    b = sorted(map(tuple, knn_nearest_feature(q, grid, k=2, res=6, ring=4).collect()))
+    assert a == b and len(a) == 4
+
+
+def test_knn_fewer_features_than_k_short_circuits(spark):
+    """|features| < k: every query must return all |features| rows
+    without looping to the brute-force last resort."""
+    from pandarus_spark.sources.pages import page_rows, PAGES_SCHEMA
+    feats = [{"name": "only", "geometry": _box(0, 0, 1, 1)}]
+    features = extract_features(
+        spark.createDataFrame(page_rows("one", feats), PAGES_SCHEMA))
+    q = spark.createDataFrame([(1, 0.5, 0.5), (2, 50.0, 10.0)],
+                              "query_id long, qx double, qy double")
+    rows = knn_nearest_feature(q, features, k=3, res=6, ring=1).collect()
+    assert len(rows) == 2
+    got = {r["query_id"]: (r["label"], r["rank"]) for r in rows}
+    assert got[1] == ("only", 1) and got[2] == ("only", 1)
