@@ -552,7 +552,9 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2"""
 
     simhash = D.simhash_sql(where="WHERE doc_id < 100")
 
-    sh150 = D.simhash_sql(where="WHERE doc_id < 150")
+    # near-dup pairing excludes NULL/empty text (exact-dup territory);
+    # the signature gate `simhash` above stays unfiltered
+    sh150 = D.simhash_sql(where="WHERE doc_id < 150 AND coalesce(text,'') <> ''")
     simhash_neardup = f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -569,7 +571,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     q_sql = T.quality_score_sql("text")
     good_sql = (f"SELECT doc_id, text, {q_sql} AS quality FROM documents "
                 f"WHERE doc_id < 150 AND {q_sql} >= 0.5")
-    sh_good = D.simhash_sql(source=f"({good_sql})", where="")
+    sh_good = D.simhash_sql(
+        source=f"(SELECT * FROM ({good_sql}) WHERE coalesce(text,'') <> '')",
+        where="")
     good_pairs = f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM ({sh_good}) a JOIN ({sh_good}) b ON a.doc_id < b.doc_id

@@ -467,10 +467,18 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32,
     slices, bucket-join on (band, slice), verify candidates with exact
     Hamming distance.  Recall is EXACT (pigeonhole) when
     ``max_hamming < bands`` — at most max_hamming bands can differ, so
-    at least one band matches.  Output: (doc_a, doc_b, hamming)."""
+    at least one band matches.  Output: (doc_a, doc_b, hamming).
+
+    NULL/empty-text docs are EXCLUDED: they all produce the identical
+    ''-token simhash and would pair quadratically at hamming 0 (they
+    are exact duplicates — :func:`exact_dedup`'s job, not near-dup's).
+    :func:`~pandarus_spark.streaming.stream.stream_simhash_neardup`
+    applies the same predicate, so batch and streaming agree on
+    NULL-heavy pages tables (round-2 advice)."""
     assert max_hamming < bands, "pigeonhole exactness needs max_hamming < bands"
     width = bits // bands
     mask = (1 << width) - 1
+    docs = docs.filter(F.length(nz(F.col(text_col))) > 0)
     sh = simhash(docs, bits, text_col, id_col)
     banded = sh.select(
         F.col(id_col), F.col("simhash"),

@@ -264,10 +264,26 @@ def read_intersections_vector(spark, path: str):
         con = sqlite3.connect(path)
         try:
             tbl, geom_col, _srs = _feature_tables(con)[0]
-            rows = [(int(i), str(fl), str(tl), float(m), _parse_gpkg_blob(blob))
-                    for i, fl, tl, m, blob in con.execute(
-                        f'SELECT id, from_label, to_label, measure, "{geom_col}" '
-                        f'FROM "{tbl}" ORDER BY rowid')]
+            rows = []
+            for i, fl, tl, m, blob in con.execute(
+                    f'SELECT id, from_label, to_label, measure, "{geom_col}" '
+                    f'FROM "{tbl}" ORDER BY rowid'):
+                # same schema-type validation as the GeoJSON branch
+                # (round-2 advice: a NULL id/measure raised a bare
+                # TypeError from int()/float(), and empty-geometry
+                # blobs yielded NULL geom_wkb rows silently)
+                if isinstance(i, bool) or not isinstance(i, int):
+                    raise ValueError(f"Input file {path}: field 'id' must be "
+                                     f"an integer, got {i!r}")
+                if isinstance(m, bool) or not isinstance(m, (int, float)):
+                    raise ValueError(f"Input file {path}: field 'measure' must "
+                                     f"be numeric, got {m!r}")
+                wkb = _parse_gpkg_blob(blob)
+                if wkb is None:
+                    raise ValueError(
+                        f"Input file {path}: intersection id {i} has an empty "
+                        "geometry — not a valid intersect output")
+                rows.append((int(i), str(fl), str(tl), float(m), wkb))
         finally:
             con.close()
         return spark.createDataFrame(rows, INTERSECTIONS_SCHEMA)

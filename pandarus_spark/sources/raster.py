@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from ..operators.raster_stats import RasterSpec
 
 TILE_SCHEMA = ("band int, tile_row int, tile_col int, "
-               "tile_h int, tile_w int, values binary")
+               "tile_h int, tile_w int, tile_size int, values binary")
 CELL_SCHEMA = ("row bigint, col bigint, value double, "
                "minx double, miny double, maxx double, maxy double")
 
@@ -58,33 +58,60 @@ def tiles_from_array(spark, values: np.ndarray, tile_size: int = 256,
             block = values[tr * tile_size:(tr + 1) * tile_size,
                            tc * tile_size:(tc + 1) * tile_size]
             rows.append((band, tr, tc, block.shape[0], block.shape[1],
-                         block.astype("<f8").tobytes()))
+                         tile_size, block.astype("<f8").tobytes()))
     pdf = pd.DataFrame(rows, columns=["band", "tile_row", "tile_col",
-                                      "tile_h", "tile_w", "values"])
+                                      "tile_h", "tile_w", "tile_size", "values"])
     df = spark.createDataFrame(pdf, schema=TILE_SCHEMA)
     return df.repartition(partitions) if partitions else df
 
 
-def cells_from_tiles(tiles: DataFrame, spec: RasterSpec, tile_size: int = 256,
+def cells_from_tiles(tiles: DataFrame, spec: RasterSpec, tile_size: int | None = None,
                      band: int = 1, drop_nodata: bool = True) -> DataFrame:
     """Tile table → cell DataFrame (the contract's consumer side).
 
     One ``mapInPandas`` pass: unpack each tile blob, compute global
     (row, col), bbox via the affine transform (identical arithmetic to
     ``raster_cells_df``), drop nodata/NaN tile-locally so dead pixels
-    never enter the shuffle."""
+    never enter the shuffle.
+
+    The nominal grid pitch rides WITH the table (``tile_size`` column,
+    written by every producer) — the round-2 advice: making two
+    independent call sites agree on a bare ``tile_size=`` argument is
+    a silent-corruption contract, since a mismatched value shifts
+    every global (row, col) and bbox.  Passing ``tile_size=`` is
+    therefore optional; when given it is VALIDATED against the column
+    (raises on mismatch), and it is required only for legacy tile
+    tables without the column."""
     a, b, c, d, e, f0 = spec.a, spec.b, spec.c, spec.d, spec.e, spec.f
     nodata = spec.nodata
+    has_col = "tile_size" in tiles.columns
+    if not has_col and tile_size is None:
+        raise ValueError(
+            "tile table has no tile_size column (legacy producer); pass "
+            "tile_size= matching the producer's value")
 
     def gen(batches):
         import pandas as pd
         for pdf in batches:
             frames = []
             for _, t in pdf.iterrows():
+                if has_col:
+                    ts = int(t["tile_size"])
+                    if tile_size is not None and tile_size != ts:
+                        raise ValueError(
+                            f"tile_size={tile_size} does not match the tile "
+                            f"table's recorded tile_size={ts}")
+                else:
+                    ts = tile_size
                 vals = np.frombuffer(bytes(t["values"]), dtype="<f8").reshape(
                     int(t["tile_h"]), int(t["tile_w"]))
-                r0 = int(t["tile_row"]) * tile_size
-                c0 = int(t["tile_col"]) * tile_size
+                if vals.shape[0] > ts or vals.shape[1] > ts:
+                    raise ValueError(
+                        f"tile ({int(t['tile_row'])},{int(t['tile_col'])}) is "
+                        f"{vals.shape} — larger than tile_size={ts}; the tile "
+                        "table was produced with a different grid pitch")
+                r0 = int(t["tile_row"]) * ts
+                c0 = int(t["tile_col"]) * ts
                 rows, cols = np.meshgrid(np.arange(vals.shape[0]) + r0,
                                          np.arange(vals.shape[1]) + c0, indexing="ij")
                 rows, cols = rows.ravel(), cols.ravel()
@@ -108,8 +135,10 @@ def cells_from_tiles(tiles: DataFrame, spec: RasterSpec, tile_size: int = 256,
                                       ["row", "col", "value", "minx", "miny",
                                        "maxx", "maxy"]}))
 
+    cols = ["tile_row", "tile_col", "tile_h", "tile_w", "values"] \
+        + (["tile_size"] if has_col else [])
     return (tiles.filter(tiles["band"] == band)
-            .select("tile_row", "tile_col", "tile_h", "tile_w", "values")
+            .select(*cols)
             .mapInPandas(gen, schema=CELL_SCHEMA))
 
 

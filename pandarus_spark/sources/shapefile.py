@@ -244,18 +244,9 @@ def _proj4_from_projcs_wkt(wkt: str) -> str | None:
             raise ValueError(
                 f"unrecognized projection parameter {name!r} in .prj; "
                 "pass crs= explicitly")
-    ell = re.search(r'SPHEROID\s*\[\s*"([^"]+)"|ELLIPSOID\s*\[\s*"([^"]+)"',
-                    wkt, re.I)
+    ell = _wkt_ellps(wkt)
     if ell:
-        name = _norm_wkt_name(ell.group(1) or ell.group(2))
-        if "wgs" in name and "84" in name:
-            parts.append("+ellps=WGS84")
-        elif "grs" in name and ("80" in name or "1980" in name):
-            parts.append("+ellps=GRS80")
-        else:
-            raise ValueError(
-                f"unsupported spheroid {name!r} in .prj; the closed-form "
-                "kernels are WGS84/GRS80-exact only")
+        parts.append(f"+ellps={ell}")
     # the projected unit is the LAST UNIT/LENGTHUNIT node (the GEOGCS
     # degree unit precedes PROJECTION); anchoring to end-of-string
     # missed GDAL WKTs where AUTHORITY/AXIS nodes follow the unit,
@@ -269,6 +260,25 @@ def _proj4_from_projcs_wkt(wkt: str) -> str | None:
             raise ValueError(
                 f"non-metre projected unit {uname!r} in .prj is not supported")
     return " ".join(parts)
+
+
+def _wkt_ellps(wkt: str) -> str | None:
+    """Spheroid gate shared by the generic PROJCS path and the UTM
+    shortcut: WGS84/GRS80 map to the exact closed-form kernels, any
+    other ellipsoid (Clarke 1866/NAD27, Bessel, intl) raises instead of
+    silently running WGS84 math 10-200 m off (round-2 advice)."""
+    ell = re.search(r'SPHEROID\s*\[\s*"([^"]+)"|ELLIPSOID\s*\[\s*"([^"]+)"',
+                    wkt, re.I)
+    if not ell:
+        return None
+    name = _norm_wkt_name(ell.group(1) or ell.group(2))
+    if "wgs" in name and "84" in name:
+        return "WGS84"
+    if "grs" in name and ("80" in name or "1980" in name):
+        return "GRS80"
+    raise ValueError(
+        f"unsupported spheroid {name!r} in .prj; the closed-form "
+        "kernels are WGS84/GRS80-exact only")
 
 
 def _crs_from_prj(path: str) -> str | None:
@@ -287,8 +297,24 @@ def _crs_from_prj(path: str) -> str | None:
             continue
         if tag != "UTM":
             return tag
+        # the UTM shortcut must enforce the same spheroid gate as the
+        # generic PROJCS path: a NAD27/Clarke-1866 UTM .prj would
+        # otherwise resolve to EPSG:326xx and silently run the WGS84
+        # kernels (round-2 advice)
+        _wkt_ellps(wkt)
         zone = int(m.group(1))
-        south = (m.group(2) or "").strip("_").upper() == "S" or "south" in wkt.lower()
+        hemi = (m.group(2) or "").strip("_").upper()
+        if hemi in ("N", "S"):
+            south = hemi == "S"
+        else:
+            # no explicit suffix: consult ONLY the quoted name that
+            # contains the zone match — 'south' anywhere else in the
+            # WKT (AREA["South Carolina"], South_American_Datum) must
+            # not flip a northern zone (round-2 advice)
+            q0 = wkt.rfind('"', 0, m.start())
+            q1 = wkt.find('"', m.end())
+            ctx = wkt[q0 + 1:q1] if (q0 != -1 and q1 != -1) else m.group(0)
+            south = "south" in ctx.lower()
         return f"EPSG:{327 if south else 326}{zone:02d}"
     p4 = _proj4_from_projcs_wkt(wkt)
     if p4 is not None:

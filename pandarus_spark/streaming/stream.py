@@ -204,16 +204,19 @@ def stream_simhash_neardup(docs_stream: DataFrame, max_hamming: int = 3,
     10^12-doc stream needs; an evicted doc can no longer pair."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..operators.dedup import simhash_expr
+    from ..operators.dedup import nz, simhash_expr
 
     assert max_hamming < bands, "pigeonhole exactness needs max_hamming < bands"
     width = bits // bands
     mask = (1 << width) - 1
 
-    # NULL-text rows never reach the batch operator (explode of a NULL
-    # token array drops them) — mirror that here, otherwise they would
-    # all hash to 0 and pair quadratically as hamming-0 "near-dups"
-    hashed = docs_stream.filter(F.col(text_col).isNotNull()).select(
+    # NULL/EMPTY-text rows are excluded from near-dup pairing — the
+    # SAME predicate batch simhash_neardup_pairs applies (they all
+    # hash to the ''-token simhash and would pair quadratically at
+    # hamming 0; they are exact duplicates, exact dedup's job).
+    # Batch and streaming agree on NULL-heavy pages tables by
+    # construction (round-2 advice).
+    hashed = docs_stream.filter(F.length(nz(F.col(text_col))) > 0).select(
         F.col(id_col).cast("long").alias("doc_id"),
         simhash_expr(F.col(text_col), bits).alias("simhash"))
     banded = hashed.select(

@@ -291,14 +291,18 @@ def test_stream_simhash_neardup_matches_batch(spark, tmp_path):
     assert len(want) > 0
 
 
-def test_stream_simhash_neardup_drops_null_text(spark, tmp_path):
-    """NULL-text docs must not hash to 0 and pair quadratically
-    (review finding #1) — mirror the batch operator, which drops them."""
+def test_stream_simhash_neardup_drops_null_and_empty_text(spark, tmp_path):
+    """NULL/empty-text docs must not hash to the ''-token simhash and
+    pair quadratically — and batch and streaming must agree on them
+    (round-2 advice: the nz() totalization made batch process NULL
+    docs while streaming filtered them)."""
+    from pandarus_spark.operators.dedup import simhash_neardup_pairs
     from pandarus_spark.streaming.stream import stream_simhash_neardup
-    rows = [(1, "alpha beta gamma"), (2, None), (3, None), (4, None),
+    rows = [(1, "alpha beta gamma"), (2, None), (3, ""), (4, None),
             (5, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     src = str(tmp_path / "null_in")
-    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+    df.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     q = (stream_simhash_neardup(stream, max_hamming=3, bands=4)
          .writeStream.format("memory").queryName("nd_null")
@@ -306,4 +310,6 @@ def test_stream_simhash_neardup_drops_null_text(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     got = {(r["doc_a"], r["doc_b"]) for r in spark.sql("SELECT * FROM nd_null").collect()}
-    assert got == {(1, 5)}  # only the real duplicate pair; no NULL pairs
+    batch = {(r["doc_a"], r["doc_b"])
+             for r in simhash_neardup_pairs(df, max_hamming=3, bands=4).collect()}
+    assert got == batch == {(1, 5)}  # only the real pair; no NULL/empty pairs

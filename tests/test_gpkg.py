@@ -151,3 +151,34 @@ def test_gpkg_intersections_feed_ifi_and_remaining(spark, tmp_path):
     (label, remaining), = import_json(rem_fp)["data"]
     assert label == "by-myself"
     assert remaining == pytest.approx(0.5 * (4e7 / 360) ** 2, rel=1e-2)
+
+
+def test_read_intersections_gpkg_validates_like_geojson(spark, tmp_path):
+    """Round-2 advice: the GPKG intersections reader must reject NULL
+    id/measure and empty geometries with the same schema errors as the
+    GeoJSON branch, not bare TypeErrors / silent NULL geom_wkb rows."""
+    import pytest as _pytest
+
+    from pandarus_spark.sources.geojson import intersect_files, read_intersections_vector
+    from pandarus_spark.sources.pages import extract_features, pages_df
+
+    first = _write_fixture_gpkg(spark, tmp_path, "square")
+    second = _write_fixture_gpkg(spark, tmp_path, "grid")
+    geo_fp, _ = intersect_files(
+        spark, first, "name", second, "name",
+        out_dir=str(tmp_path / "v"), driver="GPKG", when="2026-01-01T00:00:00")
+    # valid file loads
+    assert read_intersections_vector(spark, geo_fp).count() == 4
+
+    con = sqlite3.connect(geo_fp)
+    con.execute("UPDATE intersections SET measure = NULL WHERE id = 1")
+    con.commit(); con.close()
+    with _pytest.raises(ValueError, match="'measure' must be numeric"):
+        read_intersections_vector(spark, geo_fp)
+
+    con = sqlite3.connect(geo_fp)
+    con.execute("UPDATE intersections SET measure = 1.0 WHERE id = 1")
+    con.execute("UPDATE intersections SET id = NULL WHERE id = 2")
+    con.commit(); con.close()
+    with _pytest.raises(ValueError, match="'id' must be an integer"):
+        read_intersections_vector(spark, geo_fp)

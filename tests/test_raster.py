@@ -250,3 +250,29 @@ def test_coverage_batch_weights_concave_stars_match_scalar(spark, range_cells):
     assert set(fast) == set(slow)
     for k in slow:
         assert fast[k] == pytest.approx(slow[k], rel=1e-9), k
+
+
+def test_tile_size_rides_with_the_table(spark):
+    """Round-2 advice: the nominal grid pitch is carried as a column,
+    so the consumer needs no tile_size= argument; a mismatched
+    explicit value raises instead of silently shifting every cell."""
+    from pandarus_spark.sources.raster import cells_from_tiles, tiles_from_array
+
+    arr = np.arange(50, dtype=np.float64).reshape(10, 5)
+    spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2))
+    tiles = tiles_from_array(spark, arr, tile_size=4)
+    # no tile_size argument: read from the column
+    auto = sorted(map(tuple, cells_from_tiles(tiles, spec).collect()))
+    explicit = sorted(map(tuple, cells_from_tiles(tiles, spec, tile_size=4).collect()))
+    assert auto == explicit and len(auto) == 50
+    # mismatched explicit value must raise, not mis-place cells
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    with _pytest.raises(Exception, match="tile_size"):
+        cells_from_tiles(tiles, spec, tile_size=8).collect()
+    # legacy table without the column: tile_size= is required
+    legacy = tiles.drop("tile_size")
+    with _pytest.raises(ValueError, match="legacy"):
+        cells_from_tiles(legacy, spec)
+    legacy_ok = sorted(map(tuple, cells_from_tiles(legacy, spec, tile_size=4).collect()))
+    assert legacy_ok == auto

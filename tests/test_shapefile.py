@@ -361,3 +361,50 @@ def test_prj_lcc_wkt_detection(spark, tmp_path):
     x, y = from_wgs84(np.array([2.3522]), np.array([48.8566]), crs)
     assert x[0] == pytest.approx(652_469.0, abs=1.0)
     assert y[0] == pytest.approx(6_862_035.3, abs=1.0)
+
+
+def test_prj_utm_hemisphere_not_flipped_by_stray_south(tmp_path):
+    """'south' outside the zone name (WKT2 AREA text, datum names) must
+    not flip a northern zone to EPSG:327xx (round-2 advice)."""
+    from pandarus_spark.sources.shapefile import _crs_from_prj
+    p = str(tmp_path / "x.shp")
+    wkt2 = ('PROJCRS["WGS 84 / UTM zone 17N",'
+            'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+            'ELLIPSOID["WGS 84",6378137,298.257223563]]],'
+            'CONVERSION["UTM zone 17N",METHOD["Transverse Mercator"]],'
+            'USAGE[SCOPE["Engineering survey."],AREA["South Carolina"]]]')
+    with open(str(tmp_path / "x.prj"), "w") as f:
+        f.write(wkt2)
+    assert _crs_from_prj(p) == "EPSG:32617"
+    # but 'south' IN the zone name (no N/S suffix) still resolves south
+    with open(str(tmp_path / "x.prj"), "w") as f:
+        f.write('PROJCS["WGS_1984_UTM_zone_17 south",'
+                'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+                'SPHEROID["WGS_1984",6378137,298.257223563]]],'
+                'PROJECTION["Transverse_Mercator"]]')
+    assert _crs_from_prj(p) == "EPSG:32717"
+
+
+def test_prj_utm_shortcut_enforces_spheroid_gate(tmp_path):
+    """A NAD27 (Clarke 1866) UTM .prj must raise, not silently resolve
+    to the WGS84 EPSG:326xx kernels (round-2 advice)."""
+    import pytest
+
+    from pandarus_spark.sources.shapefile import _crs_from_prj
+    p = str(tmp_path / "x.shp")
+    with open(str(tmp_path / "x.prj"), "w") as f:
+        f.write('PROJCS["NAD_1927_UTM_Zone_17N",'
+                'GEOGCS["GCS_North_American_1927",'
+                'DATUM["D_North_American_1927",'
+                'SPHEROID["Clarke_1866",6378206.4,294.978698213898]]],'
+                'PROJECTION["Transverse_Mercator"]]')
+    with pytest.raises(ValueError, match="spheroid"):
+        _crs_from_prj(p)
+    # GRS80 (NAD83) UTM is kernel-identical to WGS84 — allowed through
+    with open(str(tmp_path / "x.prj"), "w") as f:
+        f.write('PROJCS["NAD_1983_UTM_Zone_17N",'
+                'GEOGCS["GCS_North_American_1983",'
+                'DATUM["D_North_American_1983",'
+                'SPHEROID["GRS_1980",6378137,298.257222101]]],'
+                'PROJECTION["Transverse_Mercator"]]')
+    assert _crs_from_prj(p) == "EPSG:32617"
