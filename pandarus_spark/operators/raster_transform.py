@@ -131,13 +131,107 @@ def _polygonize_group(pdf, value_col: str, emit_boundary_mod: int | None = None)
     return regions, boundary
 
 
+def _clip_ring_lon(lon: np.ndarray, lat: np.ndarray, lo: float, hi: float):
+    """Sutherland–Hodgman clip of a closed ring against the vertical
+    strip ``lo <= lon <= hi``; returns a closed (N,2) array or None
+    when the intersection is empty/degenerate."""
+    pts = list(zip(lon[:-1].tolist(), lat[:-1].tolist()))  # open ring
+
+    def clip_edge(pts, keep, bound):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            ia, ib = keep(a), keep(b)
+            if ia:
+                out.append(a)
+            if ia != ib:
+                t = (bound - a[0]) / (b[0] - a[0])
+                out.append((bound, a[1] + t * (b[1] - a[1])))
+        return out
+
+    pts = clip_edge(pts, lambda p: p[0] >= lo, lo)
+    if len(pts) >= 3:
+        pts = clip_edge(pts, lambda p: p[0] <= hi, hi)
+    if len(pts) < 3:
+        return None
+    arr = np.asarray(pts + [pts[0]], dtype=np.float64)
+    if abs(G.ring_area(arr)) == 0.0:
+        return None  # zero-width sliver exactly on the cut line
+    return arr
+
+
+def _warp_poly_to_wgs84(rings, crs: str) -> list:
+    """One cell-box polygon (single exterior ring — the polygonizer
+    never emits holes) → WGS84 polygon(s), CUT at the antimeridian
+    like the reference's ``transform_geom(..., antimeridian_cutting=
+    True)`` (helpers.py:70-71): inverse-project the vertices, unwrap
+    longitudes into a continuous run, clip against each 360°-strip the
+    ring touches, shift every piece back into [-180, 180]."""
+    from ..geometry.projection import to_wgs84
+    ring = np.asarray(rings[0], dtype=np.float64).reshape(-1, 2)
+    lon, lat = to_wgs84(ring[:, 0], ring[:, 1], crs)
+    lon = np.asarray(lon, dtype=np.float64).copy()
+    lat = np.asarray(lat, dtype=np.float64)
+    d = np.diff(lon)
+    lon[1:] += np.cumsum(np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0)))
+    k_lo = int(np.floor((lon.min() + 180.0) / 360.0))
+    k_hi = int(np.floor((lon.max() + 180.0) / 360.0))
+    # ring entirely inside one strip: no interpolation, vertices pass
+    # through exactly (modulo the ±360k normalization shift)
+    pieces = []
+    for k in range(k_lo, k_hi + 1):
+        arr = _clip_ring_lon(lon, lat, -180.0 + 360.0 * k, 180.0 + 360.0 * k)
+        if arr is None:
+            continue
+        arr[:, 0] -= 360.0 * k
+        pieces.append([arr])
+    return pieces
+
+
+def _warp_regions_to_wgs84(df: DataFrame, crs: str) -> DataFrame:
+    """Post-pass of :func:`convert_to_vector` for projected rasters:
+    every region's cell boxes are inverse-projected to WGS84 with
+    antimeridian cutting (round-2 verdict item #5 — the reference
+    guarantees WGS84 polygons for ANY raster CRS, helpers.py:70-71).
+    Geographic rasters return unchanged (no extra stage)."""
+    from ..geometry.projection import is_geographic
+    if is_geographic(crs):
+        return df
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for wkb in pdf["geom_wkb"]:
+                g = G.wkb_loads(bytes(wkb))
+                parts = []
+                for poly in g["coordinates"]:
+                    parts.extend(_warp_poly_to_wgs84(poly, crs))
+                # canonical order in OUTPUT space (the raster-CRS sort
+                # upstream no longer survives the warp)
+                parts.sort(key=lambda p: (float(np.min(p[0][:, 0])),
+                                          float(np.min(p[0][:, 1]))))
+                out.append(G.wkb_dumps({"type": "MultiPolygon",
+                                        "coordinates": parts}))
+            yield pdf.assign(geom_wkb=out)
+
+    return df.mapInPandas(gen, schema=VECTORIZE_SCHEMA)
+
+
 def convert_to_vector(cells: DataFrame, value_col: str = "value",
-                      strategy: str = "global", tile: int = 512) -> DataFrame:
+                      strategy: str = "global", tile: int = 512,
+                      crs: str = "EPSG:4326") -> DataFrame:
     """Polygonize: contiguous (4-connected) same-value cell regions →
     MultiPolygon of cell boxes, properties (id, val) — the reference
     emits {filename, id, val} (helpers.py:63-72); filename is a sink
     concern here.  ``id`` is the region's minimum cell key
     (row*2^32+col) — canonical across strategies.
+
+    ``crs`` is the raster's CRS (the cell bboxes' coordinate system).
+    Output polygons are ALWAYS WGS84, antimeridian-cut, matching the
+    reference's ``transform_geom(src.crs, "EPSG:4326", ...,
+    antimeridian_cutting=True)`` (helpers.py:70-71); for geographic
+    rasters the warp is a no-op.
 
     ``strategy="global"`` groups by value only (different values never
     share a region) — right when no single value dominates the raster.
@@ -157,7 +251,8 @@ def convert_to_vector(cells: DataFrame, value_col: str = "value",
                 "id": pd.Series([r[0] for r in regions], dtype="int64"),
                 "val": pd.Series([r[1] for r in regions], dtype="float64"),
                 "geom_wkb": [r[2] for r in regions]})
-        return cells.groupBy(value_col).applyInPandas(fn, schema=VECTORIZE_SCHEMA)
+        return _warp_regions_to_wgs84(
+            cells.groupBy(value_col).applyInPandas(fn, schema=VECTORIZE_SCHEMA), crs)
 
     if strategy != "tiles":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -222,4 +317,4 @@ def convert_to_vector(cells: DataFrame, value_col: str = "value",
 
     stitched = merged_members.groupBy("_comp").applyInPandas(fn_merge,
                                                              schema=VECTORIZE_SCHEMA)
-    return untouched.unionByName(stitched)
+    return _warp_regions_to_wgs84(untouched.unionByName(stitched), crs)

@@ -276,3 +276,73 @@ def test_tile_size_rides_with_the_table(spark):
         cells_from_tiles(legacy, spec)
     legacy_ok = sorted(map(tuple, cells_from_tiles(legacy, spec, tile_size=4).collect()))
     assert legacy_ok == auto
+
+
+def test_convert_to_vector_projected_raster_warps_to_wgs84(spark):
+    """Round-2 verdict #5: a projected (EPSG:3857) raster must come out
+    in WGS84 degrees — every output vertex equal (1e-9) to to_wgs84 of
+    the raw-CRS vertices, with ids/vals and both strategies unchanged."""
+    from pandarus_spark.geometry.projection import to_wgs84
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 2, size=(6, 5)).astype(np.float64)
+    # a web-mercator raster over ~(0..5E, ~0..6 units of 100km)
+    spec = RasterSpec(5, 6, (100000.0, 0, 0.0, 0, -100000.0, 300000.0), nodata=None,
+                      crs="EPSG:3857")
+    cells = raster_cells_df(spark, spec, vals)
+    raw = {(r["id"], r["val"]): G.wkb_loads(bytes(r["geom_wkb"]))
+           for r in convert_to_vector(cells).collect()}  # crs default: no warp
+    warped = {(r["id"], r["val"]): G.wkb_loads(bytes(r["geom_wkb"]))
+              for r in convert_to_vector(cells, crs="EPSG:3857").collect()}
+    assert set(raw) == set(warped) and len(raw) >= 3
+    for key, g in warped.items():
+        parts_raw = raw[key]["coordinates"]
+        parts_w = g["coordinates"]
+        assert len(parts_raw) == len(parts_w)
+        # same canonical part order (sorted by min vertex) in each space
+        for pr, pw in zip(parts_raw, parts_w):
+            ring_r = np.asarray(pr[0]); ring_w = np.asarray(pw[0])
+            lon, lat = to_wgs84(ring_r[:, 0], ring_r[:, 1], "EPSG:3857")
+            assert np.allclose(ring_w[:, 0], lon, atol=1e-9)
+            assert np.allclose(ring_w[:, 1], lat, atol=1e-9)
+    # tiles strategy warps identically
+    tiles = {(r["id"], r["val"], bytes(r["geom_wkb"]))
+             for r in convert_to_vector(cells, strategy="tiles", tile=3,
+                                        crs="EPSG:3857").collect()}
+    glob = {(r["id"], r["val"], bytes(r["geom_wkb"]))
+            for r in convert_to_vector(cells, crs="EPSG:3857").collect()}
+    assert tiles == glob
+
+
+def test_convert_to_vector_cuts_antimeridian(spark):
+    """A raster centered on lon 180 (tmerc +lon_0=180): cells straddling
+    the antimeridian must split into two WGS84 parts, all longitudes in
+    [-180, 180], with the cut edges exactly at ±180."""
+    crs = "+proj=tmerc +lon_0=180 +k=1 +x_0=0 +y_0=0 +ellps=WGS84"
+    # one row of 111km cells; cell 0 spans x in [-55500, 55500] —
+    # STRADDLING x=0 (lon 180) — and cell 1 lies fully east of it
+    vals = np.array([[4.0, 4.0]])
+    spec = RasterSpec(2, 1, (111000.0, 0, -55500.0, 0, -111000.0, 55500.0),
+                      nodata=None, crs=crs)
+    cells = raster_cells_df(spark, spec, vals)
+    rows = convert_to_vector(cells, crs=crs).collect()
+    assert len(rows) == 1  # one contiguous region of value 4
+    g = G.wkb_loads(bytes(rows[0]["geom_wkb"]))
+    parts = g["coordinates"]
+    # straddling cell cut in two + east cell normalized west = 3 parts
+    assert len(parts) == 3
+    east, west = [], []
+    for p in parts:
+        ring = np.asarray(p[0])
+        assert ring[:, 0].min() >= -180.0 - 1e-12
+        assert ring[:, 0].max() <= 180.0 + 1e-12
+        (east if ring[:, 0].mean() > 0 else west).append(ring)
+    assert len(east) == 1 and len(west) == 2
+    # the cut edges sit exactly on the line
+    assert np.isclose(east[0][:, 0], 180.0).any()
+    assert any(np.isclose(r[:, 0], -180.0).any() for r in west)
+    # the cut preserves total longitude span: ~0.5 deg east of the line
+    # ([179.5, 180]) and ~1.5 deg west of it ([-180, -178.5])
+    assert east[0][:, 0].min() == pytest.approx(179.5, abs=0.01)
+    assert min(r[:, 0].min() for r in west) == -180.0
+    assert max(r[:, 0].max() for r in west) == pytest.approx(-178.5, abs=0.01)
