@@ -30,6 +30,7 @@ from .operators.raster_transform import clean_raster, round_raster, convert_to_v
 from .operators.knn import knn_nearest_feature
 from .sources.geojson import intersect_files, read_geojson, read_vector, write_geojson
 from .sources.gpkg import read_gpkg, write_gpkg
+from .sources.gtiff import write_gtiff, write_gtiff_cells
 from .sources.shapefile import read_shapefile
 from .geometry.projection import project_geom
 
@@ -39,7 +40,7 @@ __all__ = [
     "clean_raster", "round_raster", "convert_to_vector",
     "knn_nearest_feature", "intersect_files", "read_geojson", "read_vector",
     "write_geojson", "read_gpkg", "write_gpkg", "read_shapefile",
-    "project_geom",
+    "write_gtiff", "write_gtiff_cells", "project_geom",
 ]
 
 __version__ = "0.1.0"

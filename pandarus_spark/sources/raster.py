@@ -155,12 +155,22 @@ def read_gtiff(spark, path: str, band: int = 1, tile_size: int = 256,
     reader."""
     try:
         import rasterio  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "read_gtiff needs the optional 'rasterio' dependency; install it, "
-            "or materialize the raster as a tile parquet matching "
-            "pandarus_spark.sources.raster.TILE_SCHEMA and use "
-            "cells_from_tiles() directly.") from exc
+    except ImportError:
+        # pure-python fallback: baseline uncompressed float GeoTIFFs
+        # (the subset write_gtiff emits) read without rasterio; only
+        # compressed/tiled/multiband files still need it
+        import struct
+
+        from .gtiff import read_gtiff_array
+        try:
+            arr, spec = read_gtiff_array(path)
+        except (ValueError, OSError, struct.error) as exc2:
+            raise ImportError(
+                "read_gtiff needs the optional 'rasterio' dependency for this "
+                f"file ({exc2}); install it, or materialize the raster as a "
+                "tile parquet matching pandarus_spark.sources.raster."
+                "TILE_SCHEMA and use cells_from_tiles() directly.") from exc2
+        return tiles_from_array(spark, arr, tile_size, band, partitions), spec
     with rasterio.open(path) as src:
         t = src.transform
         spec = RasterSpec(src.width, src.height,

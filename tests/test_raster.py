@@ -346,3 +346,65 @@ def test_convert_to_vector_cuts_antimeridian(spark):
     assert east[0][:, 0].min() == pytest.approx(179.5, abs=0.01)
     assert min(r[:, 0].min() for r in west) == -180.0
     assert max(r[:, 0].max() for r in west) == pytest.approx(-178.5, abs=0.01)
+
+
+def test_gtiff_write_read_roundtrip(tmp_path):
+    """Pure-python GeoTIFF sink/reader (round-2 verdict #6): array,
+    affine, CRS and nodata survive the round trip exactly."""
+    from pandarus_spark.sources.gtiff import read_gtiff_array, write_gtiff
+
+    arr = np.arange(20, dtype=np.float64).reshape(4, 5) * 1.5
+    arr[1, 2] = np.nan
+    spec = RasterSpec(5, 4, (0.4, 0.0, -3.0, 0.0, -0.25, 2.0),
+                      crs="EPSG:32617", nodata=-999.0)
+    p = str(tmp_path / "band.tif")
+    write_gtiff(p, arr, spec)
+    got, gspec = read_gtiff_array(p)
+    want = arr.copy(); want[1, 2] = -999.0  # NaN stored as nodata
+    assert np.array_equal(got, want)
+    assert (gspec.a, gspec.b, gspec.c, gspec.d, gspec.e, gspec.f) == \
+        (spec.a, spec.b, spec.c, spec.d, spec.e, spec.f)
+    assert gspec.crs == "EPSG:32617" and gspec.nodata == -999.0
+    assert (gspec.width, gspec.height) == (5, 4)
+    # geographic CRS key + no nodata
+    spec2 = RasterSpec(5, 4, (0.4, 0.0, -3.0, 0.0, -0.25, 2.0))
+    write_gtiff(p, np.nan_to_num(arr), spec2)
+    _, g2 = read_gtiff_array(p)
+    assert g2.crs == "EPSG:4326" and g2.nodata is None
+    # non-EPSG CRS refused at write time
+    with pytest.raises(ValueError, match="EPSG"):
+        write_gtiff(p, arr, RasterSpec(5, 4, (1, 0, 0, 0, -1, 0),
+                                       crs="+proj=moll"))
+
+
+def test_gtiff_file_parity_for_raster_utilities(spark, tmp_path):
+    """File-level twin of the reference's clean/round sinks
+    (core.py:606,653-655): cells -> write_gtiff_cells -> read_gtiff
+    (rasterio absent: pure fallback) -> cells_from_tiles reproduces the
+    cell DataFrame exactly, float32 like the reference's output."""
+    import pandarus_spark as ps
+    from pandarus_spark.sources.raster import cells_from_tiles, read_gtiff
+
+    vals = (np.arange(50, dtype=np.float64).reshape(10, 5) + 0.123456789) * 7.3
+    spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=None)
+    cells = raster_cells_df(spark, spec, vals)
+    rounded = round_raster(cells, sig_digits=3)
+    p = str(tmp_path / "rounded.tif")
+    ps.write_gtiff_cells(p, rounded, spec)  # float32, like the reference
+    tiles, rspec = read_gtiff(spark, p, tile_size=4)
+    back = cells_from_tiles(tiles, rspec)
+    a = sorted(map(tuple, rounded.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b and len(a) == 50
+    assert rspec.crs == "EPSG:4326"
+
+
+def test_read_gtiff_fallback_error_mentions_contract(spark, tmp_path):
+    """Without rasterio AND outside the baseline subset the reader
+    still fails with the tile-parquet contract hint."""
+    p = str(tmp_path / "bogus.tif")
+    with open(p, "wb") as f:
+        f.write(b"II*\x00garbage-not-a-real-ifd")
+    from pandarus_spark.sources import raster as R
+    with pytest.raises(ImportError, match="tile parquet"):
+        R.read_gtiff(spark, p)
