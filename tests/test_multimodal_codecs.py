@@ -172,3 +172,76 @@ def test_decode_samples_uses_registry():
         np.testing.assert_allclose(mono, [0.5, 2.5, 4.5, 6.5])
     finally:
         M.CODECS.pop(0)
+
+
+def test_register_default_codecs_both_environments():
+    """The PIL/soundfile on-ramp (round-2 verdict #7) must register
+    decoders when the libraries exist and skip cleanly when they don't
+    — green in BOTH environments, and idempotent either way."""
+    import importlib.util
+
+    from pandarus_spark.operators import multimodal as M
+
+    have_pil = importlib.util.find_spec("PIL") is not None
+    have_sf = importlib.util.find_spec("soundfile") is not None
+    before = list(M.CODECS)
+    try:
+        got = M.register_default_codecs()
+        assert got == {"pillow": have_pil, "soundfile": have_sf}
+        names = [c[0] for c in M.CODECS]
+        if have_pil:
+            assert "pil-jpeg" in names and "pil-png" in names
+            # a real JPEG magic now routes to the registered decoder
+            assert any(s(b"\xff\xd8rest") for n, s, k, _ in M.CODECS
+                       if n == "pil-jpeg")
+        else:
+            # absent: the guidance error is unchanged
+            with pytest.raises(NotImplementedError, match="register_codec"):
+                M.decode_pixels(b"\xff\xd8\xff\xe0fakejpeg")
+            with pytest.raises(NotImplementedError, match="register_codec"):
+                M.decode_pixels(b"\x89PNG\r\n\x1a\nfakepng")
+        if have_sf:
+            assert "sf-flac" in names and "sf-ogg" in names
+        # idempotent: second call does not duplicate registry entries
+        n1 = len(M.CODECS)
+        got2 = M.register_default_codecs()
+        assert got2 == got and len(M.CODECS) == n1
+    finally:
+        M.CODECS[:] = before
+
+
+def test_register_default_codecs_decoder_contract(monkeypatch):
+    """When a PIL-like module IS importable, the registered decoder
+    must normalize to the registry contract (2-D uint8 grayscale) so
+    decode_media/resize run unchanged — proven with a stub 'PIL'."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from pandarus_spark.operators import multimodal as M
+
+    class _FakeImg:
+        format = "JPEG"
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((3, 4), 7, dtype=np.uint8)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    before = list(M.CODECS)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    try:
+        got = M.register_default_codecs()
+        assert got["pillow"] is True
+        fmt, px = M.decode_pixels(b"\xff\xd8somejpegbytes")
+        assert fmt == "jpeg" and px.shape == (3, 4) and px.dtype == np.uint8
+        # downstream kernel contract: _decode_one works through it
+        fmt2, w, h, mean = M._decode_one(b"\xff\xd8somejpegbytes")
+        assert (fmt2, w, h, mean) == ("jpeg", 4, 3, 7.0)
+    finally:
+        M.CODECS[:] = before
