@@ -245,7 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    threshold=0.2)
 
     def q_simhash_docs(spark, sf_dir):
-        return D.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100), bits=32)
+        return D.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
 
     def q_simhash_neardup_docs(spark, sf_dir):
         return D.simhash_neardup_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 150),
@@ -391,6 +391,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arrays, independent of the decoders
         return M.decode_media(M.synthetic_real_media_df(spark, n=12))
 
+    def q_pages_table_roundtrip(spark, sf_dir):
+        # north-rule Iceberg on-ramp (round-2 verdict #9): write the
+        # synthesized pages table through an `iceberg:` identifier and
+        # read it back WHEN the runtime jars exist (recording the
+        # snapshot id in the checkpoint ledger); in this sandbox (no
+        # jars) the gate exercises the same read_pages_table dispatch
+        # through the tested `parquet:` fallback — same rows either way
+        import os
+        import tempfile
+
+        from pandarus_spark.plans.checkpoint import CheckpointLedger
+        from pandarus_spark.sources.pages import (
+            iceberg_available, read_pages_table, write_pages_iceberg,
+        )
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        pages = pages_from_documents(docs, "base")
+        tmp = tempfile.mkdtemp(prefix="pages_tbl_")
+        if iceberg_available(spark):
+            snap = write_pages_iceberg(spark, pages, "pandarus_ice.db.pages",
+                                       os.path.join(tmp, "wh"))
+            got = read_pages_table(spark, "iceberg:pandarus_ice.db.pages")
+            CheckpointLedger(os.path.join(tmp, "ledger")).mark(
+                "pages_iceberg", "db.pages", {"snapshot_id": snap})
+        else:
+            p = os.path.join(tmp, "pages.parquet")
+            pages.write.mode("overwrite").parquet(p)
+            got = read_pages_table(spark, f"parquet:{p}")
+        return got.select("url", "lang")
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -433,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
+        "pages_table_roundtrip": q_pages_table_roundtrip,
         "flagship_overlay": q_flagship_overlay,
     }
 
@@ -785,6 +815,10 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
         "multimodal_audio": multimodal_audio,
+        "pages_table_roundtrip": """
+SELECT 'https://example.test/base/' || CAST(doc_id AS VARCHAR) AS url,
+       'en' AS lang
+FROM documents WHERE doc_id < 200""",
         "flagship_overlay": _flagship_oracle(),
         # omitted (approximate / non-SQL-expressible): lsh_pairs_docs,
         # ann_lsh_embeddings

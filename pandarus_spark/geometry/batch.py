@@ -230,6 +230,21 @@ def multipolygon_wkb_batch(pts: np.ndarray, cnt: np.ndarray) -> list[bytes | Non
     return out
 
 
+def multipolygon_parts_wkb(parts: list[tuple[np.ndarray, int]]) -> bytes:
+    """MultiPolygon WKB from ORDERED (padded open ring, cnt) parts —
+    the multi-part sibling of :func:`multipolygon_wkb_batch`, used by
+    the concave refine tier whose rows carry one part per surviving
+    (subject piece × clip piece).  Byte layout matches
+    ``geom.wkb_dumps`` on the scalar kernel's MultiPolygon output
+    (closed rings on the wire)."""
+    chunks = [b"\x01\x06\x00\x00\x00" + struct.pack("<I", len(parts))]
+    for p, c in parts:
+        chunks.append(_POLY_HDR + struct.pack("<I", c + 1))
+        closed = np.concatenate([p[:c], p[0:1]], axis=0)
+        chunks.append(closed.astype("<f8").tobytes())
+    return b"".join(chunks)
+
+
 # ---------------------------------------------------------------------------
 # Batched Sutherland–Hodgman
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ Operators:
   Jaccard verification (near-dup detection at scale);
 * :func:`ngram_jaccard_pairs` — exact all-pairs n-gram Jaccard via an
   inverted-index self-join (the correctness oracle for LSH);
-* :func:`simhash` — 32-bit SimHash per document.
+* :func:`simhash` — 64-bit SimHash per document.
 
 Scale notes: exact dedup and LSH bucketing are single-shuffle
 groupBys; the n-gram inverted-index join is quadratic only within a
@@ -38,6 +38,28 @@ def hash60(col: Column) -> Column:
 
 def hash60_sql(expr: str) -> str:
     return f"CAST('0x'||substr(md5({expr}),1,15) AS BIGINT)"
+
+
+def hash60b(col: Column) -> Column:
+    """Second independent 60-bit lane from the SAME md5 (hex chars
+    17-31) — SimHash bits 60+ draw from here, so widening to 64 bits
+    costs zero extra hashing."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 17, 15), 16, 10).cast("long")
+
+
+def hash60b_sql(expr: str) -> str:
+    return f"CAST('0x'||substr(md5({expr}),17,15) AS BIGINT)"
+
+
+def _bit_lit(j: int) -> Column:
+    """Bit-j literal of a two's-complement long: bit 63 is the sign
+    bit, so its value is −2⁶³ (a plain ``1 << 63`` overflows LongType
+    under ANSI arithmetic)."""
+    return F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+
+
+def _bit_lit_sql(j: int) -> str:
+    return str(-(1 << 63) if j == 63 else (1 << j))
 
 
 def nz(col: Column) -> Column:
@@ -395,24 +417,35 @@ FROM ({universe_sql}) u LEFT JOIN comp c USING ({id_col})"""
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
+def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over distinct lowercase tokens: bit j is set when
+    """SimHash over distinct lowercase tokens: bit j is set when the
     sum over tokens of ±1 (by token-hash bit j) is positive. Explode +
-    groupBy — partial aggregation JVM-side. Output (doc_id, simhash)."""
+    groupBy — partial aggregation JVM-side. Output (doc_id, simhash).
+
+    Default 64 bits (round-2 verdict #8: 32 bits is collision-prone at
+    10¹² docs — a random pair lands within hamming 3 of a 32-bit hash
+    with p ≈ 5,489/2³² ≈ 1.3e-6, i.e. ~10¹⁸ false candidate pairs at
+    corpus scale; at 64 bits p ≈ 4.4e-15).  Bits 0-59 vote from
+    :func:`hash60`, bits 60+ from :func:`hash60b` — the same md5, so
+    the widening is hash-cost-free.  Bit 63 is the long's sign bit;
+    64-bit simhashes are therefore signed values."""
     toks = (docs.select(F.col(id_col), F.explode(F.array_distinct(words(F.col(text_col)))).alias("tok"))
-            .withColumn("h", hash60(F.col("tok"))))
-    aggs = [F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"b{j}")
+            .withColumn("h0", hash60(F.col("tok"))))
+    if bits > 60:
+        toks = toks.withColumn("h1", hash60b(F.col("tok")))
+    aggs = [F.sum(F.when(F.col(f"h{j // 60}").bitwiseAND(F.lit(1 << (j % 60))) != 0,
+                         1).otherwise(-1)).alias(f"b{j}")
             for j in range(bits)]
     per_doc = toks.groupBy(id_col).agg(*aggs)
     sh = None
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(F.col(f"b{j}") > 0, _bit_lit(j)).otherwise(F.lit(0).cast("long"))
         sh = term if sh is None else sh + term
     return per_doc.select(F.col(id_col), sh.cast("long").alias("simhash"))
 
 
-def simhash_expr(text: Column, bits: int = 32) -> Column:
+def simhash_expr(text: Column, bits: int = 64) -> Column:
     """Row-local SimHash as a pure Catalyst expression — no shuffle, no
     aggregation state, so it runs on STREAMING rows (append mode) and
     is bit-identical to :func:`simhash` (same token split, same md5
@@ -427,15 +460,27 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
     (15.4k → 1.4k optimized-plan chars at 32 bits), which matters for
     codegen/JIT time in streaming micro-batches."""
     toks = F.array_distinct(words(text))
-    hs = F.transform(toks, lambda t: hash60(t))
-    masks = F.array(*[F.lit(1 << j) for j in range(bits)])
+    # one md5 per token, both 60-bit lanes extracted from it
+    if bits > 60:
+        hs = F.transform(toks, lambda t: F.struct(hash60(t).alias("h0"),
+                                                  hash60b(t).alias("h1")))
+    else:
+        hs = F.transform(toks, lambda t: F.struct(hash60(t).alias("h0"),
+                                                  F.lit(0).cast("long").alias("h1")))
+    # per-bit mask + which lane it reads (blk 0: bits 0-59, blk 1: 60+)
+    masks = F.array(*[F.struct(F.lit(j // 60).alias("blk"),
+                               F.lit(1 << (j % 60)).cast("long").alias("bit"))
+                      for j in range(bits)])
     votes = F.aggregate(
         hs, F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc, masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
-                                    F.lit(1)).otherwise(F.lit(-1))))
-    terms = F.zip_with(votes, masks,
+            lambda a, m: a + F.when(
+                F.when(m.getField("blk") == 0, h.getField("h0"))
+                .otherwise(h.getField("h1")).bitwiseAND(m.getField("bit")) != 0,
+                F.lit(1)).otherwise(F.lit(-1))))
+    bitvals = F.array(*[_bit_lit(j) for j in range(bits)])
+    terms = F.zip_with(votes, bitvals,
                        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -446,21 +491,24 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_sql(source: str = "documents", where: str = "", bits: int = 32,
+def simhash_sql(source: str = "documents", where: str = "", bits: int = 64,
                 text_expr: str = "text", id_col: str = "doc_id") -> str:
-    """DuckDB rendering of :func:`simhash` (bit parity)."""
+    """DuckDB rendering of :func:`simhash` (bit parity, incl. the
+    two-lane md5 split and the signed bit-63 literal)."""
     tok = f"list_distinct({WORDS_SQL.format(t=text_expr)})"
-    h = hash60_sql("t")
+    h0, h1 = hash60_sql("t"), hash60b_sql("t")
     bit_sums = ", ".join(
-        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits))
-    bit_comb = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
-    return (f"WITH toks AS (SELECT {id_col}, {h} AS h FROM "
+        f"sum(CASE WHEN (h{j // 60} & {1 << (j % 60)}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    bit_comb = " + ".join(f"CASE WHEN b{j} > 0 THEN CAST({_bit_lit_sql(j)} AS BIGINT) "
+                          f"ELSE 0 END" for j in range(bits))
+    return (f"WITH toks AS (SELECT {id_col}, {h0} AS h0, {h1} AS h1 FROM "
             f"(SELECT {id_col}, unnest({tok}) AS t FROM {source} {where})), "
             f"agg AS (SELECT {id_col}, {bit_sums} FROM toks GROUP BY {id_col}) "
             f"SELECT {id_col}, CAST({bit_comb} AS BIGINT) AS simhash FROM agg")
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32,
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 64,
                           bands: int = 4, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """SimHash near-duplicate pairs: band the hash into ``bands`` equal

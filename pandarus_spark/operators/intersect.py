@@ -293,6 +293,84 @@ def _refine_simple_batch(rows, B):
     return handled, frame
 
 
+_CONCAVE_PAIR_CAP = 4096  # piece pairs per row above this defer to scalar
+
+
+def _refine_concave_batch(rows, B):
+    """Batched tier for SIMPLE single-ring pairs with a concave side
+    (round-2 verdict #4: these fell to the scalar loop, ~2x slower
+    than hexagons at 50k features).  Mirrors the scalar kernel
+    exactly: each ring is reduced to its disjoint convex cover
+    (geom._convex_cover — the ring itself when convex, its trapezoid
+    decomposition otherwise), candidate (subject piece × clip piece)
+    pairs are bbox-screened in the scalar's nested-loop order, and ALL
+    surviving pairs across the whole Arrow batch run ONE
+    clip_convex_batch.  Per-row measures sum the piece areas in that
+    same order and the MultiPolygon parts are emitted in it, so output
+    is bit-identical to the scalar tier (pinned by tests).  Rows whose
+    cover fan-out exceeds ``_CONCAVE_PAIR_CAP`` defer to scalar."""
+    import pandas as pd
+    f_pts, f_cnt, f_ok = B.decode_simple_polygon_batch(list(rows["from_wkb"]))
+    t_pts, t_cnt, t_ok = B.decode_simple_polygon_batch(list(rows["to_wkb"]))
+    handled = f_ok & t_ok
+    if not handled.any():
+        return handled, None
+    piece_sub: list = []
+    piece_clip: list = []
+    piece_row: list = []
+    for i in np.nonzero(handled)[0]:
+        subj = np.vstack([f_pts[i, :f_cnt[i]], f_pts[i, 0:1]])
+        clip = np.vstack([t_pts[i, :t_cnt[i]], t_pts[i, 0:1]])
+        sub_cover = G._convex_cover(subj)
+        clip_cover = G._convex_cover(clip)
+        if len(sub_cover) * len(clip_cover) > _CONCAVE_PAIR_CAP:
+            handled[i] = False
+            continue
+        cboxes = [(c, (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()))
+                  for c in clip_cover]
+        for s in sub_cover:
+            sbox = (s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max())
+            for c, cbox in cboxes:
+                if G.bbox_intersects(sbox, cbox):
+                    piece_sub.append(s)
+                    piece_clip.append(c)
+                    piece_row.append(i)
+    if not handled.any():
+        return handled, None
+    measures = np.zeros(len(rows), dtype=np.float64)
+    parts_by_row: dict[int, list] = {}
+    if piece_row:
+        sp, sc = B.pad_rings(piece_sub)
+        cp, cc = B.pad_rings(piece_clip)
+        cp = B.ensure_ccw_batch(cp, cc)
+        out_pts, out_cnt = B.clip_convex_batch(sp, sc, cp, cc)
+        keep = out_cnt >= 3
+        if keep.any():
+            keep[keep] &= B.ring_area_batch(out_pts[keep], out_cnt[keep]) > 1e-18
+        if keep.any():
+            areas = B.mollweide_area_batch(out_pts[keep], out_cnt[keep])
+            kept_rows = np.asarray(piece_row, dtype=np.int64)[keep]
+            kept_pts, kept_cnt = out_pts[keep], out_cnt[keep]
+            for k in range(len(kept_rows)):
+                i = int(kept_rows[k])
+                measures[i] += areas[k]
+                parts_by_row.setdefault(i, []).append((kept_pts[k], int(kept_cnt[k])))
+    emit = handled & (measures > 0)
+    if not emit.any():
+        return handled, None
+    idxs = np.nonzero(emit)[0]
+    kept_rows = rows.iloc[idxs]
+    wkbs = [B.multipolygon_parts_wkb(parts_by_row[int(i)]) for i in idxs]
+    frame = pd.DataFrame({
+        "from_id": kept_rows["from_id"].to_numpy(dtype="int64"),
+        "to_id": kept_rows["to_id"].to_numpy(dtype="int64"),
+        "from_label": kept_rows["from_label"].to_numpy(),
+        "to_label": kept_rows["to_label"].to_numpy(),
+        "measure": measures[idxs],
+        "geom_wkb": wkbs})
+    return handled, frame
+
+
 def refine_pairs(pairs_with_geoms: DataFrame, rect_fast: bool = True,
                  batch_general: bool = True) -> DataFrame:
     """Exact refine in Arrow batches: clip + Mollweide measure.
@@ -308,8 +386,12 @@ def refine_pairs(pairs_with_geoms: DataFrame, rect_fast: bool = True,
        (geometry/batch.py; the round-2 fix for the per-row general
        loop — convex-only on both sides because S-H drops area for
        concave subjects with disconnected intersections);
-    3. everything else (holes, multi-part, a concave ring on either
-       side, lines, points, collections) — the scalar kernel per row.
+    2.5. simple single-ring pairs with a CONCAVE side — per-row convex
+       cover (trapezoid decomposition), then ONE batched S-H over all
+       (subject piece × clip piece) candidates in the Arrow batch
+       (``_refine_concave_batch``, round-3);
+    3. everything else (holes, multi-part, lines, points, collections,
+       oversized rings) — the scalar kernel per row.
 
     Topology errors are skipped per row, like the reference
     (utils/multiprocess.py:102-104)."""
@@ -345,6 +427,15 @@ def refine_pairs(pairs_with_geoms: DataFrame, rect_fast: bool = True,
                 poly = gen_rows[(gen_rows["from_kind"] == "polygon").to_numpy()]
                 if len(poly):
                     handled, frame = _refine_simple_batch(poly, B)
+                    if frame is not None and len(frame):
+                        frames.append(frame)
+                    if handled.any():
+                        drop = poly.index[handled]
+                        gen_rows = gen_rows.drop(index=drop)
+                # tier 2.5: simple single-ring pairs with a concave side
+                poly = gen_rows[(gen_rows["from_kind"] == "polygon").to_numpy()]
+                if len(poly):
+                    handled, frame = _refine_concave_batch(poly, B)
                     if frame is not None and len(frame):
                         frames.append(frame)
                     if handled.any():

@@ -362,6 +362,36 @@ def _stable_id(url: str) -> int:
 PAGES_COLUMNS = tuple(f.split(" ")[0] for f in PAGES_SCHEMA.split(", "))
 
 
+def iceberg_available(spark) -> bool:
+    """True when the iceberg-spark-runtime classes are on the JVM
+    classpath (they ship on real clusters via ``spark.jars.packages``;
+    this sandbox has none — callers use this to take the tested
+    parquet fallback instead of failing)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_pages_iceberg(spark, pages, name: str, warehouse: str) -> int:
+    """Write a pages table through a hadoop-catalog Iceberg identifier
+    (``catalog.db.table``) and return the committed snapshot id — the
+    lineage key the checkpoint ledger records per the north rule.
+    Requires the iceberg-spark-runtime jars (:func:`iceberg_available`);
+    the catalog is configured at runtime against ``warehouse``."""
+    catalog = name.split(".")[0]
+    spark.conf.set(f"spark.sql.catalog.{catalog}",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{catalog}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{catalog}.warehouse", warehouse)
+    pages.writeTo(name).using("iceberg").createOrReplace()
+    snap = spark.sql(f"SELECT snapshot_id FROM {name}.snapshots "
+                     "ORDER BY committed_at DESC LIMIT 1").first()
+    return int(snap["snapshot_id"]) if snap else -1
+
+
 def read_pages_table(spark, identifier: str):
     """input_hint on-ramp for a stored pages table.
 

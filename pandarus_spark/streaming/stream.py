@@ -180,7 +180,7 @@ NEARDUP_STATE_SCHEMA = "ids array<long>, hashes array<long>"
 
 
 def stream_simhash_neardup(docs_stream: DataFrame, max_hamming: int = 3,
-                           bits: int = 32, bands: int = 4,
+                           bits: int = 64, bands: int = 4,
                            text_col: str = "text", id_col: str = "doc_id",
                            max_state_per_bucket: int = 10_000) -> DataFrame:
     """Streaming near-duplicate detection — the incremental twin of
@@ -244,7 +244,10 @@ def stream_simhash_neardup(docs_stream: DataFrame, max_hamming: int = 3,
                 for other_id, other_sh in zip(ids, hashes):
                     if other_id == doc_id:
                         continue
-                    h = bin(sh ^ other_sh).count("1")
+                    # mask to 64 bits: bit-63 simhashes are negative
+                    # longs, and bin() of a negative int counts the
+                    # magnitude's bits, not the two's-complement ones
+                    h = bin((sh ^ other_sh) & 0xFFFFFFFFFFFFFFFF).count("1")
                     if h <= max_hamming:
                         a, b = sorted((doc_id, other_id))
                         out["doc_a"].append(a)

@@ -113,8 +113,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 16"""
 
 def test_simhash_near_for_near_dups(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
-    h01 = bin(out[0] ^ out[1]).count("1")
-    h02 = bin(out[0] ^ out[2]).count("1")
+    h01 = bin((out[0] ^ out[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    h02 = bin((out[0] ^ out[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert out[0] == out[3]          # identical text -> identical simhash
     assert h01 < h02                 # near dup closer than unrelated
 

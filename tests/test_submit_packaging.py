@@ -63,3 +63,19 @@ def test_read_pages_table_iceberg_requires_jars(spark):
     # loudly with the actionable message, not silently fall back
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_pages_table(spark, "iceberg:catalog.db.pages")
+
+
+def test_pages_table_roundtrip_gate_without_iceberg(spark):
+    """Round-2 verdict #9: the `pages_table_roundtrip` gate must run
+    green in THIS environment (no iceberg-spark-runtime) through the
+    tested parquet fallback, and iceberg_available must say why."""
+    import __spark_entry__ as E
+    from pandarus_spark.sources.pages import iceberg_available
+
+    assert iceberg_available(spark) is False  # sandbox has no runtime
+    out = E.queries()["pages_table_roundtrip"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["lang"] == "en" for r in rows)
+    assert {r["url"] for r in rows} == {
+        f"https://example.test/base/{d}" for d in range(200)}
