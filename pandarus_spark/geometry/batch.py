@@ -339,3 +339,255 @@ def clip_convex_batch(subj_pts: np.ndarray, subj_cnt: np.ndarray,
         pts, cnt = _dedup_and_unclose(pts, cnt)
     cnt = np.where(cnt < 3, 0, cnt)
     return pts, cnt
+
+
+# ---------------------------------------------------------------------------
+# Batched convex cover (trapezoid decomposition)
+# ---------------------------------------------------------------------------
+
+# rings wider than this defer to the scalar geom._convex_cover: the
+# crossing scan below is O(m^2) floats per ring, so one wide ring would
+# blow the chunk budget while contributing nothing to the common case
+# (web-overlay cells/pages are single-digit-vertex rings)
+COVER_MAX_VERTS = 64
+_COVER_CHUNK_FLOATS = 4_000_000  # ~32 MB of f8 temporaries per chunk
+
+
+def is_convex_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Vectorized twin of ``geom.is_convex`` over padded OPEN rings —
+    same edge-pair cross products, same ``_EPS`` sign test."""
+    n, m = pts.shape[:2]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    safe = np.maximum(cnt, 1)[:, None]
+    idx = np.arange(m)[None, :]
+    rows = np.arange(n)[:, None]
+    j1 = (idx + 1) % safe
+    j2 = (idx + 2) % safe
+    p0, p1, p2 = pts, pts[rows, j1], pts[rows, j2]
+    v1 = p1 - p0
+    v2 = p2 - p1
+    cross = v1[..., 0] * v2[..., 1] - v1[..., 1] * v2[..., 0]
+    valid = idx < cnt[:, None]
+    pos = ((cross > _EPS) & valid).any(axis=1)
+    neg = ((cross < -_EPS) & valid).any(axis=1)
+    return ~(pos & neg) & (cnt >= 3)
+
+
+def _decompose_chunk(pts: np.ndarray, cnt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Trapezoid covers for a chunk of padded open rings, replicating
+    ``geom.polygon_region_decompose([closed_ring])`` bit-for-bit:
+
+    * slab bounds = unique(vertex xs + edge-crossing xs), the crossing
+      parameters computed with the exact ``_segment_crossings_dense``
+      formula (so self-touching/self-intersecting rings reproduce the
+      scalar sweep's phantom near-vertex bounds too, not just clean
+      simple rings);
+    * per slab, edges spanning it (same 1e-15 tolerances) interpolated
+      with the identical expression, stable-sorted by midpoint;
+    * quads emitted between consecutive segments at even parity, kept
+      when |shoelace| > 1e-18, in (slab, pair) order.
+
+    Returns flat ``(ring_idx (P,), quads (P, 5, 2))`` sorted by
+    (ring, slab, pair) — callers regroup per ring or keep the flat
+    layout (``convex_cover_flat``).
+    """
+    r, m = pts.shape[:2]
+    rows = np.arange(r)[:, None]
+    idx = np.arange(m)[None, :]
+    valid_e = idx < cnt[:, None]
+    nxt = (idx + 1) % np.maximum(cnt, 1)[:, None]
+    a1 = pts
+    a2 = pts[rows, nxt]
+    d1 = a2 - a1
+    # --- crossing xs: all edge pairs (i, j) of each ring -------------
+    diff = a1[:, None, :, :] - a1[:, :, None, :]      # [ring, i, j] = b1[j]-a1[i]
+    denom = (d1[..., 0][:, :, None] * d1[..., 1][:, None, :]
+             - d1[..., 1][:, :, None] * d1[..., 0][:, None, :])
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        safe_den = np.where(denom == 0, np.nan, denom)
+        t = (diff[..., 0] * d1[..., 1][:, None, :]
+             - diff[..., 1] * d1[..., 0][:, None, :]) / safe_den
+        u = (diff[..., 0] * d1[..., 1][:, :, None]
+             - diff[..., 1] * d1[..., 0][:, :, None]) / safe_den
+    ok = (np.isfinite(t) & np.isfinite(u)
+          & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+          & valid_e[:, :, None] & valid_e[:, None, :])
+    with np.errstate(invalid="ignore"):
+        cross_x = a1[..., 0][:, :, None] + t * d1[..., 0][:, :, None]
+    cross_x = np.where(ok, cross_x, np.inf).reshape(r, m * m)
+    # --- slab bounds: sorted unique of vertex + crossing xs ----------
+    vert_x = np.where(valid_e, a1[..., 0], np.inf)
+    bounds = np.sort(np.concatenate([vert_x, cross_x], axis=1), axis=1)
+    dup = np.zeros_like(bounds, dtype=bool)
+    dup[:, 1:] = bounds[:, 1:] == bounds[:, :-1]
+    bounds = np.sort(np.where(dup, np.inf, bounds), axis=1)
+    width = int(np.isfinite(bounds).sum(axis=1).max()) if r else 0
+    bounds = bounds[:, :max(width, 2)]
+    x0, x1 = bounds[:, :-1], bounds[:, 1:]
+    with np.errstate(invalid="ignore"):  # inf - inf in padded slots
+        sv = np.isfinite(x0) & np.isfinite(x1) & (x1 - x0 > 1e-15)
+    # --- active edges per slab (same tolerances as _slab_spans) ------
+    exl = np.where(valid_e, np.minimum(a1[..., 0], a2[..., 0]), np.inf)
+    exh = np.where(valid_e, np.maximum(a1[..., 0], a2[..., 0]), -np.inf)
+    act = (sv[:, :, None]
+           & ((exh - exl) > 1e-15)[:, None, :]
+           & (exl[:, None, :] <= x0[:, :, None] + 1e-15)
+           & (exh[:, None, :] >= x1[:, :, None] - 1e-15))
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        dx = (a2[..., 0] - a1[..., 0])[:, None, :]
+        dy = (a2[..., 1] - a1[..., 1])[:, None, :]
+        ty0 = a1[..., 1][:, None, :] + (x0[:, :, None] - a1[..., 0][:, None, :]) / dx * dy
+        ty1 = a1[..., 1][:, None, :] + (x1[:, :, None] - a1[..., 0][:, None, :]) / dx * dy
+    tym = np.where(act, 0.5 * (ty0 + ty1), np.inf)
+    order = np.argsort(tym, axis=2, kind="stable")
+    srows = np.arange(r)[:, None, None]
+    scols = np.arange(x0.shape[1])[None, :, None]
+    ty0s = ty0[srows, scols, order]
+    ty1s = ty1[srows, scols, order]
+    kcnt = act.sum(axis=2)
+    # --- quad emission in (ring, slab, pair) order --------------------
+    recs = []
+    for k in range(0, int(kcnt.max()) if kcnt.size else 0, 2):
+        emit = kcnt > k + 1
+        if not emit.any():
+            break
+        ri, si = np.nonzero(emit)
+        recs.append((ri, si, np.full(len(ri), k, dtype=np.int64),
+                     x0[ri, si], x1[ri, si],
+                     ty0s[ri, si, k], ty1s[ri, si, k],
+                     ty0s[ri, si, k + 1], ty1s[ri, si, k + 1]))
+    if not recs:
+        return (np.zeros(0, dtype=np.int64), np.zeros((0, 5, 2)))
+    ri = np.concatenate([c[0] for c in recs])
+    si = np.concatenate([c[1] for c in recs])
+    ki = np.concatenate([c[2] for c in recs])
+    qx0 = np.concatenate([c[3] for c in recs])
+    qx1 = np.concatenate([c[4] for c in recs])
+    y00 = np.concatenate([c[5] for c in recs])
+    y10 = np.concatenate([c[6] for c in recs])
+    y01 = np.concatenate([c[7] for c in recs])
+    y11 = np.concatenate([c[8] for c in recs])
+    # closed 5-point quads in the scalar sweep's vertex order
+    quads = np.empty((len(ri), 5, 2), dtype=np.float64)
+    quads[:, 0, 0] = qx0; quads[:, 0, 1] = y00
+    quads[:, 1, 0] = qx1; quads[:, 1, 1] = y10
+    quads[:, 2, 0] = qx1; quads[:, 2, 1] = y11
+    quads[:, 3, 0] = qx0; quads[:, 3, 1] = y01
+    quads[:, 4, 0] = qx0; quads[:, 4, 1] = y00
+    # |shoelace| > 1e-18, same term order as geom.ring_area's np.sum
+    xs, ys = quads[..., 0], quads[..., 1]
+    terms = xs * np.roll(ys, -1, axis=1) - np.roll(xs, -1, axis=1) * ys
+    keep = np.abs(0.5 * terms.sum(axis=1)) > 1e-18
+    lex = np.lexsort((ki[keep], si[keep], ri[keep]))
+    return ri[keep][lex], quads[keep][lex]
+
+
+def convex_cover_flat(pts: np.ndarray, cnt: np.ndarray) -> tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``geom._convex_cover`` for every padded open ring at once, in a
+    FLAT layout built for the refine tier's piece-pair fan-out:
+
+    Returns ``(fpts (P, W, 2), fcnt (P,), starts (n+1,), boxes (P, 4))``
+    — padded OPEN cover pieces (ring i's pieces are
+    ``starts[i]:starts[i+1]``, in the scalar call's order), their vertex
+    counts, and their bboxes (minx, miny, maxx, maxy), all computed
+    without any per-piece Python.  Piece VALUES are bit-identical to
+    ``geom._convex_cover`` with the closing vertex stripped (pinned by
+    the differential fuzz in tests/test_refine_batch.py).  Convex rings
+    are their own single piece; small concave rings take the batched
+    trapezoid sweep; rings wider than ``COVER_MAX_VERTS`` defer to the
+    scalar decompose."""
+    from . import geom as G
+    n = len(cnt)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros((0, 0, 2)), z, np.zeros(1, dtype=np.int64), np.zeros((0, 4))
+    conv = is_convex_batch(pts, cnt)
+    small = ~conv & (cnt >= 3) & (cnt <= COVER_MAX_VERTS)
+    big_idx = np.nonzero(~conv & (cnt > COVER_MAX_VERTS))[0]
+    big_covers: dict[int, list[np.ndarray]] = {}
+    for i in big_idx:
+        c = int(cnt[i])
+        big_covers[int(i)] = G.polygon_region_decompose(
+            [np.concatenate([pts[i, :c], pts[i, :1]], axis=0)])
+    # batched sweep over the small concave rings, flat output
+    small_idx = np.nonzero(small)[0]
+    q_ring = np.zeros(0, dtype=np.int64)
+    quads = np.zeros((0, 5, 2))
+    if len(small_idx):
+        m = int(cnt[small_idx].max())
+        per_ring = m * m * 8 + m * 6  # crossing cube + slab planes, floats
+        step = max(1, _COVER_CHUNK_FLOATS // per_ring)
+        parts = []
+        for s in range(0, len(small_idx), step):
+            sel = small_idx[s:s + step]
+            ri, qs = _decompose_chunk(pts[sel, :m], cnt[sel])
+            parts.append((sel[ri], qs))
+        q_ring = np.concatenate([p[0] for p in parts])
+        quads = np.concatenate([p[1] for p in parts]) if parts else quads
+    # piece counts per ring -> starts
+    npieces = np.zeros(n, dtype=np.int64)
+    npieces[conv] = 1
+    if len(q_ring):
+        np.add.at(npieces, q_ring, 1)
+    for i, cov in big_covers.items():
+        npieces[i] = len(cov)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(npieces, out=starts[1:])
+    total = int(starts[-1])
+    w = 4
+    if conv.any():
+        w = max(w, int(cnt[conv].max()))
+    for cov in big_covers.values():
+        for p in cov:
+            w = max(w, len(p) - 1)
+    fpts = np.zeros((total, w, 2), dtype=np.float64)
+    fcnt = np.zeros(total, dtype=np.int64)
+    # convex rings: one piece each, copied in bulk per source width
+    conv_idx = np.nonzero(conv)[0]
+    if len(conv_idx):
+        pos = starts[conv_idx]
+        mw = min(pts.shape[1], w)
+        fpts[pos, :mw] = pts[conv_idx, :mw]
+        if mw < w:  # pad slots hold the first vertex (projection safety)
+            fpts[pos, mw:] = fpts[pos, :1]
+        fcnt[pos] = cnt[conv_idx]
+    # trapezoid quads: open 4-vertex pieces, already in (ring, slab,
+    # pair) order and grouped by ring (q_ring ascending within chunk;
+    # chunks cover disjoint ascending ring ranges)
+    if len(q_ring):
+        # q_ring is sorted; slot within its ring = index - first occurrence
+        within = np.arange(len(q_ring)) - np.searchsorted(q_ring, q_ring)
+        pos = starts[q_ring] + within
+        fpts[pos, :4] = quads[:, :4]
+        fpts[pos, 4:] = quads[:, :1]
+        fcnt[pos] = 4
+    for i, cov in big_covers.items():
+        for j, p in enumerate(cov):
+            c = len(p) - 1
+            pos = int(starts[i]) + j
+            fpts[pos, :c] = p[:c]
+            fpts[pos, c:] = p[:1]
+            fcnt[pos] = c
+    boxes = np.empty((total, 4), dtype=np.float64)
+    boxes[:, 0] = fpts[..., 0].min(axis=1)
+    boxes[:, 1] = fpts[..., 1].min(axis=1)
+    boxes[:, 2] = fpts[..., 0].max(axis=1)
+    boxes[:, 3] = fpts[..., 1].max(axis=1)
+    return fpts, fcnt, starts, boxes
+
+
+def convex_cover_batch(pts: np.ndarray, cnt: np.ndarray) -> list[list[np.ndarray]]:
+    """List-of-CLOSED-pieces view of :func:`convex_cover_flat` — the
+    drop-in twin of per-ring ``geom._convex_cover`` calls, used by the
+    differential tests."""
+    fpts, fcnt, starts, _ = convex_cover_flat(pts, cnt)
+    out: list[list[np.ndarray]] = []
+    for i in range(len(cnt)):
+        pieces = []
+        for p in range(int(starts[i]), int(starts[i + 1])):
+            c = int(fcnt[p])
+            pieces.append(np.concatenate([fpts[p, :c], fpts[p, :1]], axis=0))
+        out.append(pieces)
+    return out

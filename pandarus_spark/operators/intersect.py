@@ -308,49 +308,73 @@ def _refine_concave_batch(rows, B):
     clip_convex_batch.  Per-row measures sum the piece areas in that
     same order and the MultiPolygon parts are emitted in it, so output
     is bit-identical to the scalar tier (pinned by tests).  Rows whose
-    cover fan-out exceeds ``_CONCAVE_PAIR_CAP`` defer to scalar."""
+    cover fan-out exceeds ``_CONCAVE_PAIR_CAP`` defer to scalar.
+
+    Covers are computed ONCE per distinct geometry via the vectorized
+    ``convex_cover_batch`` (each feature typically appears in several
+    candidate pairs of the same Arrow batch — the cell join emits one
+    row per neighbour), with per-piece bboxes memoized alongside; the
+    per-pair loop below does only bbox screening and index appends."""
     import pandas as pd
-    f_pts, f_cnt, f_ok = B.decode_simple_polygon_batch(list(rows["from_wkb"]))
-    t_pts, t_cnt, t_ok = B.decode_simple_polygon_batch(list(rows["to_wkb"]))
+    wkb_f = list(rows["from_wkb"])
+    wkb_t = list(rows["to_wkb"])
+    f_pts, f_cnt, f_ok = B.decode_simple_polygon_batch(wkb_f)
+    t_pts, t_cnt, t_ok = B.decode_simple_polygon_batch(wkb_t)
     handled = f_ok & t_ok
     if not handled.any():
         return handled, None
-    piece_sub: list = []
-    piece_clip: list = []
-    piece_row: list = []
-    for i in np.nonzero(handled)[0]:
-        subj = np.vstack([f_pts[i, :f_cnt[i]], f_pts[i, 0:1]])
-        clip = np.vstack([t_pts[i, :t_cnt[i]], t_pts[i, 0:1]])
-        sub_cover = G._convex_cover(subj)
-        clip_cover = G._convex_cover(clip)
-        if len(sub_cover) * len(clip_cover) > _CONCAVE_PAIR_CAP:
-            handled[i] = False
-            continue
-        cboxes = [(c, (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()))
-                  for c in clip_cover]
-        for s in sub_cover:
-            sbox = (s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max())
-            for c, cbox in cboxes:
-                if G.bbox_intersects(sbox, cbox):
-                    piece_sub.append(s)
-                    piece_clip.append(c)
-                    piece_row.append(i)
+    # distinct geometries across both sides -> one batched cover pass
+    uniq: dict[bytes, int] = {}
+    u_rings: list[np.ndarray] = []
+    hidx = np.nonzero(handled)[0]
+    for i in hidx:
+        for wb, pts, cnt in ((wkb_f[i], f_pts, f_cnt), (wkb_t[i], t_pts, t_cnt)):
+            k = bytes(wb)
+            if k not in uniq:
+                uniq[k] = len(u_rings)
+                u_rings.append(pts[i, :cnt[i]])
+    u_pts, u_cnt = B.pad_rings(u_rings)
+    fpts, fcnt, starts, boxes = B.convex_cover_flat(u_pts, u_cnt)
+    npieces = np.diff(starts)
+    # ragged cross product: every (subject piece x clip piece) of every
+    # row, bbox-screened, in the scalar nested-loop order (sub outer)
+    uf = np.fromiter((uniq[bytes(wkb_f[i])] for i in hidx), dtype=np.int64,
+                     count=len(hidx))
+    ut = np.fromiter((uniq[bytes(wkb_t[i])] for i in hidx), dtype=np.int64,
+                     count=len(hidx))
+    fanout = npieces[uf] * npieces[ut]
+    over = fanout > _CONCAVE_PAIR_CAP
+    if over.any():
+        handled[hidx[over]] = False
+        hidx, uf, ut, fanout = hidx[~over], uf[~over], ut[~over], fanout[~over]
     if not handled.any():
         return handled, None
+    rep = np.repeat(np.arange(len(hidx)), fanout)
+    ends = np.cumsum(fanout)
+    p = np.arange(len(rep)) - np.repeat(ends - fanout, fanout)
+    nt = npieces[ut][rep]
+    sub_idx = starts[uf][rep] + p // nt
+    clip_idx = starts[ut][rep] + p % nt
+    sb, cb = boxes[sub_idx], boxes[clip_idx]
+    touch = ~((sb[:, 2] < cb[:, 0]) | (cb[:, 2] < sb[:, 0])
+              | (sb[:, 3] < cb[:, 1]) | (cb[:, 3] < sb[:, 1]))
+    sub_idx, clip_idx = sub_idx[touch], clip_idx[touch]
+    piece_row = hidx[rep[touch]]
     measures = np.zeros(len(rows), dtype=np.float64)
     parts_by_row: dict[int, list] = {}
-    if piece_row:
-        sp, sc = B.pad_rings(piece_sub)
-        cp, cc = B.pad_rings(piece_clip)
-        cp = B.ensure_ccw_batch(cp, cc)
-        out_pts, out_cnt = B.clip_convex_batch(sp, sc, cp, cc)
+    if len(piece_row):
+        cp = B.ensure_ccw_batch(fpts[clip_idx], fcnt[clip_idx])
+        out_pts, out_cnt = B.clip_convex_batch(
+            fpts[sub_idx], fcnt[sub_idx], cp, fcnt[clip_idx])
         keep = out_cnt >= 3
         if keep.any():
             keep[keep] &= B.ring_area_batch(out_pts[keep], out_cnt[keep]) > 1e-18
         if keep.any():
             areas = B.mollweide_area_batch(out_pts[keep], out_cnt[keep])
-            kept_rows = np.asarray(piece_row, dtype=np.int64)[keep]
+            kept_rows = piece_row[keep]
             kept_pts, kept_cnt = out_pts[keep], out_cnt[keep]
+            # in-order accumulation (kept_rows ascends within each row,
+            # so the += order matches the scalar loop's)
             for k in range(len(kept_rows)):
                 i = int(kept_rows[k])
                 measures[i] += areas[k]
