@@ -179,3 +179,51 @@ def test_concave_tier_bit_identical_to_scalar(spark):
         # the scalar one walks the closed ring)
         assert bytes(b["geom_wkb"]) == bytes(s["geom_wkb"])
         assert b["measure"] == pytest.approx(s["measure"], rel=1e-12)
+
+
+def test_convex_cover_batch_bit_identical_to_scalar():
+    """convex_cover_flat / convex_cover_batch must reproduce
+    geom._convex_cover EXACTLY (same piece count, same float vertices)
+    on convex rings, concave simple rings, stars, axis-aligned
+    C-shapes with collinear runs, degenerate rings, and random
+    self-intersecting walks — the flat cover is what the concave
+    refine tier clips, so any drift here is a wrong overlay geometry."""
+    from pandarus_spark.geometry import batch as B
+    from pandarus_spark.geometry import geom as G
+
+    rng = np.random.default_rng(7)
+    s = 1.1
+    rel = np.array([[0, 0], [s, 0], [s, s / 2], [s / 2, s / 2], [s / 2, s], [0, s]])
+    rings = [rel + rng.uniform(-100, 100, 2) for _ in range(20)]
+    for _ in range(20):                      # stars: many slabs per ring
+        n = int(rng.integers(5, 12))
+        ang = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False) + rng.uniform(0, 1)
+        rad = np.where(np.arange(2 * n) % 2 == 0,
+                       rng.uniform(1.5, 3), rng.uniform(0.3, 1))
+        c = rng.uniform(-50, 50, 2)
+        rings.append(np.column_stack([c[0] + rad * np.cos(ang),
+                                      c[1] + rad * np.sin(ang)]))
+    for _ in range(60):                      # random walks, often self-intersecting
+        rings.append(rng.uniform(-10, 10, (int(rng.integers(4, 15)), 2)))
+    for _ in range(15):                      # convex fans
+        n = int(rng.integers(3, 10))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rings.append(np.column_stack([3 * np.cos(ang), 3 * np.sin(ang)])
+                     + rng.uniform(-5, 5, 2))
+    rings.append(np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 2], [3, 2],
+                           [3, 3], [0, 3]], dtype=float))       # C-shape
+    rings.append(np.array([[0, 0], [1, 0], [2, 0], [2, 2], [0, 2]],
+                          dtype=float))                         # collinear verts
+    rings.append(np.array([[0, 0], [1, 0], [1, 0], [1, 1]], dtype=float))
+    rings.append(np.array([[0, 0], [1, 0], [2, 0]], dtype=float))  # zero area
+
+    pts, cnt = B.pad_rings(rings)
+    covers = B.convex_cover_batch(pts, cnt)
+    for i in range(len(rings)):
+        c = int(cnt[i])
+        closed = np.vstack([pts[i, :c], pts[i, :1]])
+        want = G._convex_cover(closed)
+        got = covers[i]
+        assert len(got) == len(want), f"ring {i}: {len(got)} != {len(want)} pieces"
+        for w, g in zip(want, got):
+            assert w.shape == g.shape and np.array_equal(w, g), f"ring {i}"
