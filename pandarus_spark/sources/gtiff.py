@@ -74,7 +74,9 @@ def write_gtiff(path: str, values: np.ndarray, spec: RasterSpec) -> None:
                  spec.d, spec.e, 0.0, spec.f,
                  0.0, 0.0, 0.0, 0.0,
                  0.0, 0.0, 0.0, 1.0]
-    nodata_ascii = (f"{spec.nodata!r}".encode() + b"\x00"
+    # float() first: repr(np.float64(x)) is "np.float64(x)" under
+    # numpy>=2, which would write an unparseable GDAL_NODATA
+    nodata_ascii = (f"{float(spec.nodata)!r}".encode() + b"\x00"
                     if spec.nodata is not None else None)
 
     # layout: header | IFD | out-of-line values | strip data

@@ -227,3 +227,29 @@ def test_convex_cover_batch_bit_identical_to_scalar():
         assert len(got) == len(want), f"ring {i}: {len(got)} != {len(want)} pieces"
         for w, g in zip(want, got):
             assert w.shape == g.shape and np.array_equal(w, g), f"ring {i}"
+
+
+def test_concave_pair_cap_defers_to_scalar(spark, monkeypatch):
+    """Rows whose cover fan-out exceeds _CONCAVE_PAIR_CAP must fall to
+    the scalar tier and still produce the identical result."""
+    import pandarus_spark.operators.intersect as I
+    from pandarus_spark.operators.intersect import refine_pairs
+
+    star = _star(0.8, 0.9, 0.3, 0.9, n=9)     # 18-vertex concave: 16 quads
+    box = {"type": "Polygon", "coordinates": [np.array(
+        [[0, 0], [1.5, 0], [1.5, 1.5], [0, 1.5], [0, 0]], dtype=float)]}
+
+    def _bx(g):
+        r = np.asarray(g["coordinates"][0])
+        return float(r[:, 0].min()), float(r[:, 1].min()), float(r[:, 0].max()), float(r[:, 1].max())
+
+    rows = [(0, 0, "f0", "t0", bytearray(G.wkb_dumps(star)), "polygon",
+             bytearray(G.wkb_dumps(box)), *_bx(star), *_bx(box), False, False)]
+    df = spark.createDataFrame(rows, _PAIRS_SCHEMA).coalesce(1)
+    want = refine_pairs(df, batch_general=False).collect()
+
+    monkeypatch.setattr(I, "_CONCAVE_PAIR_CAP", 4)   # force the deferral
+    got = refine_pairs(df, batch_general=True).collect()
+    assert len(got) == len(want) == 1
+    assert got[0]["measure"] == want[0]["measure"]
+    assert bytes(got[0]["geom_wkb"]) == bytes(want[0]["geom_wkb"])
