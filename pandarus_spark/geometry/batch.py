@@ -353,27 +353,6 @@ COVER_MAX_VERTS = 64
 _COVER_CHUNK_FLOATS = 4_000_000  # ~32 MB of f8 temporaries per chunk
 
 
-def is_convex_batch(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
-    """Vectorized twin of ``geom.is_convex`` over padded OPEN rings —
-    same edge-pair cross products, same ``_EPS`` sign test."""
-    n, m = pts.shape[:2]
-    if n == 0:
-        return np.zeros(0, dtype=bool)
-    safe = np.maximum(cnt, 1)[:, None]
-    idx = np.arange(m)[None, :]
-    rows = np.arange(n)[:, None]
-    j1 = (idx + 1) % safe
-    j2 = (idx + 2) % safe
-    p0, p1, p2 = pts, pts[rows, j1], pts[rows, j2]
-    v1 = p1 - p0
-    v2 = p2 - p1
-    cross = v1[..., 0] * v2[..., 1] - v1[..., 1] * v2[..., 0]
-    valid = idx < cnt[:, None]
-    pos = ((cross > _EPS) & valid).any(axis=1)
-    neg = ((cross < -_EPS) & valid).any(axis=1)
-    return ~(pos & neg) & (cnt >= 3)
-
-
 def _decompose_chunk(pts: np.ndarray, cnt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Trapezoid covers for a chunk of padded open rings, replicating
     ``geom.polygon_region_decompose([closed_ring])`` bit-for-bit:

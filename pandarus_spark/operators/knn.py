@@ -27,6 +27,12 @@ from ..tiling import cells as C
 
 DIST_SCHEMA = "query_id bigint, feature_id bigint, dist double"
 
+# cells a single ring pass may enumerate per query before the backstop
+# switches to broadcasting the (small) short side: (2r+1)² int64s per
+# row materialize inside the cell UDF, so unbounded doubling at high
+# res would OOM the executor long before the ring spans the grid
+_RING_CELL_BUDGET = 4096
+
 
 def point_geom_distance(px: float, py: float, geom: dict) -> float:
     """Exact planar distance point -> geometry (0 inside polygons)."""
@@ -186,7 +192,12 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
                  .select("query_id", "qx", "qy"))
         if want == 0 or short.limit(1).count() == 0:
             break
-        if r >= n_cells:
+        # brute-force once the NEXT ring would enumerate more cells per
+        # query than the budget (the k-ring UDF materializes (2r+1)²
+        # cell ids per row — at radius n/2 that is the entire grid,
+        # far costlier than broadcasting the short side), or once the
+        # ring already spans the wrapped grid
+        if r >= n_cells // 2 or (2 * (r * 2) + 1) ** 2 > _RING_CELL_BUDGET:
             # last resort: the k-ring already spans the grid, so any
             # still-short query lives in a genuinely sparse region —
             # broadcast the (small) short side against the distributed
@@ -196,9 +207,11 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
             # value-deterministic.
             brute = fgeom.crossJoin(F.broadcast(short))
             bdists = _split_distances(brute)
+            prev = ranked
             ranked = _ensure_persisted(
                 _dedup_union(ranked.drop("rank"), bdists)
                 .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
+            prev.unpersist()  # _ensure_persisted materialized the child
             break
         r *= 2
         scells = short.select("query_id", "qx", "qy",
@@ -208,9 +221,11 @@ def knn_nearest_feature(queries: DataFrame, features: DataFrame, k: int = 1,
                   .select("query_id", "qx", "qy", "feature_id")
                   .dropDuplicates(["query_id", "feature_id"])
                   .join(fgeom, "feature_id"))
+        prev = ranked
         ranked = _ensure_persisted(
             _dedup_union(ranked.drop("rank"), _split_distances(cand_r))
             .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
+        prev.unpersist()  # superseded cache; child already materialized
 
     return ranked.join(features.select("feature_id", "label"), "feature_id") \
                  .select("query_id", "feature_id", "label", "dist", "rank")

@@ -258,16 +258,34 @@ def register_default_codecs() -> dict[str, bool]:
 
         import soundfile as sf
 
-        def _sf_decode(b: bytes):
-            data, _rate = sf.read(io.BytesIO(b), dtype="float64", always_2d=True)
-            return "soundfile", data.shape[0], data.shape[1], data
+        def _sf_decode(fmt):
+            def decode(b: bytes):
+                data, _rate = sf.read(io.BytesIO(b), dtype="float64",
+                                      always_2d=True)
+                return fmt, data.shape[0], data.shape[1], data
+            return decode
 
-        register_codec("sf-flac", lambda b: b[:4] == b"fLaC", "audio", _sf_decode)
-        register_codec("sf-ogg", lambda b: b[:4] == b"OggS", "audio", _sf_decode)
+        register_codec("sf-flac", lambda b: b[:4] == b"fLaC", "audio",
+                       _sf_decode("flac"))
+        register_codec("sf-ogg", lambda b: b[:4] == b"OggS", "audio",
+                       _sf_decode("ogg"))
         out["soundfile"] = True
     except ImportError:
         pass
     return out
+
+
+
+def _registry_snapshot():
+    """Driver-side snapshot of CODECS for executor installs.
+
+    ``register_codec`` mutates DRIVER-local module state; executors
+    re-import this module fresh, so without shipping the snapshot in
+    the UDF closure a registered JPEG/soundfile decoder would work in
+    local mode and raise 'unknown media container' on a real cluster.
+    Each operator closes over the snapshot and installs it per batch
+    (idempotent list assignment)."""
+    return list(CODECS)
 
 
 def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
@@ -294,9 +312,11 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     Real codecs (JPEG/PNG/WAV/MP4) would slot into ``_decode_one``;
     they are NOT available in this environment and raise."""
+    snap = _registry_snapshot()
 
     def gen(batches):
         import pandas as pd
+        CODECS[:] = snap  # install the driver's registrations (executor-safe)
         for pdf in batches:
             out = {k: [] for k in ("media_id", "kind", "format", "width", "height",
                                    "n_bytes", "mean_value")}
@@ -331,9 +351,11 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     (FAKE/BMP/PGM/PPM); output is the FAKE grayscale container — the
     pipeline's canonical normalized form (real pipelines emit a raw
     tensor container after decode too)."""
+    snap = _registry_snapshot()
 
     def gen(batches):
         import pandas as pd
+        CODECS[:] = snap
         for pdf in batches:
             datas = []
             for data in pdf["data"]:
@@ -379,9 +401,11 @@ def audio_features_stub(media: DataFrame, window: int = 16) -> DataFrame:
     vectorized numpy per Arrow batch.  Decodes real PCM WAV (8/16-bit,
     channel-mixed) and the FAKE synthetic container; compressed audio
     (MP3/AAC) needs a registered codec."""
+    snap = _registry_snapshot()
 
     def gen(batches):
         import pandas as pd
+        CODECS[:] = snap
         for pdf in batches:
             out = {"media_id": [], "window_no": [], "n_samples": [], "rms": [], "peak": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
@@ -403,9 +427,11 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame-sampling plumbing: treats each row of the FAKE image
     as a 'frame', keeps every n-th — exercises the explode-shaped
     output schema a real sampler needs."""
+    snap = _registry_snapshot()
 
     def gen(batches):
         import pandas as pd
+        CODECS[:] = snap
         for pdf in batches:
             out = {"media_id": [], "frame_no": [], "data": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):

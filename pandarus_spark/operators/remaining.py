@@ -168,7 +168,11 @@ def calculate_remaining(source_features: DataFrame, intersections: DataFrame) ->
                                  F.col("geom_wkb").alias("src_wkb"), "kind")
     inter = intersections.select(F.col("from_label").alias("label"),
                                  F.col("geom_wkb").alias("int_wkb"))
-    pairs = inter.join(src.select("label", "kind"), "label")
+    # dropDuplicates: labels are unique per the extraction contract, but
+    # an out-of-contract duplicate would otherwise multiply every
+    # intersection row through this join and silently corrupt the sums
+    pairs = inter.filter(F.col("int_wkb").isNotNull()).join(
+        src.select("label", "kind").dropDuplicates(["label"]), "label")
 
     def actual_fn(it):
         import pandas as pd

@@ -62,7 +62,11 @@ def write_gtiff(path: str, values: np.ndarray, spec: RasterSpec) -> None:
     data = arr.astype("<" + arr.dtype.str[1:]).tobytes()
 
     epsg = _epsg_of(spec.crs)
-    geographic = epsg == 4326 or (4000 <= epsg < 5000)
+    # consult the CRS registry, not an EPSG-band heuristic: the 4xxx
+    # range also holds PROJECTED codes (e.g. 4087 World Equidistant
+    # Cylindrical), which must get ProjectedCSTypeGeoKey
+    from ..geometry.projection import is_geographic
+    geographic = is_geographic(spec.crs)
     keys = [(_GT_MODEL, 0, 1, 2 if geographic else 1),
             (_GT_RASTER, 0, 1, 1)]  # PixelIsArea
     keys.append((_GEOGRAPHIC_TYPE if geographic else _PROJECTED_TYPE, 0, 1, epsg))
@@ -222,8 +226,9 @@ def cells_to_array(cells, spec: RasterSpec, value_col: str = "value") -> np.ndar
     contract instead."""
     fill = spec.nodata if spec.nodata is not None else np.nan
     arr = np.full((spec.height, spec.width), fill, dtype=np.float64)
-    for r in cells.select("row", "col", value_col).toLocalIterator():
-        arr[int(r["row"]), int(r["col"])] = r[value_col]
+    pdf = cells.select("row", "col", value_col).toPandas()
+    arr[pdf["row"].to_numpy(dtype=np.int64),
+        pdf["col"].to_numpy(dtype=np.int64)] = pdf[value_col].to_numpy(dtype=np.float64)
     return arr
 
 
