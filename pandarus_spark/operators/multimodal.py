@@ -288,6 +288,17 @@ def _registry_snapshot():
     return list(CODECS)
 
 
+def _install_registry(snap) -> None:
+    """Executor-side install of a driver registry snapshot.  MUST be a
+    module-level function: cloudpickle ships nested UDF closures with
+    a synthetic globals dict holding a COPY of referenced globals, so
+    a bare ``CODECS[:] = snap`` inside the closure would mutate that
+    copy, never the module list ``_decode_one``/``decode_pixels``
+    consult.  This function is pickled by reference and executes in
+    the worker's real module globals."""
+    CODECS[:] = snap
+
+
 def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
     """bytes → (format, grayscale 2-D array) via the codec registry."""
     for name, sniff, kind, fn in CODECS:
@@ -316,7 +327,7 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def gen(batches):
         import pandas as pd
-        CODECS[:] = snap  # install the driver's registrations (executor-safe)
+        _install_registry(snap)  # driver registrations, executor-safe
         for pdf in batches:
             out = {k: [] for k in ("media_id", "kind", "format", "width", "height",
                                    "n_bytes", "mean_value")}
@@ -355,7 +366,7 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
     def gen(batches):
         import pandas as pd
-        CODECS[:] = snap
+        _install_registry(snap)
         for pdf in batches:
             datas = []
             for data in pdf["data"]:
@@ -405,7 +416,7 @@ def audio_features_stub(media: DataFrame, window: int = 16) -> DataFrame:
 
     def gen(batches):
         import pandas as pd
-        CODECS[:] = snap
+        _install_registry(snap)
         for pdf in batches:
             out = {"media_id": [], "window_no": [], "n_samples": [], "rms": [], "peak": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
@@ -431,7 +442,7 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     def gen(batches):
         import pandas as pd
-        CODECS[:] = snap
+        _install_registry(snap)
         for pdf in batches:
             out = {"media_id": [], "frame_no": [], "data": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):

@@ -245,3 +245,33 @@ def test_register_default_codecs_decoder_contract(monkeypatch):
         assert (fmt2, w, h, mean) == ("jpeg", 4, 3, 7.0)
     finally:
         M.CODECS[:] = before
+
+
+def test_registered_codecs_ship_to_executors(spark):
+    """register_codec mutates DRIVER module state; executors re-import
+    the module fresh.  The operators must close over a registry
+    snapshot and install it per batch — simulated here by resetting
+    CODECS to the pristine built-ins AFTER the plan is built (what an
+    executor process would see) and checking the custom codec still
+    decodes."""
+    import struct as _struct
+
+    from pandarus_spark.operators import multimodal as M
+
+    def _decode_xyz(b: bytes):
+        h, w = _struct.unpack(">II", b[4:12])
+        return "xyz", np.frombuffer(b[12:12 + h * w], dtype=np.uint8).reshape(h, w)
+
+    payload = b"XYZ0" + _struct.pack(">II", 2, 3) + bytes(range(6))
+    before = list(M.CODECS)
+    try:
+        M.register_codec("xyz", lambda b: b[:4] == b"XYZ0", "image", _decode_xyz)
+        media = spark.createDataFrame([(1, "image", bytearray(payload))],
+                                      M.MEDIA_SCHEMA)
+        out = M.decode_media(media)              # snapshot taken HERE
+        M.CODECS[:] = before                     # executor's fresh module
+        rows = out.collect()
+        assert rows[0]["format"] == "xyz"
+        assert (rows[0]["width"], rows[0]["height"]) == (3, 2)
+    finally:
+        M.CODECS[:] = before
