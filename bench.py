@@ -525,24 +525,35 @@ def main() -> None:
         os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus * 4))
     spark = build_session(app=f"pandarus-bench-{args.job}")
     spark.sparkContext.setLogLevel("ERROR")
+    _st0 = _cpu_steal()
+
+    def emit(payload: dict) -> None:
+        """Print the job's JSON line with the steal canary appended —
+        the same objective noise evidence the headline suite reports,
+        so scaling-leg numbers carry their own window context."""
+        _st1 = _cpu_steal()
+        payload["host_steal_pct"] = (
+            round(100.0 * (_st1[1] - _st0[1]) / max(1, _st1[0] - _st0[0]), 2)
+            if _st1[0] > _st0[0] else None)
+        print(json.dumps(payload))
 
     if args.job == "zonal_scale":
         res = job_zonal_scale(spark, args.n)
-        print(json.dumps({
+        emit({
             "metric": "zonal_stats_tiles_strategy",
             "value": res["sec"], "unit": "sec",
             "queries": {"zonal_scale": res["sec"]},
             "sf": args.n, "cpus": cpus,
             "raster_cells": res["raster_cells"],
             "features_with_stats": res["features_with_stats"],
-        }))
+        })
         spark.stop()
         return
 
     if args.job == "dedup_scale":
         res = job_dedup_scale(spark, args.n)
         total = res["pairs_sec"] + res["clusters_sec"]
-        print(json.dumps({
+        emit({
             "metric": "neardup_pairs_plus_clusters",
             "value": round(total, 3), "unit": "sec",
             "queries": {"lsh_pairs": res["pairs_sec"],
@@ -551,13 +562,13 @@ def main() -> None:
             "near_dup_pairs": res["near_dup_pairs"],
             "clusters": res["clusters"],
             "docs_per_sec": round(args.n / total, 1),
-        }))
+        })
         spark.stop()
         return
 
     if args.job == "refine_shapes":
         res = job_refine_shapes(spark, args.n)
-        print(json.dumps({
+        emit({
             "metric": "nonrect_vs_rect_refine_ratio",
             "value": res["hex"], "unit": "sec",
             "queries": {"overlay_rect": res["rect"], "overlay_hex": res["hex"],
@@ -567,13 +578,13 @@ def main() -> None:
             "lshape_rows": res["lshape_rows"],
             "hex_over_rect": res["ratio"],
             "lshape_over_rect": res["lshape_ratio"],
-        }))
+        })
         spark.stop()
         return
 
     if args.job == "overlay_skew":
         res = job_overlay_skew(spark, args.n, args.n_cluster)
-        print(json.dumps({
+        emit({
             "metric": "skew_salting_speedup",
             "value": res["unsalted"], "unit": "sec",
             "queries": {"overlay_skew_unsalted": res["unsalted"],
@@ -581,7 +592,7 @@ def main() -> None:
             "sf": args.n, "n_cluster": args.n_cluster, "cpus": cpus,
             "rows": res["unsalted_rows"],
             "speedup": round(res["unsalted"] / res["salted"], 2),
-        }))
+        })
         spark.stop()
         return
 
@@ -590,7 +601,7 @@ def main() -> None:
         t0 = time.perf_counter()
         inter_rows, tile_rows = job_overlay_scale(spark, args.n, phases)
         dt = time.perf_counter() - t0
-        print(json.dumps({
+        emit({
             "metric": "intersection_rows_plus_tile_assignments_per_sec",
             "value": round(dt, 3), "unit": "sec",
             "queries": {"overlay_scale": round(dt, 3)},
@@ -598,7 +609,7 @@ def main() -> None:
             "sf": args.n, "cpus": cpus,
             "intersection_rows": inter_rows, "tile_assignments": tile_rows,
             "throughput_rows_per_sec": round((inter_rows + tile_rows) / dt, 1),
-        }))
+        })
         spark.stop()
         return
 
