@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pandarus_spark.functions.oracle_sql import (
     cell_cover_sql, grid_fixture_values, mollweide_box_area_sql,
 )
+from pandarus_spark.operators import curation as C
 from pandarus_spark.operators import dedup as D
 from pandarus_spark.operators import multimodal as M
 from pandarus_spark.operators import similarity as S
@@ -54,6 +55,43 @@ def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _round_bigint(col):
     return F.round(col, 0).cast("long")
+
+
+# deterministic messy-URL / PII-laced-text builders shared between the
+# curation gate queries and their oracles (both engines construct the
+# identical string from doc_id, then the operator under test cleans it)
+
+def _messy_url_col():
+    return F.concat(
+        F.lit("HTTPS://user@WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/Path/"), (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&q="), (F.col("doc_id") % 10).cast("string"),
+        F.lit("&gclid=g"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")))
+
+
+_MESSY_URL_SQL = (
+    "'HTTPS://user@WWW.Site' || (doc_id % 7) || '.Example.COM:443/Path/' "
+    "|| (doc_id % 50) || '/?utm_source=feed&q=' || (doc_id % 10) "
+    "|| '&gclid=g' || doc_id || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END")
+
+
+def _pii_laced_col():
+    return F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"))
+
+
+_PII_LACED_SQL = (
+    "(text || ' contact user' || doc_id || '@mail.example.org or +1 555-01' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ip 10.0.' || "
+    "(doc_id % 256) || '.7')")
+
+# per-language sampling quotas for the stratified-sample gate (the
+# synthetic corpus carries lang in {en,de,fr,es,zh})
+_SAMPLE_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.15, "zh": 0.1}
 
 
 def _intersect_fixture(spark, first: str, second: str) -> DataFrame:
@@ -420,6 +458,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             got = read_pages_table(spark, f"parquet:{p}")
         return got.select("url", "lang")
 
+    def q_url_normalize_docs(spark, sf_dir):
+        # URL canonicalization + registrable-domain extraction over a
+        # deterministic messy-URL column (userinfo, WWW, default port,
+        # tracking params, fragment, trailing slash — all exercised)
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            C.normalize_url(_messy_url_col()).alias("url_norm"),
+            C.url_domain(_messy_url_col()).alias("domain"))
+
+    def q_domain_stats_docs(spark, sf_dir):
+        pages = _docs(spark, sf_dir).select(_messy_url_col().alias("url"))
+        return C.domain_stats(pages)
+
+    def q_stratified_sample_docs(spark, sf_dir):
+        # deterministic per-language sampling: same doc set every run,
+        # every engine, any partitioning — a narrow filter, no shuffle
+        return C.stratified_sample(_docs(spark, sf_dir), _SAMPLE_RATES,
+                                   default_rate=0.05).select("doc_id", "lang")
+
+    def q_chunk_tokens_docs(spark, sf_dir):
+        return C.chunk_tokens(_docs(spark, sf_dir).filter(F.col("doc_id") < 2000),
+                              size=32, stride=24)
+
+    def q_pii_stats_docs(spark, sf_dir):
+        laced = _docs(spark, sf_dir).select("doc_id", _pii_laced_col().alias("text"))
+        return C.pii_stats(laced)
+
+    def q_source_profile_docs(spark, sf_dir):
+        return C.source_profile(_docs(spark, sf_dir))
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -463,6 +531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "pages_table_roundtrip": q_pages_table_roundtrip,
+        "url_normalize_docs": q_url_normalize_docs,
+        "domain_stats_docs": q_domain_stats_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "chunk_tokens_docs": q_chunk_tokens_docs,
+        "pii_stats_docs": q_pii_stats_docs,
+        "source_profile_docs": q_source_profile_docs,
         "flagship_overlay": q_flagship_overlay,
     }
 
@@ -774,6 +848,28 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
                         "FROM (VALUES " + ", ".join(audio_rows)
                         + ") AS t(media_id, window_no, n_samples, rms, peak)")
 
+    # --- curation oracles (lockstep SQL renderings from the module) ---------
+    url_normalize = (f"SELECT doc_id, {C.normalize_url_sql(_MESSY_URL_SQL)} AS url_norm, "
+                     f"{C.url_domain_sql(_MESSY_URL_SQL)} AS domain FROM documents")
+
+    domain_stats = f"""
+WITH u AS (SELECT {C.url_domain_sql(_MESSY_URL_SQL)} AS domain,
+                  {C.normalize_url_sql(_MESSY_URL_SQL)} AS url_norm
+           FROM documents)
+SELECT domain, count(*) AS n_pages, count(DISTINCT url_norm) AS n_urls
+FROM u GROUP BY domain"""
+
+    stratified_sample = (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + C.stratified_sample_sql("doc_id", "lang", _SAMPLE_RATES, 0.05))
+
+    chunk_tokens = C.chunk_tokens_sql(
+        "text", 32, 24, source="(SELECT * FROM documents WHERE doc_id < 2000)")
+
+    pii_stats = C.pii_stats_sql(_PII_LACED_SQL)
+
+    source_profile = C.source_profile_sql()
+
     return {
         "intersect_grid_square": grid_square,
         "intersect_outside_grid": outside_grid,
@@ -819,6 +915,12 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
 SELECT 'https://example.test/base/' || CAST(doc_id AS VARCHAR) AS url,
        'en' AS lang
 FROM documents WHERE doc_id < 200""",
+        "url_normalize_docs": url_normalize,
+        "domain_stats_docs": domain_stats,
+        "stratified_sample_docs": stratified_sample,
+        "chunk_tokens_docs": chunk_tokens,
+        "pii_stats_docs": pii_stats,
+        "source_profile_docs": source_profile,
         "flagship_overlay": _flagship_oracle(),
         # omitted (approximate / non-SQL-expressible): lsh_pairs_docs,
         # ann_lsh_embeddings

@@ -1,0 +1,309 @@
+"""Corpus-curation operators for web-scale training-data pipelines
+(graft addition — no reference analogue; first-class per the build
+brief, alongside operators/dedup.py and operators/textstats.py):
+
+* :func:`normalize_url` / :func:`url_domain` — URL canonicalization
+  (the key everything URL-level dedups and groups on in a crawl
+  pipeline) and registrable-domain extraction;
+* :func:`domain_stats` — pages-per-domain profile over canonical URLs;
+* :func:`hash_sample` / :func:`stratified_sample` — deterministic,
+  reproducible corpus sampling by md5 threshold (same doc set on every
+  run, every engine, any partitioning — unlike ``DataFrame.sample``);
+* :func:`chunk_tokens` — token-window document chunking (context-window
+  sharding with overlap) as a pure Catalyst explode;
+* :func:`redact_pii` / :func:`pii_stats` — email/IPv4/phone redaction
+  and counting;
+* :func:`source_profile` — per-source corpus profile with exact
+  quantiles.
+
+Everything is pure Catalyst (whole-stage codegen, zero UDFs), and each
+kernel has a lockstep ANSI-SQL rendering (the ``*_sql`` twins) so an
+independent engine (DuckDB) reproduces values bit-for-bit.
+
+Scale notes (the 100 TB shape): normalize_url / redact_pii /
+hash_sample / chunk_tokens are narrow map-side ops — zero shuffle;
+chunking is an explode that stays inside the input partition and never
+materializes the chunk text (only its md5).  domain_stats /
+source_profile are single partial-agg shuffles on low-cardinality
+keys.  Sampling FILTERS before anything downstream shuffles, so a 1%
+sample of 100 TB shuffles 1 TB.  Nothing here touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import hash60, hash60_sql, nz, words
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+# query params that never identify content (trackers); name-anchored
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
+_SCHEME = r"[A-Za-z][A-Za-z0-9+.\-]*"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, strip userinfo / ``www.``
+    prefix / default port (:80 http, :443 https) / fragment / tracking
+    params (``utm_*``, ``gclid``, ``fbclid``, ``ref``) / trailing
+    slashes; surviving query params sorted.  Inputs without a
+    ``scheme://`` pass through as ``lower(trim(url))``.  Pure Catalyst;
+    bit-identical to :func:`normalize_url_sql`."""
+    u = nz(url)
+    scheme = F.lower(F.regexp_extract(u, f"^({_SCHEME})://", 1))
+    hostport = F.lower(F.regexp_extract(u, f"^{_SCHEME}://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^[^@/]*@", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+            .otherwise(host)
+    host = F.when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+            .otherwise(host)
+    path = F.regexp_extract(u, f"^{_SCHEME}://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    # the first '?' BEFORE any '#' starts the query ([^#?]* is anchored,
+    # so a '?' inside the fragment never matches)
+    query = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE)))
+    qs = F.array_join(kept, "&")
+    norm = F.concat(scheme, F.lit("://"), host, path,
+                    F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+    return F.when(scheme == "", F.lower(F.trim(u))).otherwise(norm)
+
+
+def normalize_url_sql(u: str) -> str:
+    u = f"coalesce({u}, '')"
+    scheme = f"lower(regexp_extract({u}, '^({_SCHEME})://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^{_SCHEME}://([^/?#]*)', 1))"
+    host = f"regexp_replace(regexp_replace({hostport}, '^[^@/]*@', ''), '^www\\.', '')"
+    host = (f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+            f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+            f"ELSE {host} END")
+    path = (f"regexp_replace(regexp_extract({u}, "
+            f"'^{_SCHEME}://[^/?#]*([^?#]*)', 1), '/+$', '')")
+    query = f"regexp_extract({u}, '^[^#?]*\\?([^#]*)', 1)"
+    kept = (f"list_sort(list_filter(string_split({query}, '&'), "
+            f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')))")
+    qs = f"array_to_string({kept}, '&')"
+    norm = (f"{scheme} || '://' || {host} || {path} || "
+            f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END")
+    return f"CASE WHEN {scheme} = '' THEN lower(trim({u})) ELSE {norm} END"
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-ish domain: the last two dot-labels of the
+    canonical host (``a.b.example.com`` → ``example.com``).  A
+    public-suffix list would be data, not code — at pipeline scale
+    ship it as a broadcast join against this column."""
+    host = F.regexp_extract(normalize_url(url), f"^{_SCHEME}://([^/?#]*)", 1)
+    host = F.regexp_replace(host, ":[0-9]+$", "")
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_domain_sql(u: str) -> str:
+    host = (f"regexp_replace(regexp_extract({normalize_url_sql(u)}, "
+            f"'^{_SCHEME}://([^/?#]*)', 1), ':[0-9]+$', '')")
+    return f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Pages per registrable domain over canonical URLs: n_pages,
+    n_urls (distinct canonical).  One partial-agg shuffle."""
+    u = F.col(url_col)
+    return (pages.select(url_domain(u).alias("domain"),
+                         normalize_url(u).alias("url_norm"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("url_norm").alias("n_urls")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+_HASH_SPACE = 1 << 60
+
+
+def sample_pred(key: Column, rate: float, salt: str = "sample") -> Column:
+    """Deterministic keep-predicate: md5-derived 60-bit uniform of
+    (salt, key) under an integer threshold.  Same decision for a key
+    on every run, engine, and partitioning; disjoint salts give
+    independent samples (held-out splits)."""
+    threshold = int(rate * _HASH_SPACE)
+    u = hash60(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
+    return u < F.lit(threshold).cast("long")
+
+
+def sample_pred_sql(key_expr: str, rate: float, salt: str = "sample") -> str:
+    threshold = int(rate * _HASH_SPACE)
+    return (hash60_sql(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+            + f" < {threshold}")
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by ``key_col``.  A
+    narrow filter — runs BEFORE downstream shuffles, so a 1% sample of
+    100 TB moves 1 TB."""
+    return df.filter(sample_pred(F.col(key_col), rate, salt))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language quotas in
+    a multilingual corpus): one uniform per key, compared against the
+    stratum's threshold — still a narrow filter, zero shuffle."""
+    u = hash60(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string")))
+    thr: Column = F.lit(int(default_rate * _HASH_SPACE)).cast("long")
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(int(rate * _HASH_SPACE)).cast("long")).otherwise(thr)
+    return df.filter(u < thr)
+
+
+def stratified_sample_sql(key_expr: str, strata_expr: str,
+                          rates: dict[str, float], default_rate: float = 0.0,
+                          salt: str = "sample") -> str:
+    u = hash60_sql(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(r * _HASH_SPACE)}"
+        for s, r in sorted(rates.items()))
+    return f"{u} < CASE {cases} ELSE {int(default_rate * _HASH_SPACE)} END"
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(docs: DataFrame, size: int = 32, stride: int = 24,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document's word stream into windows of ``size``
+    tokens advancing by ``stride`` (overlap = size - stride), the
+    standard context-window sharding for LM training data.  Emits
+    (id, chunk_no, n_tokens, chunk_md5) — the md5 of the
+    space-rejoined window, NOT the text itself, so the exploded table
+    stays narrow.  Explode is partition-local: zero shuffle.
+
+    Every document yields ≥1 chunk (short/empty text → one chunk of
+    whatever is there); the last window may be partial."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    w = words(F.col(text_col))
+    n = F.size(w)
+    # 1 + ceil((n - size) / stride) full-step windows, minimum 1
+    extra = F.greatest(n - F.lit(size), F.lit(0))
+    n_chunks = F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                         lambda i: F.slice(w, i * stride + 1, size))
+    ex = docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_no", "chunk"))
+    return ex.select(
+        id_col, "chunk_no",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.encode(F.array_join("chunk", " "), "utf-8")).alias("chunk_md5"))
+
+
+def chunk_tokens_sql(t: str, size: int = 32, stride: int = 24,
+                     source: str = "documents", id_expr: str = "doc_id") -> str:
+    w = f"string_split(lower(coalesce({t}, '')), ' ')"
+    n_chunks = f"(1 + (greatest(len(w) - {size}, 0) + {stride - 1}) // {stride})"
+    piece = f"w[i*{stride}+1 : i*{stride}+{size}]"
+    return f"""
+WITH toks AS (SELECT {id_expr} AS doc_id, {w} AS w FROM {source}),
+ex AS (SELECT doc_id, unnest([{{'chunk_no': i, 'n_tokens': len({piece}),
+                'chunk_md5': md5(array_to_string({piece}, ' '))}}
+               for i in range(0, {n_chunks})], recursive := true)
+       FROM toks)
+SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+       CAST(n_tokens AS INT) AS n_tokens, chunk_md5
+FROM ex"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# dialect-portable patterns: no alternation, no lookaround — Java
+# (Spark) and RE2 (DuckDB) produce identical matches for these
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}[ \-]\d{2,4}[ \-]\d{3,4}"
+
+_PII = (("email", EMAIL_RE, "<EMAIL>"),
+        ("ipv4", IPV4_RE, "<IP>"),
+        ("phone", PHONE_RE, "<PHONE>"))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, then IPv4 addresses, then international-format
+    phone numbers with typed placeholders (order matters: emails may
+    contain digit runs)."""
+    out = nz(text)
+    for _, pattern, token in _PII:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redact_pii_sql(t: str) -> str:
+    out = f"coalesce({t}, '')"
+    for _, pattern, token in _PII:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII counts (on the original text) + md5 of the
+    redacted text — the audit table a scrubbing pass emits."""
+    t = F.col(text_col)
+    counts = [F.regexp_count(nz(t), F.lit(p)).alias(f"n_{name}")
+              for name, p, _ in _PII]
+    return docs.select(
+        F.col(id_col), *counts,
+        F.md5(F.encode(redact_pii(t), "utf-8")).alias("redacted_md5"))
+
+
+def pii_stats_sql(t: str, source: str = "documents",
+                  id_expr: str = "doc_id") -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(coalesce({t}, ''), '{p}')) AS INT) AS n_{name}"
+        for name, p, _ in _PII)
+    return (f"SELECT {id_expr} AS doc_id, {counts}, "
+            f"md5({redact_pii_sql(t)}) AS redacted_md5 FROM {source}")
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus profile
+# ---------------------------------------------------------------------------
+
+
+def source_profile(docs: DataFrame, group_col: str = "source",
+                   size_col: str = "n_chars") -> DataFrame:
+    """Corpus profile per source: doc count, mean quality, exact
+    median / p90 of document size.  Exact (interpolated) percentiles,
+    not approx — the group count is low-cardinality so the per-group
+    sort is cheap, and the oracle must reproduce values exactly."""
+    from .textstats import quality_score
+    s = F.col(size_col).cast("double")
+    return (docs.groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(quality_score(F.col("text"))), 6).alias("avg_quality"),
+                 F.round(F.percentile(s, F.lit(0.5)), 6).alias("median_size"),
+                 F.round(F.percentile(s, F.lit(0.9)), 6).alias("p90_size")))
+
+
+def source_profile_sql(source: str = "documents", group_col: str = "source",
+                       size_col: str = "n_chars") -> str:
+    from .textstats import quality_score_sql
+    q = quality_score_sql("text")
+    return f"""
+SELECT {group_col} AS source, count(*) AS n_docs,
+       round(avg({q}), 6) AS avg_quality,
+       round(quantile_cont(CAST({size_col} AS DOUBLE), 0.5), 6) AS median_size,
+       round(quantile_cont(CAST({size_col} AS DOUBLE), 0.9), 6) AS p90_size
+FROM {source} GROUP BY {group_col}"""

@@ -1,0 +1,190 @@
+"""Curation-operator semantics (operators/curation.py): URL
+canonicalization edge cases, deterministic sampling, token-window
+chunking boundaries, PII redaction, per-source profiles.  Cross-engine
+value parity is separately pinned by the driver gates
+(url_normalize_docs .. source_profile_docs) — these tests pin the
+SEMANTICS against hand-computed expectations."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandarus_spark.operators import curation as C
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(C.normalize_url(F.col("url")).alias("n")).first()["n"]
+
+
+URL_CASES = [
+    # lowercase scheme+host, strip userinfo/www/default port/fragment,
+    # drop tracking params, sort survivors, strip trailing slashes
+    ("HTTPS://bob@WWW.Ex.COM:443/A/b/?b=2&utm_source=x&a=1#frag",
+     "https://ex.com/A/b?a=1&b=2"),
+    ("http://ex.com:80/", "http://ex.com"),
+    # non-default port survives; http keeps :443 and vice versa
+    ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+    ("http://ex.com:443/x", "http://ex.com:443/x"),
+    ("https://ex.com:80/x", "https://ex.com:80/x"),
+    # tracking-only query -> no '?'
+    ("https://ex.com/p?utm_campaign=a&fbclid=z&ref=me", "https://ex.com/p"),
+    # fragment-with-? never parsed as query
+    ("https://ex.com/p#frag?utm_source=x", "https://ex.com/p"),
+    # empty query / bare '?'
+    ("https://ex.com/p?", "https://ex.com/p"),
+    # no scheme -> lower(trim())
+    ("  Not A Url  ", "not a url"),
+    (None, ""),
+    # path case preserved, host case folded
+    ("HTTP://A.B/KeepCase", "http://a.b/KeepCase"),
+]
+
+
+@pytest.mark.parametrize("url,expected", URL_CASES)
+def test_normalize_url_cases(spark, url, expected):
+    assert _norm(spark, url) == expected
+
+
+def test_url_domain(spark):
+    df = spark.createDataFrame(
+        [("https://a.b.news.example.co/x",), ("http://WWW.Ex.COM/",)],
+        "url string")
+    got = [r["d"] for r in df.select(C.url_domain(F.col("url")).alias("d")).collect()]
+    assert got == ["example.co", "ex.com"]
+
+
+def test_domain_stats_counts_canonical_urls(spark):
+    # same canonical URL twice (tracking param noise) -> 1 distinct url
+    df = spark.createDataFrame(
+        [("https://ex.com/a?utm_source=1",), ("https://ex.com/a?utm_source=2",),
+         ("https://ex.com/b",), ("https://other.org/c",)], "url string")
+    got = {r["domain"]: (r["n_pages"], r["n_urls"])
+           for r in C.domain_stats(df).collect()}
+    assert got == {"ex.com": (3, 2), "other.org": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hash_sample_matches_python_recompute(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    kept = {r["doc_id"] for r in C.hash_sample(df, 0.3, salt="s1").collect()}
+    thr = int(0.3 * (1 << 60))
+    expected = {i for i in range(500) if _py_hash60(f"s1:{i}") < thr}
+    assert kept == expected
+    # deterministic across invocations and partitionings
+    kept2 = {r["doc_id"] for r in
+             C.hash_sample(df.repartition(7), 0.3, salt="s1").collect()}
+    assert kept2 == kept
+    # a different salt gives a (near-certainly) different sample
+    kept3 = {r["doc_id"] for r in C.hash_sample(df, 0.3, salt="s2").collect()}
+    assert kept3 != kept
+
+
+def test_stratified_sample_thresholds(spark):
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.6, "de": 0.2}
+    kept = {r["doc_id"] for r in
+            C.stratified_sample(df, rates, default_rate=0.0).collect()}
+    for i, lang in rows:
+        thr = int(rates.get(lang, 0.0) * (1 << 60))
+        assert (_py_hash60(f"sample:{i}") < thr) == (i in kept)
+    # default_rate=0 drops every unknown stratum
+    assert not any(i % 3 == 2 for i in kept)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def _chunks(spark, text, size, stride):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return (C.chunk_tokens(df, size=size, stride=stride)
+            .orderBy("chunk_no").collect())
+
+
+def test_chunk_tokens_boundaries(spark):
+    words = [f"w{i}" for i in range(10)]
+    # n=10, size=4, stride=3 -> starts 0,3,6 cover to 9 -> 3 chunks
+    got = _chunks(spark, " ".join(words), 4, 3)
+    assert [(r["chunk_no"], r["n_tokens"]) for r in got] == [(0, 4), (1, 4), (2, 4)]
+    # expected md5 of each window
+    for r, start in zip(got, (0, 3, 6)):
+        seg = " ".join(words[start:start + 4])
+        assert r["chunk_md5"] == hashlib.md5(seg.encode()).hexdigest()
+
+
+@pytest.mark.parametrize("n,size,stride,expected_counts", [
+    (0, 4, 3, [1]),          # empty text -> one chunk of the '' token
+    (1, 4, 3, [1]),
+    (4, 4, 3, [4]),          # exactly one window
+    (5, 4, 3, [4, 2]),       # one extra token -> partial second window
+    (7, 4, 3, [4, 4]),       # last window exactly full
+    (8, 4, 4, [4, 4]),       # non-overlapping
+    (9, 4, 4, [4, 4, 1]),
+])
+def test_chunk_tokens_window_counts(spark, n, size, stride, expected_counts):
+    text = " ".join(f"w{i}" for i in range(n))
+    got = _chunks(spark, text, size, stride)
+    assert [r["n_tokens"] for r in got] == expected_counts
+
+
+def test_chunk_tokens_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        C.chunk_tokens(df, size=0)
+    with pytest.raises(ValueError):
+        C.chunk_tokens(df, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii(spark):
+    text = ("mail Bob.Smith+x@corp.example.com srv 10.0.255.7 "
+            "call +44 20 7946-0958 done")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    red = df.select(C.redact_pii(F.col("text")).alias("r")).first()["r"]
+    # the phone pattern consumes "+44 20 7946"; the trailing extension
+    # segment survives (two-separator international core)
+    assert red == "mail <EMAIL> srv <IP> call <PHONE>-0958 done"
+    # counts on the original text
+    row = C.pii_stats(df).first()
+    assert (row["n_email"], row["n_ipv4"]) == (1, 1)
+    assert row["n_phone"] >= 1
+
+
+def test_pii_stats_clean_text(spark):
+    df = spark.createDataFrame([(1, "no pii here at all")],
+                               "doc_id long, text string")
+    row = C.pii_stats(df).first()
+    assert (row["n_email"], row["n_ipv4"], row["n_phone"]) == (0, 0, 0)
+    assert row["redacted_md5"] == hashlib.md5(b"no pii here at all").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# source profile
+# ---------------------------------------------------------------------------
+
+
+def test_source_profile_exact_quantiles(spark):
+    # identical text -> quality constant; sizes 1,2,3,10 -> median 2.5,
+    # p90 = 3 + 0.7*(10-3) = 7.9 (exact interpolated percentile)
+    rows = [(i, "a b c", "s0", n) for i, n in enumerate((1, 2, 3, 10))]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    row = C.source_profile(df).first()
+    assert row["n_docs"] == 4
+    assert row["median_size"] == 2.5
+    assert row["p90_size"] == 7.9
