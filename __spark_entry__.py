@@ -458,6 +458,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             got = read_pages_table(spark, f"parquet:{p}")
         return got.select("url", "lang")
 
+    def q_events_asof(spark, sf_dir):
+        # as-of join (custom operator Spark lacks natively): each click
+        # picks up the user's most recent prior-or-equal view value —
+        # union + carry-forward window, ONE shuffle, no join explosion;
+        # DuckDB's native ASOF LEFT JOIN is the independent oracle
+        from pandarus_spark.operators.windows import asof_join
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        views = (ev.filter(F.col("event_type") == "view")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("view_value")))
+        clicks = ev.filter(F.col("event_type") == "click") \
+                   .select("event_id", "user_id", "ts")
+        return (asof_join(clicks, views, key_col="user_id", ts_col="ts")
+                .select("event_id", "user_id", "view_value"))
+
+    def q_events_interval_join(spark, sf_dir):
+        # 1-D bucket-tiled range join (the temporal analogue of the
+        # spatial cell join): clicks inside 30-minute post-purchase
+        # windows of the first 10 users
+        from pandarus_spark.operators.windows import interval_join
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        purch = (ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 10))
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("start"),
+                         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end")))
+        clicks = ev.filter(F.col("event_type") == "click") \
+                   .select(F.col("event_id").alias("click_id"), "ts")
+        out = interval_join(clicks, purch, point_col="ts",
+                            start_col="start", end_col="end",
+                            bucket_seconds=1800.0)
+        return out.select("click_id", "purchase_id")
+
     def q_url_normalize_docs(spark, sf_dir):
         # URL canonicalization + registrable-domain extraction over a
         # deterministic messy-URL column (userinfo, WWW, default port,
@@ -531,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "pages_table_roundtrip": q_pages_table_roundtrip,
+        "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
         "url_normalize_docs": q_url_normalize_docs,
         "domain_stats_docs": q_domain_stats_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -848,6 +882,21 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
                         "FROM (VALUES " + ", ".join(audio_rows)
                         + ") AS t(media_id, window_no, n_samples, rms, peak)")
 
+    # --- temporal-join oracles ----------------------------------------------
+    events_asof = """
+WITH v AS (SELECT user_id, ts, max("value") AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, v.view_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+    events_interval = """
+WITH p AS (SELECT event_id AS purchase_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+           FROM events WHERE event_type = 'purchase' AND user_id < 10),
+c AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click')
+SELECT click_id, purchase_id
+FROM c JOIN p ON c.ts >= p.s AND c.ts < p.e"""
+
     # --- curation oracles (lockstep SQL renderings from the module) ---------
     url_normalize = (f"SELECT doc_id, {C.normalize_url_sql(_MESSY_URL_SQL)} AS url_norm, "
                      f"{C.url_domain_sql(_MESSY_URL_SQL)} AS domain FROM documents")
@@ -915,6 +964,8 @@ FROM u GROUP BY domain"""
 SELECT 'https://example.test/base/' || CAST(doc_id AS VARCHAR) AS url,
        'en' AS lang
 FROM documents WHERE doc_id < 200""",
+        "events_asof": events_asof,
+        "events_interval_join": events_interval,
         "url_normalize_docs": url_normalize,
         "domain_stats_docs": domain_stats,
         "stratified_sample_docs": stratified_sample,

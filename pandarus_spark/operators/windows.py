@@ -31,6 +31,75 @@ def hourly_rollup(events: DataFrame, ts_col: str = "ts",
                     "n_events", "sum_value"))
 
 
+def asof_join(left: DataFrame, right: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts") -> DataFrame:
+    """As-of (most-recent-prior) join: each left row picks up the right
+    row with the greatest ``ts_col`` ≤ its own, per ``key_col`` —
+    DuckDB ``ASOF LEFT JOIN`` semantics (equal timestamps match;
+    unmatched left rows keep NULL right columns).
+
+    Spark has no native as-of join; the naive inequality join explodes
+    quadratically per key.  This is the scale-correct shape instead:
+    union both sides, ONE window per key ordered by (ts, side) with a
+    running ``last(..., ignorenulls)`` carry-forward of the right
+    payload, then keep the left rows.  Exactly one shuffle (the window
+    partition), no join amplification, whole-stage codegen throughout.
+    At equal ts the right row sorts first, making the match inclusive.
+
+    Contract: ``right`` must be unique per (key, ts) — pre-aggregate
+    ties (e.g. ``groupBy(key, ts).agg(max(...))``) so the carried
+    value is well-defined.  Right payload column names must not
+    collide with left columns (raises otherwise)."""
+    payload = [c for c in right.columns if c not in (key_col, ts_col)]
+    clash = sorted(set(payload) & set(left.columns))
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {clash}")
+    l2 = left.withColumn("__side", F.lit(1))
+    r2 = right.withColumn("__side", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+    return (u.select(*left.columns, F.col("__side"), *carried)
+            .filter(F.col("__side") == 1)
+            .drop("__side"))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", bucket_seconds: float = 3600.0) -> DataFrame:
+    """Range join: each point row matched to every interval containing
+    it (``start ≤ p < end``), via 1-D time-bucket tiling — the temporal
+    analogue of the engine's spatial cell join.  Intervals explode to
+    the buckets they overlap, points hash to their bucket, and the
+    equi-join on (bucket) + residual range predicate replaces the
+    quadratic theta join Catalyst would otherwise plan (BNLJ).  An
+    interval spanning B buckets appears B times pre-join but each
+    (point, interval) pair survives exactly once — the point's bucket
+    is unique.  One shuffle on the bucket key; ``bucket_seconds``
+    trades fan-out (long intervals) against per-bucket density.
+
+    Timestamp or numeric columns both work (cast through double)."""
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    p = F.col(point_col).cast("timestamp").cast("double")
+    s = F.col(start_col).cast("timestamp").cast("double")
+    e = F.col(end_col).cast("timestamp").cast("double")
+    pb = F.floor(p / bucket_seconds).cast("long")
+    # bucket cover is a SUPERSET (an interval ending exactly on a bucket
+    # boundary claims one extra bucket); the residual range predicate
+    # below decides membership exactly, so the cover only needs to
+    # contain every bucket the interval touches — and greatest() keeps
+    # the sequence ascending even for degenerate (empty) intervals
+    lo = F.floor(s / bucket_seconds).cast("long")
+    hi = F.greatest(F.floor(e / bucket_seconds).cast("long"), lo)
+    iv = intervals.select("*", F.explode(F.sequence(lo, hi)).alias("__bucket"))
+    pt = points.select("*", pb.alias("__bucket"), p.alias("__p"))
+    joined = pt.join(iv, "__bucket").filter((F.col("__p") >= s) & (F.col("__p") < e))
+    return joined.drop("__bucket", "__p")
+
+
 def sessionize(events: DataFrame, gap_seconds: float = 1800.0,
                key_col: str = "user_id", ts_col: str = "ts",
                order_col: str = "event_id") -> DataFrame:

@@ -6,7 +6,9 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from pandarus_spark.operators import dedup as D
-from pandarus_spark.operators.windows import hourly_rollup, sessionize
+from pandarus_spark.operators.windows import (
+    asof_join, hourly_rollup, interval_join, sessionize,
+)
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -55,3 +57,106 @@ def test_simhash_neardup_matches_bruteforce(spark):
            for r in D.simhash_neardup_pairs(docs, max_hamming=3, bands=4).collect()}
     assert got == brute  # recall exact by pigeonhole (max_hamming < bands)
     assert brute  # fixture actually produces near-dups (same token{i%3} classes)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    # mirrors the DuckDB ASOF LEFT JOIN reference case: greatest right
+    # ts <= left ts per key, equal ts matches, unmatched keeps NULL
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 5.0, "b"), (1, 2.0, "c"), (2, 7.0, "d")],
+        "k long, ts double, lid string")
+    right = spark.createDataFrame(
+        [(1, 5.0, 100.0), (1, 9.0, 200.0), (3, 1.0, 300.0)],
+        "k long, ts double, v double")
+    got = {r["lid"]: r["v"] for r in
+           asof_join(left, right, key_col="k", ts_col="ts").collect()}
+    assert got == {"a": 200.0, "b": 100.0, "c": None, "d": None}
+
+
+def test_asof_join_multiple_payload_columns_and_collision(spark):
+    import pytest
+    left = spark.createDataFrame([(1, 3.0)], "k long, ts double")
+    right = spark.createDataFrame([(1, 1.0, 10.0, "x")],
+                                  "k long, ts double, v double, tag string")
+    row = asof_join(left, right, key_col="k", ts_col="ts").first()
+    assert (row["v"], row["tag"]) == (10.0, "x")
+    clash = spark.createDataFrame([(1, 1.0, 5.0)], "k long, ts double, k2 double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("k2", F.lit(0.0)), clash,
+                  key_col="k", ts_col="ts")
+
+
+def test_asof_join_matches_bruteforce(spark):
+    import random
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(rng.randrange(5), float(rng.randrange(100)), i) for i in range(200)],
+        "k long, ts double, lid long")
+    rrows = sorted({(rng.randrange(5), float(rng.randrange(100)))
+                    for _ in range(120)})
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in rrows], "k long, ts double, v double")
+    got = {r["lid"]: r["v"] for r in
+           asof_join(left, right, key_col="k", ts_col="ts").collect()}
+    by_key = {}
+    for k, t in rrows:
+        by_key.setdefault(k, []).append(t)
+    for k, ts, lid in [tuple(r) for r in left.collect()]:
+        cand = [t for t in by_key.get(k, []) if t <= ts]
+        expected = (k * 1000 + max(cand)) if cand else None
+        assert got[lid] == expected, (k, ts, lid)
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    left = spark.createDataFrame([(1, 1.0, 1)], "k long, ts double, lid long")
+    right = spark.createDataFrame([(1, 1.0, 2.0)], "k long, ts double, v double")
+    plan = asof_join(left, right, key_col="k", ts_col="ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan  # no join operator at all
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import random
+    rng = random.Random(11)
+    pts = [(i, float(rng.randrange(0, 10000))) for i in range(300)]
+    ivs = []
+    for j in range(80):
+        s = float(rng.randrange(0, 10000))
+        ivs.append((j, s, s + float(rng.randrange(0, 2000))))
+    points = spark.createDataFrame(pts, "pid long, ts double")
+    intervals = spark.createDataFrame(ivs, "iid long, start double, end double")
+    for bucket in (100.0, 1000.0, 7.0):
+        got = {(r["pid"], r["iid"]) for r in
+               interval_join(points, intervals, bucket_seconds=bucket).collect()}
+        expected = {(p, i) for p, t in pts for i, s, e in ivs if s <= t < e}
+        assert got == expected, bucket
+
+
+def test_interval_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 19.999999)], "pid long, ts double")
+    intervals = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 15.0, 15.0)], "iid long, start double, end double")
+    got = {(r["pid"], r["iid"]) for r in
+           interval_join(points, intervals, bucket_seconds=10.0).collect()}
+    # start inclusive, end exclusive, empty interval matches nothing
+    assert got == {(1, 1), (3, 1)}
+
+
+def test_interval_join_rejects_bad_bucket(spark):
+    import pytest
+    df = spark.createDataFrame([(1, 1.0)], "pid long, ts double")
+    iv = spark.createDataFrame([(1, 0.0, 2.0)], "iid long, start double, end double")
+    with pytest.raises(ValueError):
+        interval_join(df, iv, bucket_seconds=0.0)
