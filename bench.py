@@ -499,6 +499,91 @@ def job_dedup_scale(spark, n: int) -> dict:
             "near_dup_pairs": n_pairs, "clusters": n_clusters, "docs": n}
 
 
+def job_curation_scale(spark, n: int) -> dict:
+    """Curation-layer throughput at scale: deterministic hash-sample →
+    token-window chunking (narrow, zero shuffle), PII scan+redact audit,
+    and canonical-URL domain stats (one agg shuffle) over the synthetic
+    corpus.  Each phase forced independently so its cost is its own."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators import curation as C
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+    out: dict = {"docs": n}
+
+    t0 = time.perf_counter()
+    chunks = C.chunk_tokens(C.hash_sample(docs, 0.5), size=16, stride=12)
+    out["chunks"] = chunks.count()
+    out["sample_chunk_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pii = C.pii_stats(docs)
+    out["pii_rows"] = pii.count()
+    out["pii_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pages = docs.select(F.concat(
+        F.lit("https://www.s"), (F.col("doc_id") % 1000).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&q="), (F.col("doc_id") % 17).cast("string")).alias("url"))
+    out["domains"] = C.domain_stats(pages).count()
+    out["domain_sec"] = round(time.perf_counter() - t0, 3)
+
+    docs.unpersist()
+    return out
+
+
+def synthetic_events(spark, n: int, partitions: int = 64):
+    """Deterministic synthetic event stream: n rows over 10k users,
+    5 event types, monotone-ish timestamps with per-row jitter."""
+    from pyspark.sql import functions as F
+    df = spark.range(0, n, 1, partitions)
+    return df.select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(10000)).alias("user_id"),
+        (F.col("id") * 3.7 + F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1000)) / 250.0)
+            .alias("ts"),
+        F.element_at(F.array(*[F.lit(t) for t in
+                               ("view", "click", "purchase", "error", "signup")]),
+                     (F.col("id") % 5 + 1).cast("int")).alias("event_type"),
+        (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(10000)) / 100.0).alias("value"))
+
+
+def job_asof_scale(spark, n: int) -> dict:
+    """Temporal-join throughput at scale: as-of join (clicks pick up
+    the most recent prior view per user — one window shuffle, no join
+    amplification) and the bucket-tiled interval join."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.windows import asof_join, interval_join
+    ev = synthetic_events(spark, n)
+    ev.persist().count()
+    out: dict = {"events": n}
+
+    t0 = time.perf_counter()
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("view_value")))
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    out["asof_rows"] = asof_join(clicks, views, key_col="user_id",
+                                 ts_col="ts").count()
+    out["asof_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    purch = (ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 300))
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("ts").alias("start"),
+                     (F.col("ts") + 60.0).alias("end")))
+    pts = ev.filter(F.col("event_type") == "click") \
+            .select(F.col("event_id").alias("click_id"), "ts")
+    out["interval_pairs"] = interval_join(
+        pts, purch, bucket_seconds=60.0).count()
+    out["interval_sec"] = round(time.perf_counter() - t0, 3)
+
+    ev.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -507,7 +592,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--job", default="headline",
                     choices=["headline", "overlay_scale", "overlay_skew",
-                             "zonal_scale", "dedup_scale", "refine_shapes"])
+                             "zonal_scale", "dedup_scale", "refine_shapes",
+                             "curation_scale", "asof_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=3,
@@ -562,6 +648,39 @@ def main() -> None:
             "near_dup_pairs": res["near_dup_pairs"],
             "clusters": res["clusters"],
             "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "curation_scale":
+        res = job_curation_scale(spark, args.n)
+        total = res["sample_chunk_sec"] + res["pii_sec"] + res["domain_sec"]
+        emit({
+            "metric": "curation_pipeline_throughput",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"sample_chunk": res["sample_chunk_sec"],
+                        "pii_stats": res["pii_sec"],
+                        "domain_stats": res["domain_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "chunks": res["chunks"], "pii_rows": res["pii_rows"],
+            "domains": res["domains"],
+            "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "asof_scale":
+        res = job_asof_scale(spark, args.n)
+        total = res["asof_sec"] + res["interval_sec"]
+        emit({
+            "metric": "temporal_join_throughput",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"asof_join": res["asof_sec"],
+                        "interval_join": res["interval_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "asof_rows": res["asof_rows"],
+            "interval_pairs": res["interval_pairs"],
+            "events_per_sec": round(args.n / total, 1),
         })
         spark.stop()
         return

@@ -188,3 +188,25 @@ def test_source_profile_exact_quantiles(spark):
     assert row["n_docs"] == 4
     assert row["median_size"] == 2.5
     assert row["p90_size"] == 7.9
+
+
+# ---------------------------------------------------------------------------
+# plan shape (the 100 TB properties)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_chunk_plan_narrow_and_pruned(spark, tmp_path):
+    # sampling + chunking over a parquet scan must stay shuffle-free
+    # (narrow map-side ops) and prune the scan to the two used columns
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}", "en", "s0", 10) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(p)
+    df = C.chunk_tokens(C.hash_sample(spark.read.parquet(p), 0.5), size=4, stride=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "lang" not in scan[0] and "source" not in scan[0], scan
