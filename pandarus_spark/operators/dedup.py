@@ -420,8 +420,20 @@ FROM ({universe_sql}) u LEFT JOIN comp c USING ({id_col})"""
 def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash over distinct lowercase tokens: bit j is set when the
-    sum over tokens of ±1 (by token-hash bit j) is positive. Explode +
-    groupBy — partial aggregation JVM-side. Output (doc_id, simhash).
+    sum over tokens of ±1 (by token-hash bit j) is positive.  Output
+    (doc_id, simhash).
+
+    Computed ROW-LOCALLY via :func:`simhash_expr` (higher-order array
+    fold) — zero shuffle, zero aggregation state.  The older
+    explode + 64-buffer groupBy formulation amplified the table by
+    ~tokens-per-doc and SHUFFLED it just to re-aggregate to the
+    document each token came from; the row-local fold is bit-identical
+    (same token split, md5 lanes, ±1 votes — integer sums in the same
+    order, pinned by the streaming parity tests) and measured ~9%
+    faster at sf0.1 under honest noop-write forcing (2.36 s vs
+    2.57 s — the md5-per-token dominates both forms).  The at-scale
+    win is the removed exchange: per-token rows never leave their
+    partition, and every downstream near-dup pass starts shuffle-free.
 
     Default 64 bits (round-2 verdict #8: 32 bits is collision-prone at
     10¹² docs — a random pair lands within hamming 3 of a 32-bit hash
@@ -429,27 +441,9 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
     corpus scale; at 64 bits p ≈ 4.4e-15).  Bits 0-59 vote from
     :func:`hash60`, bits 60+ from :func:`hash60b` — the same md5, so
     the widening is hash-cost-free.  Bit 63 is the long's sign bit;
-    64-bit simhashes are therefore signed values.
-
-    The md5 is materialized ONCE per token and both lanes conv from it
-    — Catalyst does not common-subexpression-eliminate the two
-    ``md5(tok)`` calls across projections, and the explicit sharing is
-    1.67× on the sf0.1 bench (values identical: same expression tree
-    modulo the shared column)."""
-    toks = (docs.select(F.col(id_col), F.explode(F.array_distinct(words(F.col(text_col)))).alias("tok"))
-            .withColumn("md", F.md5(F.encode(F.col("tok"), "utf-8")))
-            .withColumn("h0", F.conv(F.substring("md", 1, 15), 16, 10).cast("long")))
-    if bits > 60:
-        toks = toks.withColumn("h1", F.conv(F.substring("md", 17, 15), 16, 10).cast("long"))
-    aggs = [F.sum(F.when(F.col(f"h{j // 60}").bitwiseAND(F.lit(1 << (j % 60))) != 0,
-                         1).otherwise(-1)).alias(f"b{j}")
-            for j in range(bits)]
-    per_doc = toks.groupBy(id_col).agg(*aggs)
-    sh = None
-    for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, _bit_lit(j)).otherwise(F.lit(0).cast("long"))
-        sh = term if sh is None else sh + term
-    return per_doc.select(F.col(id_col), sh.cast("long").alias("simhash"))
+    64-bit simhashes are therefore signed values."""
+    return docs.select(F.col(id_col),
+                       simhash_expr(F.col(text_col), bits).alias("simhash"))
 
 
 def simhash_expr(text: Column, bits: int = 64) -> Column:
