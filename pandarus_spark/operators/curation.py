@@ -201,9 +201,14 @@ def chunk_tokens(docs: DataFrame, size: int = 32, stride: int = 24,
     stays narrow.  Explode is partition-local: zero shuffle.
 
     Every document yields ≥1 chunk (short/empty text → one chunk of
-    whatever is there); the last window may be partial."""
+    whatever is there); the last window may be partial.  ``stride``
+    must not exceed ``size`` — a larger stride would silently drop the
+    gap tokens from every chunk (raises instead)."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(f"stride ({stride}) > size ({size}) would drop "
+                         "the gap tokens from every chunk")
     w = words(F.col(text_col))
     n = F.size(w)
     # 1 + ceil((n - size) / stride) full-step windows, minimum 1

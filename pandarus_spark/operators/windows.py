@@ -60,8 +60,16 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str = "user_id",
     w = (Window.partitionBy(key_col)
          .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
-    return (u.select(*left.columns, F.col("__side"), *carried)
+    # carry the matched right row's payload as ONE struct: a right row
+    # always contributes a non-null struct (its FIELDS may be null), a
+    # left row contributes null — so NULL payload values in the matched
+    # row surface as NULL instead of resurrecting an older row's value,
+    # and multi-column payloads never stitch fields from different rows
+    rstruct = F.when(F.col("__side") == 0,
+                     F.struct(*[F.col(c) for c in payload]))
+    carried = F.last(rstruct, ignorenulls=True).over(w)
+    return (u.select(*left.columns, F.col("__side"),
+                     *[carried.getField(c).alias(c) for c in payload])
             .filter(F.col("__side") == 1)
             .drop("__side"))
 
@@ -80,12 +88,29 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     is unique.  One shuffle on the bucket key; ``bucket_seconds``
     trades fan-out (long intervals) against per-bucket density.
 
-    Timestamp or numeric columns both work (cast through double)."""
+    Timestamp or numeric columns both work; numeric columns are used
+    EXACTLY (only genuine timestamps go through the epoch-seconds cast
+    — a blanket double→timestamp→double round-trip would silently
+    quantize numeric values to microseconds and flip boundary
+    membership for sub-microsecond differences)."""
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
-    p = F.col(point_col).cast("timestamp").cast("double")
-    s = F.col(start_col).cast("timestamp").cast("double")
-    e = F.col(end_col).cast("timestamp").cast("double")
+    reserved = {"__bucket", "__p"}
+    clash = sorted((set(points.columns) & set(intervals.columns))
+                   | (reserved & set(points.columns))
+                   | (reserved & set(intervals.columns)))
+    if clash:
+        raise ValueError(f"points/intervals column names collide: {clash}")
+
+    def _seconds(df: DataFrame, col: str):
+        t = df.schema[col].dataType.typeName()
+        if t.startswith("timestamp") or t == "date":
+            return F.col(col).cast("timestamp").cast("double")
+        return F.col(col).cast("double")
+
+    p = _seconds(points, point_col)
+    s = _seconds(intervals, start_col)
+    e = _seconds(intervals, end_col)
     pb = F.floor(p / bucket_seconds).cast("long")
     # bucket cover is a SUPERSET (an interval ending exactly on a bucket
     # boundary claims one extra bucket); the residual range predicate

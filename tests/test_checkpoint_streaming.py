@@ -246,16 +246,33 @@ def test_streaming_windowed_counts(spark, tmp_path):
 
 
 def test_simhash_expr_bit_parity_with_batch(spark):
-    """Row-local simhash_expr (streaming path) == shuffle-based batch
-    simhash, bit for bit."""
-    from pandarus_spark.operators.dedup import simhash, simhash_expr
+    """Row-local simhash_expr (the streaming path, and since round 3
+    also what batch simhash() delegates to) == an INDEPENDENT
+    explode + 64-buffer groupBy reference implementation, bit for bit.
+    The reference is constructed here precisely because the production
+    batch operator no longer contains it — comparing simhash() to
+    simhash_expr() would be tautological."""
+    from pandarus_spark.operators.dedup import _bit_lit, simhash_expr, words
 
     docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
             .select("doc_id", "text").limit(120))
-    batch = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    toks = (docs.select("doc_id",
+                        F.explode(F.array_distinct(words(F.col("text")))).alias("tok"))
+            .withColumn("md", F.md5(F.encode(F.col("tok"), "utf-8")))
+            .withColumn("h0", F.conv(F.substring("md", 1, 15), 16, 10).cast("long"))
+            .withColumn("h1", F.conv(F.substring("md", 17, 15), 16, 10).cast("long")))
+    aggs = [F.sum(F.when(F.col(f"h{j // 60}").bitwiseAND(F.lit(1 << (j % 60))) != 0,
+                         1).otherwise(-1)).alias(f"b{j}") for j in range(64)]
+    sh = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0, _bit_lit(j)).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    ref = {r["doc_id"]: r["simhash"] for r in
+           toks.groupBy("doc_id").agg(*aggs)
+               .select("doc_id", sh.cast("long").alias("simhash")).collect()}
     row = {r["doc_id"]: r["sh"]
            for r in docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()}
-    assert row == batch and len(row) == 120
+    assert row == ref and len(row) == 120
 
 
 def test_stream_simhash_neardup_matches_batch(spark, tmp_path):

@@ -105,16 +105,19 @@ def test_minhash_signatures_match_duckdb(corpus):
 
 
 def test_simhash_expr_matches_batch_and_duckdb(corpus):
+    # batch simhash() delegates to simhash_expr since round 3, so the
+    # INDEPENDENT parity check is the DuckDB rendering (explode +
+    # 64-bit-sum SQL — a genuinely separate implementation); the
+    # Spark-side explode+groupBy reference lives in
+    # test_checkpoint_streaming.test_simhash_expr_bit_parity_with_batch
     df, con = corpus
     expr = {r["doc_id"]: r["s"] for r in
             df.select("doc_id", D.simhash_expr(F.col("text")).alias("s")).collect()}
     batch = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
-    # the explode+groupBy batch variant drops docs with zero tokens
-    # (explode of an empty array); simhash_expr emits 0 for them
-    for i, s in batch.items():
-        assert expr[i] == s, i
+    assert batch == {i: s for i, s in expr.items() if i in batch}
     want = {i: s for i, s in con.execute(
         D.simhash_sql(source="docs")).fetchall()}
+    assert want  # the oracle actually produced rows
     for i, s in want.items():
         assert expr[i] == s, i
 

@@ -160,3 +160,58 @@ def test_interval_join_rejects_bad_bucket(spark):
     iv = spark.createDataFrame([(1, 0.0, 2.0)], "iid long, start double, end double")
     with pytest.raises(ValueError):
         interval_join(df, iv, bucket_seconds=0.0)
+
+
+def test_asof_join_null_payload_not_resurrected(spark):
+    # DuckDB ASOF semantics: the MATCHED row's values, including its
+    # NULLs — a NULL payload must not resurrect an older row's value,
+    # and multi-column payloads must never stitch fields from
+    # different right rows (regression: per-column carry-forward did both)
+    left = spark.createDataFrame([(1, 6.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 10.0, "old"), (1, 5.0, None, None)],
+        "k long, ts double, v double, tag string")
+    row = asof_join(left, right, key_col="k", ts_col="ts").first()
+    assert (row["v"], row["tag"]) == (None, None)
+
+
+def test_interval_join_numeric_exactness(spark):
+    # numeric columns must be used exactly — the old blanket
+    # double->timestamp->double cast quantized to microseconds and
+    # flipped boundary membership for sub-microsecond values
+    points = spark.createDataFrame([(1, 9.9999995)], "pid long, ts double")
+    intervals = spark.createDataFrame([(1, 9.9999999, 20.0)],
+                                      "iid long, start double, end double")
+    assert interval_join(points, intervals, bucket_seconds=10.0).count() == 0
+    # and a genuinely-contained sub-microsecond point still matches
+    points2 = spark.createDataFrame([(1, 10.0000001)], "pid long, ts double")
+    assert interval_join(points2, intervals, bucket_seconds=10.0).count() == 1
+
+
+def test_interval_join_timestamp_columns(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    points = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5)), (2, t0 + dt.timedelta(minutes=90))],
+        "pid long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=1))], "iid long, start timestamp, end timestamp")
+    got = {r["pid"] for r in
+           interval_join(points, intervals, bucket_seconds=600.0).collect()}
+    assert got == {1}
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    import pytest
+    points = spark.createDataFrame([(1, 1.0, 2.0)], "pid long, ts double, start double")
+    intervals = spark.createDataFrame([(1, 0.0, 2.0)], "iid long, start double, end double")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(points, intervals)
+
+
+def test_chunk_tokens_rejects_gapping_stride(spark):
+    import pytest
+    from pandarus_spark.operators import curation as C
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        C.chunk_tokens(df, size=4, stride=6)
