@@ -458,6 +458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             got = read_pages_table(spark, f"parquet:{p}")
         return got.select("url", "lang")
 
+    def q_top_tokens_docs(spark, sf_dir):
+        return T.top_tokens(_docs(spark, sf_dir), k=50)
+
+    def q_tf_idf_docs(spark, sf_dir):
+        return T.tf_idf(_docs(spark, sf_dir).filter(F.col("doc_id") < 500))
+
     def q_events_asof(spark, sf_dir):
         # as-of join (custom operator Spark lacks natively): each click
         # picks up the user's most recent prior-or-equal view value —
@@ -563,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "pages_table_roundtrip": q_pages_table_roundtrip,
+        "top_tokens_docs": q_top_tokens_docs,
+        "tf_idf_docs": q_tf_idf_docs,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
         "url_normalize_docs": q_url_normalize_docs,
@@ -882,6 +890,9 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
                         "FROM (VALUES " + ", ".join(audio_rows)
                         + ") AS t(media_id, window_no, n_samples, rms, peak)")
 
+    top_tokens = T.top_tokens_sql(50)
+    tf_idf = T.tf_idf_sql(source="(SELECT * FROM documents WHERE doc_id < 500)")
+
     # --- temporal-join oracles ----------------------------------------------
     events_asof = """
 WITH v AS (SELECT user_id, ts, max("value") AS view_value
@@ -964,6 +975,8 @@ FROM u GROUP BY domain"""
 SELECT 'https://example.test/base/' || CAST(doc_id AS VARCHAR) AS url,
        'en' AS lang
 FROM documents WHERE doc_id < 200""",
+        "top_tokens_docs": top_tokens,
+        "tf_idf_docs": tf_idf,
         "events_asof": events_asof,
         "events_interval_join": events_interval,
         "url_normalize_docs": url_normalize,

@@ -122,6 +122,69 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def top_tokens(docs: DataFrame, k: int = 50, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact corpus-wide top-k tokens: (token, total_tf, doc_freq,
+    rank), ranked by total occurrences with a deterministic token
+    tie-break.  Explode → one partial-agg shuffle on the token key →
+    map-side-limited top-k window (Spark 4's WindowGroupLimit keeps
+    only k rows per partition ahead of the single ordering exchange,
+    so the shuffle carries O(k·partitions), not the vocabulary)."""
+    from pyspark.sql import Window
+    toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("total_tf"),
+        F.countDistinct(id_col).alias("doc_freq"))
+    w = Window.orderBy(F.col("total_tf").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("token", "total_tf", "doc_freq", "rank"))
+
+
+def top_tokens_sql(k: int = 50, source: str = "documents",
+                   text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    w = WORDS_SQL.format(t=text_expr)
+    return f"""
+WITH toks AS (SELECT {id_expr} AS did, unnest({w}) AS token FROM {source}),
+counts AS (SELECT token, count(*) AS total_tf, count(DISTINCT did) AS doc_freq
+           FROM toks GROUP BY token),
+r AS (SELECT *, row_number() OVER (ORDER BY total_tf DESC, token) AS rank FROM counts)
+SELECT token, total_tf, doc_freq, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}"""
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """Exact (doc, token) TF-IDF with smoothed idf
+    ``ln((N+1)/(df+1)) + 1`` — the scikit-learn convention, chosen
+    because it is reproducible in pure SQL.  N is the TOTAL document
+    count (including empty docs).  Two shuffles: per-(doc, token)
+    counts, then the token-keyed doc-frequency join; the df table is
+    vocabulary-sized and broadcast-eligible."""
+    toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("__n"))  # 1-row scalar, broadcast below
+    idf_raw = F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1
+    return (tf.join(df_tab, "token").crossJoin(F.broadcast(n))
+            .select(id_col, "token", "tf",
+                    F.round(idf_raw, 6).alias("idf"),
+                    F.round(F.col("tf") * idf_raw, 6).alias("tf_idf")))
+
+
+def tf_idf_sql(source: str = "documents", text_expr: str = "text",
+               id_expr: str = "doc_id") -> str:
+    w = WORDS_SQL.format(t=text_expr)
+    return f"""
+WITH toks AS (SELECT {id_expr} AS doc_id, unnest({w}) AS token FROM {source}),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM {source})
+SELECT tf.doc_id, tf.token, tf.tf,
+       round(ln((n.n + 1) * 1.0 / (dfr.df + 1)) + 1, 6) AS idf,
+       round(tf.tf * (ln((n.n + 1) * 1.0 / (dfr.df + 1)) + 1), 6) AS tf_idf
+FROM tf JOIN dfr USING (token), n"""
+
+
 # ---------------------------------------------------------------------------
 # SQL renderings (DuckDB oracle parity)
 # ---------------------------------------------------------------------------

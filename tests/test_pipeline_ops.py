@@ -362,3 +362,31 @@ def test_cosine_neardup_bucketed_empty_input(spark):
     out = S.cosine_neardup_bucketed(emb)
     assert out.columns == ["id_a", "id_b", "cos"]
     assert out.count() == 0
+
+
+def test_top_tokens_ranking_and_tiebreak(spark):
+    from pandarus_spark.operators.textstats import top_tokens
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "b c d"), (3, "c d")],
+        "doc_id long, text string")
+    got = [(r["token"], r["total_tf"], r["doc_freq"], r["rank"])
+           for r in top_tokens(docs, k=3).orderBy("rank").collect()]
+    # c: tf=3 df=3; a: tf=2 df=1; b: tf=2 df=2 -> tie at tf=2 breaks
+    # alphabetically (a before b)
+    assert got == [("c", 3, 3, 1), ("a", 2, 1, 2), ("b", 2, 2, 3)]
+
+
+def test_tf_idf_hand_computed(spark):
+    import math
+
+    from pandarus_spark.operators.textstats import tf_idf
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "z")], "doc_id long, text string")
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["idf"], r["tf_idf"])
+           for r in tf_idf(docs).collect()}
+    n = 3
+    def idf(df): return round(math.log((n + 1) / (df + 1)) + 1, 6)
+    assert got[(1, "x")] == (2, idf(1), round(2 * (math.log(2.0) + 1), 6))
+    assert got[(1, "y")] == (1, idf(2), round(math.log(4 / 3) + 1, 6))
+    assert got[(2, "z")][1] == idf(2)
+    assert len(got) == 5
