@@ -330,3 +330,32 @@ def test_stream_simhash_neardup_drops_null_and_empty_text(spark, tmp_path):
     batch = {(r["doc_a"], r["doc_b"])
              for r in simhash_neardup_pairs(df, max_hamming=3, bands=4).collect()}
     assert got == batch == {(1, 5)}  # only the real pair; no NULL/empty pairs
+
+
+def test_curation_ops_compose_with_streaming(spark, tmp_path):
+    """The curation layer (hash_sample -> chunk_tokens -> redact) is
+    stateless/narrow, so it must run unchanged on a streaming
+    DataFrame (append mode, no watermark needed) and produce exactly
+    the batch result."""
+    from pandarus_spark.operators import curation as C
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} mail a{i}@ex.org word") for i in range(60)],
+        "doc_id long, text string")
+    docs.repartition(3).write.parquet(src)
+
+    def pipeline(df):
+        sampled = C.hash_sample(df, 0.5)
+        chunks = C.chunk_tokens(sampled, size=3, stride=2)
+        return chunks.withColumn("chunk_no", F.col("chunk_no").cast("long"))
+
+    batch = {tuple(r) for r in pipeline(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (pipeline(stream).writeStream.format("memory")
+         .queryName("curation_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("curation_stream").collect()}
+    assert got == batch and batch
