@@ -127,9 +127,11 @@ def top_tokens(docs: DataFrame, k: int = 50, text_col: str = "text",
     """Exact corpus-wide top-k tokens: (token, total_tf, doc_freq,
     rank), ranked by total occurrences with a deterministic token
     tie-break.  Explode → one partial-agg shuffle on the token key →
-    map-side-limited top-k window (Spark 4's WindowGroupLimit keeps
-    only k rows per partition ahead of the single ordering exchange,
-    so the shuffle carries O(k·partitions), not the vocabulary)."""
+    global top-k: Catalyst rewrites the rank-filter window into
+    ``TakeOrderedAndProject(limit=k)`` BELOW the window (pinned by
+    test), so each partition forwards only its local top-k and the
+    final ordering touches O(k·partitions) rows, never the
+    vocabulary."""
     from pyspark.sql import Window
     toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("token"))
     counts = toks.groupBy("token").agg(

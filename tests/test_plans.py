@@ -178,3 +178,18 @@ def test_pricing_summary_partial_agg(spark):
     plan = plan_of(df)
     assert plan.count("- Exchange") == 1
     assert plan.count("- HashAggregate") >= 2  # partial + final
+
+
+def test_top_tokens_plan_is_partial_topk(spark):
+    """The global top-k over the vocabulary must compile to
+    TakeOrderedAndProject(limit=k) BELOW the rank window (Catalyst's
+    rank-filter rewrite): each partition forwards only its local
+    top-k, so the final ordering touches O(k * partitions) rows, not
+    the vocabulary."""
+    from pandarus_spark.operators.textstats import top_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = top_tokens(docs, k=50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=50" in plan, plan
+    # and no full-vocabulary single-partition sort feeding the window
+    assert "Exchange SinglePartition" not in plan, plan
