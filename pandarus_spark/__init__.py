@@ -28,6 +28,7 @@ from .operators.remaining import calculate_remaining
 from .operators.raster_stats import raster_statistics
 from .operators.raster_transform import clean_raster, round_raster, convert_to_vector
 from .operators.knn import knn_nearest_feature
+from .sources.bucketed import read_bucketed, write_bucketed, write_bucketed_covers
 from .sources.geojson import intersect_files, read_geojson, read_vector, write_geojson
 from .sources.gpkg import read_gpkg, write_gpkg
 from .sources.gtiff import write_gtiff, write_gtiff_cells
@@ -41,6 +42,7 @@ __all__ = [
     "knn_nearest_feature", "intersect_files", "read_geojson", "read_vector",
     "write_geojson", "read_gpkg", "write_gpkg", "read_shapefile",
     "write_gtiff", "write_gtiff_cells", "project_geom",
+    "read_bucketed", "write_bucketed", "write_bucketed_covers",
 ]
 
 __version__ = "0.1.0"

@@ -193,3 +193,47 @@ def test_top_tokens_plan_is_partial_topk(spark):
     assert "TakeOrderedAndProject(limit=50" in plan, plan
     # and no full-vocabulary single-partition sort feeding the window
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bucketed_cover_join_no_shuffle(spark, tmp_path):
+    """Covers persisted bucketed-by-cell must equi-join on cell with
+    ZERO Exchange on the bucketed sides (the reference-basemap
+    pattern: the per-run candidate shuffle disappears), while the same
+    join on plain parquet shuffles both sides."""
+    import pandarus_spark as ps
+    from pandarus_spark.sources.bucketed import read_bucketed, write_bucketed_covers
+    from pandarus_spark.sources.pages import extract_features, pages_df
+
+    grid = extract_features(pages_df(spark, "grid"))
+    square = extract_features(pages_df(spark, "square"))
+    ca = ps.cover_features(grid, res=8, max_cells=64).select("feature_id", "cell")
+    cb = ps.cover_features(square, res=8, max_cells=64).select(
+        F.col("feature_id").alias("fb"), "cell")
+
+    spark.sql("DROP TABLE IF EXISTS cov_a")
+    spark.sql("DROP TABLE IF EXISTS cov_b")
+    write_bucketed_covers(ca, "cov_a", n_buckets=8)
+    write_bucketed_covers(cb.withColumnRenamed("fb", "feature_id"), "cov_b",
+                          n_buckets=8)
+    try:
+        with_buckets = (read_bucketed(spark, "cov_a")
+                        .join(read_bucketed(spark, "cov_b"), "cell"))
+        plain_a, plain_b = str(tmp_path / "a"), str(tmp_path / "b")
+        ca.write.parquet(plain_a)
+        cb.withColumnRenamed("fb", "feature_id").write.parquet(plain_b)
+        plain = spark.read.parquet(plain_a).join(spark.read.parquet(plain_b), "cell")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed_plan = with_buckets._jdf.queryExecution().executedPlan().toString()
+            plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Exchange" not in bucketed_plan, bucketed_plan
+        assert plain_plan.count("Exchange hashpartitioning") == 2, plain_plan
+        # identical join results through both paths
+        assert sorted(map(tuple, with_buckets.collect())) == \
+               sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cov_a")
+        spark.sql("DROP TABLE IF EXISTS cov_b")
