@@ -283,3 +283,124 @@ def stream_cell_counts(pages_stream: DataFrame, res: int = 12,
             .groupBy(F.window("warc_ts", window).alias("win"), "cell")
             .agg(F.count("*").alias("n_features"))
             .select(F.col("win.start").alias("window_start"), "cell", "n_features"))
+
+
+ASOF_OUT_SCHEMA = ("user_id bigint, event_id bigint, ts timestamp, "
+                   "matched_value double")
+ASOF_STATE_SCHEMA = ("lts array<double>, lids array<long>, "
+                     "rts array<double>, rvs array<double>")
+
+
+def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     left_id_col: str = "event_id", right_value_col: str = "value",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Streaming as-of join — the stateful twin of
+    :func:`~pandarus_spark.operators.windows.asof_join` (stream
+    enrichment: each left event picks up the right stream's latest
+    value at-or-before its event time, per key).
+
+    Release rule (append-mode exactness): a left row at time L is
+    emitted only once the watermark passes L — after that, any future
+    in-watermark right row has ts ≥ watermark > L and can no longer be
+    its match, so the answer is final.  Out-of-order left rows and late
+    right rows inside the watermark are therefore handled exactly
+    (parity with the batch operator on released rows, pinned by test).
+
+    Bounded state per key: left rows not yet released (ts ≥ watermark)
+    plus the right history that can still matter — every right row with
+    ts ≥ min(watermark, oldest buffered left ts) and ONE latest row
+    before that threshold (the potential match for the next release).
+    Event-time timeout flushes buffered lefts on idle keys.
+
+    Column contract (like stream_sessionize): key/id are int64, the
+    carried right value is float64; ``right`` must be unique per
+    (key, ts) — pre-aggregate ties upstream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    session_tz = (left_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", None) or "UTC")
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        def to_epochs(ts):
+            ts = pd.Series(ts)
+            if getattr(ts.dt, "tz", None) is None:
+                ts = ts.dt.tz_localize(session_tz, ambiguous=True,
+                                       nonexistent="shift_forward")
+            return ts.astype("int64").to_numpy() / 1e9
+
+        def back(epoch):
+            return (pd.Timestamp(epoch, unit="s", tz="UTC").round("us")
+                    .tz_convert(session_tz).tz_localize(None))
+
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        lts, lids, rts, rvs = [], [], [], []
+        if state.exists:
+            slts, slids, srts, srvs = state.get
+            lts, lids = list(slts), list(slids)
+            rts, rvs = list(srts), list(srvs)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                sides = pdf["__side"].to_numpy()
+                epochs = to_epochs(pdf[ts_col])
+                lmask = sides == 1
+                lts.extend(epochs[lmask])
+                lids.extend(int(x) for x in pdf["__lid"].to_numpy()[lmask])
+                rmask = ~lmask
+                rts.extend(epochs[rmask])
+                rvs.extend(float(x) for x in pdf["__rv"].to_numpy()[rmask])
+
+        # sort right history once; precondition: unique per (key, ts)
+        order = np.argsort(np.asarray(rts), kind="stable")
+        rts_a = np.asarray(rts, dtype="float64")[order]
+        rvs_a = np.asarray(rvs, dtype="float64")[order]
+
+        ripe_idx = [i for i, t in enumerate(lts) if t < wm]
+        keep_idx = [i for i, t in enumerate(lts) if t >= wm]
+
+        if ripe_idx:
+            out_ts = np.asarray([lts[i] for i in ripe_idx])
+            pos = np.searchsorted(rts_a, out_ts, side="right") - 1
+            matched = [float(rvs_a[p]) if p >= 0 else None for p in pos]
+            yield pd.DataFrame({
+                "user_id": pd.Series([key[0]] * len(ripe_idx), dtype="int64"),
+                "event_id": pd.Series([lids[i] for i in ripe_idx], dtype="int64"),
+                "ts": [back(t) for t in out_ts],
+                "matched_value": pd.Series(matched, dtype="float64"),
+            })
+
+        # prune the right history: rows at/after the threshold can still
+        # match a future release; keep ONE latest row before it
+        threshold = min([wm] + [lts[i] for i in keep_idx])
+        cut = int(np.searchsorted(rts_a, threshold, side="right"))
+        first = max(cut - 1, 0)
+        rts_keep, rvs_keep = rts_a[first:], rvs_a[first:]
+
+        if keep_idx or len(rts_keep):
+            state.update(([float(lts[i]) for i in keep_idx],
+                          [int(lids[i]) for i in keep_idx],
+                          [float(t) for t in rts_keep],
+                          [float(v) for v in rvs_keep]))
+            if keep_idx:
+                release = int(min(lts[i] for i in keep_idx) * 1000) + 1
+                state.setTimeoutTimestamp(
+                    max(release, int(wm * 1000) + 1))
+        elif state.exists:
+            state.remove()
+
+    l2 = left_stream.select(
+        F.col(key_col), F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col(left_id_col).cast("long").alias("__lid"),
+        F.lit(None).cast("double").alias("__rv"), F.lit(1).alias("__side"))
+    r2 = right_stream.select(
+        F.col(key_col), F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.lit(None).cast("long").alias("__lid"),
+        F.col(right_value_col).cast("double").alias("__rv"),
+        F.lit(0).alias("__side"))
+    u = l2.unionByName(r2).withWatermark(ts_col, watermark)
+    return u.groupBy(key_col).applyInPandasWithState(
+        fn, ASOF_OUT_SCHEMA, ASOF_STATE_SCHEMA,
+        "append", GroupStateTimeout.EventTimeTimeout)

@@ -359,3 +359,73 @@ def test_curation_ops_compose_with_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.table("curation_stream").collect()}
     assert got == batch and batch
+
+
+def test_stream_asof_join_matches_batch_on_released_rows(spark, tmp_path):
+    """Streaming as-of enrichment across three ordered micro-batches
+    (one checkpoint): released left rows must carry exactly the batch
+    asof_join's matches — including an out-of-order left row and a
+    LATE right row that becomes the better match before release."""
+    import datetime as dt
+
+    from pandarus_spark.operators.windows import asof_join
+    from pandarus_spark.streaming.stream import stream_asof_join
+
+    def T(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    lsrc, rsrc = str(tmp_path / "l_in"), str(tmp_path / "r_in")
+    ck = str(tmp_path / "asof_ck")
+    lschema = "user_id long, ts timestamp, event_id long"
+    rschema = "user_id long, ts timestamp, value double"
+    batches = [
+        # run 1: u1 left at 1000, right at 500 — watermark ends at
+        # 1000-600=400, so the left stays buffered (releasable only
+        # when the watermark passes ITS ts)
+        ([(1, T(1000), 10)], [(1, T(500), 1.0)]),
+        # run 2: late-but-IN-watermark right at 900 (ts 900 >= wm 400)
+        # becomes the better match for the buffered 1000 left;
+        # out-of-order left at 4000; rows at 9000 advance the
+        # watermark to 8400, releasing lefts 1000 and 4000
+        ([(1, T(4000), 12), (1, T(9000), 13), (2, T(9000), 20)],
+         [(1, T(900), 2.0), (1, T(4500), 3.0), (2, T(8000), 9.0)]),
+        # run 3: rows at 17000 -> wm 16400 releases the 9000 lefts
+        ([(1, T(17000), 14)], [(2, T(17000), 0.0)]),
+    ]
+    got = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            got[r["event_id"]] = (r["user_id"], r["ts"], r["matched_value"])
+
+    for lrows, rrows in batches:
+        spark.createDataFrame(lrows, lschema).coalesce(1) \
+            .write.mode("append").parquet(lsrc)
+        spark.createDataFrame(rrows or [], rschema).coalesce(1) \
+            .write.mode("append").parquet(rsrc)
+        ls = spark.readStream.schema(lschema.replace(" long", " bigint")).parquet(lsrc)
+        rs = spark.readStream.schema(rschema.replace(" long", " bigint")).parquet(rsrc)
+        out = stream_asof_join(ls, rs, watermark="10 minutes")
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch expectation over ALL rows, restricted to released event_ids
+    all_l = [r for lrows, _ in batches for r in lrows]
+    all_r = [r for _, rrows in batches for r in rrows]
+    left = spark.createDataFrame(all_l, lschema)
+    right = (spark.createDataFrame(all_r, rschema)
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    want_all = {r["event_id"]: (r["user_id"], r["ts"], r["value"]) for r in
+                asof_join(left.select("event_id", "user_id", "ts"), right,
+                          key_col="user_id", ts_col="ts").collect()}
+    assert set(got) >= {10, 12, 13, 20}, got
+    assert 14 not in got  # final-run left stays buffered (wm 16400 < 17000)
+    for eid, row in got.items():
+        assert row == want_all[eid], eid
+    # the late-right case was actually exercised: left 1000 matched the
+    # in-watermark late 900 row, not the 500 row it saw first
+    assert got[10][2] == 2.0
+    assert got[12][2] == 2.0   # out-of-order left 4000: latest <= is 900
+    assert got[13][2] == 3.0   # 9000 picks up the 4500 right
+    assert got[20][2] == 9.0   # second key matched independently
