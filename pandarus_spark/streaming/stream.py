@@ -15,6 +15,38 @@ from pyspark.sql import DataFrame, functions as F
 TILED_SCHEMA = "feature_id bigint, label string, warc_ts timestamp, cell bigint"
 
 
+def _wall_to_epochs(ts, session_tz):
+    """Pandas naive wall-time Series → (float epoch-seconds ndarray,
+    valid positional mask).  Arrow renders Spark timestamps into pandas
+    as tz-NAIVE wall times in spark.sql.session.timeZone while the
+    GroupState APIs speak true epoch — every stateful operator converts
+    through THIS helper so tz/DST/NaT handling cannot diverge.
+
+    NaT rows are masked out (the watermark's late-row predicate passes
+    NULL timestamps through, and astype('int64') on NaT raises).
+    DST-ambiguous wall times (fall-back hour) pick the DST
+    interpretation deterministically rather than dropping the event —
+    an instant was lost at the Arrow naive-rendering boundary either
+    way, and a 1-hour-shifted event beats a silently missing one."""
+    import pandas as pd
+    ts = pd.Series(ts)
+    if getattr(ts.dt, "tz", None) is None:
+        ts = ts.dt.tz_localize(session_tz, ambiguous=True,
+                               nonexistent="shift_forward")
+    valid = ts.notna().to_numpy()
+    epochs = ts[valid].astype("int64").to_numpy() / 1e9
+    return epochs, valid
+
+
+def _epoch_to_wall(epoch: float, session_tz: str):
+    """Float epoch-seconds → naive wall Timestamp in the session tz,
+    rounded to µs (float epochs carry ~0.1 µs residue and Arrow's
+    ns→µs output cast refuses to truncate)."""
+    import pandas as pd
+    return (pd.Timestamp(epoch, unit="s", tz="UTC").round("us")
+            .tz_convert(session_tz).tz_localize(None))
+
+
 def stream_tile_assignments(pages_stream: DataFrame, res: int = 12,
                             max_cells: int = 64) -> DataFrame:
     """Streaming pages → (feature_id, label, warc_ts, cell), one row per
@@ -109,15 +141,10 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
         import pandas as pd
 
         def emit(rows):
-            def back(epoch):
-                # round to µs: float-seconds epochs carry ~0.1µs residue
-                # and Arrow's ns→µs output cast refuses to truncate
-                return (pd.Timestamp(epoch, unit="s", tz="UTC").round("us")
-                        .tz_convert(session_tz).tz_localize(None))
             return pd.DataFrame({
                 "user_id": pd.Series([key[0]] * len(rows), dtype="int64"),
-                "session_start": [back(s) for s, _, _ in rows],
-                "session_end": [back(e) for _, e, _ in rows],
+                "session_start": [_epoch_to_wall(s, session_tz) for s, _, _ in rows],
+                "session_end": [_epoch_to_wall(e, session_tz) for _, e, _ in rows],
                 "n_events": pd.Series([n for _, _, n in rows], dtype="int64"),
             })
 
@@ -130,17 +157,7 @@ def stream_sessionize(events_stream: DataFrame, gap_seconds: float = 1800.0,
                          for s, e, n in zip(starts, lasts, ns)]
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts = pd.Series(pdf[ts_col])
-                if getattr(ts.dt, "tz", None) is None:
-                    # DST-ambiguous wall times (fall-back hour) pick the
-                    # DST interpretation deterministically rather than
-                    # dropping the event — an instant was lost at the
-                    # Arrow naive-rendering boundary either way, and a
-                    # 1-hour-shifted event beats a silently missing one
-                    ts = ts.dt.tz_localize(session_tz, ambiguous=True,
-                                           nonexistent="shift_forward")
-                ts = ts.dropna()
-                epochs = ts.astype("int64").to_numpy() / 1e9
+                epochs, _ = _wall_to_epochs(pdf[ts_col], session_tz)
                 intervals.extend((float(t), float(t), 1) for t in epochs)
 
         # interval merge: sort by start, chain while gap to previous end
@@ -294,7 +311,8 @@ ASOF_STATE_SCHEMA = ("lts array<double>, lids array<long>, "
 def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
                      key_col: str = "user_id", ts_col: str = "ts",
                      left_id_col: str = "event_id", right_value_col: str = "value",
-                     watermark: str = "10 minutes") -> DataFrame:
+                     watermark: str = "10 minutes",
+                     right_ttl_seconds: float = 86400.0) -> DataFrame:
     """Streaming as-of join — the stateful twin of
     :func:`~pandarus_spark.operators.windows.asof_join` (stream
     enrichment: each left event picks up the right stream's latest
@@ -309,13 +327,20 @@ def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
 
     Bounded state per key: left rows not yet released (ts ≥ watermark)
     plus the right history that can still matter — every right row with
-    ts ≥ min(watermark, oldest buffered left ts) and ONE latest row
-    before that threshold (the potential match for the next release).
-    Event-time timeout flushes buffered lefts on idle keys.
+    ts ≥ watermark and ONE latest row before it (the potential match
+    for any future left, whose ts is necessarily ≥ watermark).
+    Event-time timeout flushes buffered lefts on idle keys; a key whose
+    state is ONLY right history expires ``right_ttl_seconds`` after the
+    watermark (so one-time keys don't grow the key population without
+    bound) — a left arriving after the TTL loses matches older than the
+    TTL, the standard stream-stream state trade-off.
 
     Column contract (like stream_sessionize): key/id are int64, the
     carried right value is float64; ``right`` must be unique per
-    (key, ts) — pre-aggregate ties upstream."""
+    (key, ts) — pre-aggregate ties upstream.  NULL-timestamp rows on
+    either side and NULL ids/values are dropped (a NULL right value is
+    "no observation"; the batch twin instead surfaces it — feed
+    non-NULL values for parity)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     session_tz = (left_stream.sparkSession.conf.get(
@@ -325,17 +350,6 @@ def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
         import numpy as np
         import pandas as pd
 
-        def to_epochs(ts):
-            ts = pd.Series(ts)
-            if getattr(ts.dt, "tz", None) is None:
-                ts = ts.dt.tz_localize(session_tz, ambiguous=True,
-                                       nonexistent="shift_forward")
-            return ts.astype("int64").to_numpy() / 1e9
-
-        def back(epoch):
-            return (pd.Timestamp(epoch, unit="s", tz="UTC").round("us")
-                    .tz_convert(session_tz).tz_localize(None))
-
         wm = state.getCurrentWatermarkMs() / 1000.0
         lts, lids, rts, rvs = [], [], [], []
         if state.exists:
@@ -344,14 +358,17 @@ def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
             rts, rvs = list(srts), list(srvs)
         if not state.hasTimedOut:
             for pdf in pdfs:
-                sides = pdf["__side"].to_numpy()
-                epochs = to_epochs(pdf[ts_col])
-                lmask = sides == 1
+                epochs, valid = _wall_to_epochs(pdf[ts_col], session_tz)
+                sides = pdf["__side"].to_numpy()[valid]
+                lid_vals = pdf["__lid"].to_numpy()[valid]
+                rv_vals = pdf["__rv"].to_numpy()[valid]
+                # NULL ids/values are dropped per the column contract
+                lmask = (sides == 1) & ~pd.isna(lid_vals)
                 lts.extend(epochs[lmask])
-                lids.extend(int(x) for x in pdf["__lid"].to_numpy()[lmask])
-                rmask = ~lmask
+                lids.extend(int(x) for x in lid_vals[lmask])
+                rmask = (sides == 0) & ~pd.isna(rv_vals)
                 rts.extend(epochs[rmask])
-                rvs.extend(float(x) for x in pdf["__rv"].to_numpy()[rmask])
+                rvs.extend(float(x) for x in rv_vals[rmask])
 
         # sort right history once; precondition: unique per (key, ts)
         order = np.argsort(np.asarray(rts), kind="stable")
@@ -368,27 +385,35 @@ def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
             yield pd.DataFrame({
                 "user_id": pd.Series([key[0]] * len(ripe_idx), dtype="int64"),
                 "event_id": pd.Series([lids[i] for i in ripe_idx], dtype="int64"),
-                "ts": [back(t) for t in out_ts],
+                "ts": [_epoch_to_wall(t, session_tz) for t in out_ts],
                 "matched_value": pd.Series(matched, dtype="float64"),
             })
 
-        # prune the right history: rows at/after the threshold can still
-        # match a future release; keep ONE latest row before it
-        threshold = min([wm] + [lts[i] for i in keep_idx])
-        cut = int(np.searchsorted(rts_a, threshold, side="right"))
+        # prune the right history at the watermark (every buffered and
+        # future left has ts >= wm, so only rows at/after wm plus ONE
+        # latest row before it can still be a match)
+        cut = int(np.searchsorted(rts_a, wm, side="right"))
         first = max(cut - 1, 0)
         rts_keep, rvs_keep = rts_a[first:], rvs_a[first:]
 
-        if keep_idx or len(rts_keep):
+        if keep_idx:
             state.update(([float(lts[i]) for i in keep_idx],
                           [int(lids[i]) for i in keep_idx],
                           [float(t) for t in rts_keep],
                           [float(v) for v in rvs_keep]))
-            if keep_idx:
-                release = int(min(lts[i] for i in keep_idx) * 1000) + 1
-                state.setTimeoutTimestamp(
-                    max(release, int(wm * 1000) + 1))
+            release = int(min(lts[i] for i in keep_idx) * 1000) + 1
+            state.setTimeoutTimestamp(max(release, int(wm * 1000) + 1))
+        elif len(rts_keep) and not state.hasTimedOut:
+            # right-history-only state: keep it for future lefts, but
+            # with a TTL past the watermark so one-time keys don't grow
+            # the key population forever (timeouts reset every
+            # invocation — never updating without one leaks the key)
+            state.update(([], [], [float(t) for t in rts_keep],
+                          [float(v) for v in rvs_keep]))
+            state.setTimeoutTimestamp(
+                int((wm + right_ttl_seconds) * 1000) + 1)
         elif state.exists:
+            # timed out with no buffered lefts: the TTL elapsed — drop
             state.remove()
 
     l2 = left_stream.select(

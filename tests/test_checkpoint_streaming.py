@@ -429,3 +429,43 @@ def test_stream_asof_join_matches_batch_on_released_rows(spark, tmp_path):
     assert got[12][2] == 2.0   # out-of-order left 4000: latest <= is 900
     assert got[13][2] == 3.0   # 9000 picks up the 4500 right
     assert got[20][2] == 9.0   # second key matched independently
+
+
+def test_stream_asof_join_survives_null_rows(spark, tmp_path):
+    """NULL timestamps pass Spark's late-row watermark predicate and
+    reach the state function; they (and NULL ids/values) must be
+    dropped per the column contract, not kill the query (regression:
+    astype('int64') on NaT raises on pandas >= 2)."""
+    import datetime as dt
+
+    from pandarus_spark.streaming.stream import stream_asof_join
+
+    def T(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    lsrc, rsrc = str(tmp_path / "l_in"), str(tmp_path / "r_in")
+    lschema = "user_id bigint, ts timestamp, event_id bigint"
+    rschema = "user_id bigint, ts timestamp, value double"
+    spark.createDataFrame(
+        [(1, T(100), 10), (1, None, 11), (1, T(5000), 12)], lschema) \
+        .coalesce(1).write.parquet(lsrc)
+    spark.createDataFrame(
+        [(1, T(50), 1.0), (1, None, 2.0), (1, T(80), None)], rschema) \
+        .coalesce(1).write.parquet(rsrc)
+
+    got = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            got[r["event_id"]] = r["matched_value"]
+
+    ls = spark.readStream.schema(lschema).parquet(lsrc)
+    rs = spark.readStream.schema(rschema).parquet(rsrc)
+    q = (stream_asof_join(ls, rs, watermark="10 minutes")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # watermark 5000-600=4400 releases the 100 left; its match is the
+    # t=50 value (the NULL-value t=80 row is "no observation")
+    assert got == {10: 1.0}
