@@ -533,7 +533,11 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 64,
     width = bits // bands
     mask = (1 << width) - 1
     docs = docs.filter(F.length(nz(F.col(text_col))) > 0)
-    sh = simhash(docs, bits, text_col, id_col)
+    # materialize the (id, simhash) table once: both self-join sides
+    # read it, and since the row-local simhash has no exchange to be
+    # reused, an un-checkpointed plan would hash every document twice
+    # (same discipline as minhash_lsh_pairs' shared shingle table)
+    sh = simhash(docs, bits, text_col, id_col).localCheckpoint(eager=True)
     banded = sh.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
