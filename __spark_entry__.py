@@ -458,6 +458,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             got = read_pages_table(spark, f"parquet:{p}")
         return got.select("url", "lang")
 
+    def q_training_corpus(spark, sf_dir):
+        # the round-3 curation ops composed end-to-end in ONE Catalyst
+        # plan: deterministic per-language sampling -> PII redaction ->
+        # quality floor -> exact dedup on the redacted text -> chunk
+        # accounting per surviving representative
+        from pandarus_spark.operators.curation import (
+            chunk_tokens, redact_pii, stratified_sample,
+        )
+        docs = stratified_sample(_docs(spark, sf_dir), _SAMPLE_RATES,
+                                 default_rate=0.2)
+        red = docs.select("doc_id", redact_pii(F.col("text")).alias("text"))
+        scored = red.select("doc_id", "text",
+                            T.quality_score(F.col("text")).alias("quality"))
+        good = scored.filter(F.col("quality") >= 0.4)
+        reps = (good.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.count("*").alias("group_size")))
+        kept = good.join(reps.select("doc_id", "group_size"), "doc_id")
+        chunks = (chunk_tokens(kept, size=32, stride=24)
+                  .groupBy("doc_id").agg(F.count("*").alias("n_chunks")))
+        return (kept.join(chunks, "doc_id")
+                .select("doc_id", "quality", "group_size", "n_chunks"))
+
     def q_top_tokens_docs(spark, sf_dir):
         return T.top_tokens(_docs(spark, sf_dir), k=50)
 
@@ -569,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "pages_table_roundtrip": q_pages_table_roundtrip,
+        "training_corpus": q_training_corpus,
         "top_tokens_docs": q_top_tokens_docs,
         "tf_idf_docs": q_tf_idf_docs,
         "events_asof": q_events_asof,
@@ -890,6 +914,23 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
                         "FROM (VALUES " + ", ".join(audio_rows)
                         + ") AS t(media_id, window_no, n_samples, rms, peak)")
 
+    red_sql = C.redact_pii_sql("text")
+    q_red = T.quality_score_sql(f"({red_sql})")
+    words_red = f"string_split(lower(coalesce(({red_sql}), '')), ' ')"
+    n_chunks_sql = (f"(1 + (greatest(len({words_red}) - 32, 0) + 23) // 24)")
+    training_corpus = f"""
+WITH sampled AS (
+  SELECT doc_id, {red_sql} AS rtext, {q_red} AS quality,
+         CAST({n_chunks_sql} AS BIGINT) AS n_chunks
+  FROM documents
+  WHERE {C.stratified_sample_sql('doc_id', 'lang', _SAMPLE_RATES, 0.2)}),
+good AS (SELECT * FROM sampled WHERE quality >= 0.4),
+reps AS (SELECT md5(rtext) AS h, min(doc_id) AS doc_id,
+                count(*) AS group_size
+         FROM good GROUP BY md5(rtext))
+SELECT g.doc_id, g.quality, r.group_size, g.n_chunks
+FROM good g JOIN reps r USING (doc_id)"""
+
     top_tokens = T.top_tokens_sql(50)
     tf_idf = T.tf_idf_sql(source="(SELECT * FROM documents WHERE doc_id < 500)")
 
@@ -975,6 +1016,7 @@ FROM u GROUP BY domain"""
 SELECT 'https://example.test/base/' || CAST(doc_id AS VARCHAR) AS url,
        'en' AS lang
 FROM documents WHERE doc_id < 200""",
+        "training_corpus": training_corpus,
         "top_tokens_docs": top_tokens,
         "tf_idf_docs": tf_idf,
         "events_asof": events_asof,
