@@ -472,10 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scored = red.select("doc_id", "text",
                             T.quality_score(F.col("text")).alias("quality"))
         good = scored.filter(F.col("quality") >= 0.4)
-        reps = (good.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
-                .agg(F.min("doc_id").alias("doc_id"),
-                     F.count("*").alias("group_size")))
-        kept = good.join(reps.select("doc_id", "group_size"), "doc_id")
+        reps = D.exact_dedup(good).select("doc_id", "group_size")
+        kept = good.join(reps, "doc_id")
         chunks = (chunk_tokens(kept, size=32, stride=24)
                   .groupBy("doc_id").agg(F.count("*").alias("n_chunks")))
         return (kept.join(chunks, "doc_id")
@@ -917,7 +915,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
     red_sql = C.redact_pii_sql("text")
     q_red = T.quality_score_sql(f"({red_sql})")
     words_red = f"string_split(lower(coalesce(({red_sql}), '')), ' ')"
-    n_chunks_sql = (f"(1 + (greatest(len({words_red}) - 32, 0) + 23) // 24)")
+    n_chunks_sql = C.chunk_count_sql(words_red, size=32, stride=24)
     training_corpus = f"""
 WITH sampled AS (
   SELECT doc_id, {red_sql} AS rtext, {q_red} AS quality,

@@ -223,10 +223,19 @@ def chunk_tokens(docs: DataFrame, size: int = 32, stride: int = 24,
         F.md5(F.encode(F.array_join("chunk", " "), "utf-8")).alias("chunk_md5"))
 
 
+def chunk_count_sql(words_expr: str, size: int = 32, stride: int = 24) -> str:
+    """SQL rendering of chunk_tokens' window count — the single source
+    of truth for every oracle that accounts chunks without unnesting
+    them (must stay in lockstep with the Catalyst ``n_chunks``
+    expression in :func:`chunk_tokens`)."""
+    return (f"(1 + (greatest(len({words_expr}) - {size}, 0) "
+            f"+ {stride - 1}) // {stride})")
+
+
 def chunk_tokens_sql(t: str, size: int = 32, stride: int = 24,
                      source: str = "documents", id_expr: str = "doc_id") -> str:
     w = f"string_split(lower(coalesce({t}, '')), ' ')"
-    n_chunks = f"(1 + (greatest(len(w) - {size}, 0) + {stride - 1}) // {stride})"
+    n_chunks = chunk_count_sql("w", size, stride)
     piece = f"w[i*{stride}+1 : i*{stride}+{size}]"
     return f"""
 WITH toks AS (SELECT {id_expr} AS doc_id, {w} AS w FROM {source}),

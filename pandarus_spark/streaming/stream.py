@@ -403,17 +403,26 @@ def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
                           [float(v) for v in rvs_keep]))
             release = int(min(lts[i] for i in keep_idx) * 1000) + 1
             state.setTimeoutTimestamp(max(release, int(wm * 1000) + 1))
-        elif len(rts_keep) and not state.hasTimedOut:
+        elif len(rts_keep) and (not state.hasTimedOut or ripe_idx):
             # right-history-only state: keep it for future lefts, but
-            # with a TTL past the watermark so one-time keys don't grow
-            # the key population forever (timeouts reset every
-            # invocation — never updating without one leaks the key)
+            # with a TTL so one-time keys don't grow the key population
+            # forever (timeouts reset every invocation — never updating
+            # without one leaks the key).  Reached on data batches AND
+            # on a left-release timeout (ripe_idx non-empty) — only a
+            # pure TTL expiry falls through to remove.  The TTL anchors
+            # at max(watermark, newest right ts): in the FIRST batch the
+            # watermark is still epoch 0, and anchoring there would
+            # expire 2024-era history the moment the real watermark is
+            # computed.
             state.update(([], [], [float(t) for t in rts_keep],
                           [float(v) for v in rvs_keep]))
+            anchor = max(wm, float(rts_keep[-1]))
             state.setTimeoutTimestamp(
-                int((wm + right_ttl_seconds) * 1000) + 1)
+                max(int((anchor + right_ttl_seconds) * 1000) + 1,
+                    int(wm * 1000) + 1))
         elif state.exists:
-            # timed out with no buffered lefts: the TTL elapsed — drop
+            # timed out with no buffered lefts and nothing released:
+            # the TTL elapsed — drop
             state.remove()
 
     l2 = left_stream.select(

@@ -469,3 +469,58 @@ def test_stream_asof_join_survives_null_rows(spark, tmp_path):
     # watermark 5000-600=4400 releases the 100 left; its match is the
     # t=50 value (the NULL-value t=80 row is "no observation")
     assert got == {10: 1.0}
+
+
+def test_stream_asof_right_history_survives_release_timeout(spark, tmp_path):
+    """Two regressions in one flow: (a) the right-history TTL must
+    anchor at max(watermark, newest right ts) — in the FIRST batch the
+    watermark is epoch 0, and anchoring there expired 2024-era history
+    the moment the real watermark was computed; (b) a left-release
+    TIMEOUT invocation must retain the right history like a data-driven
+    release does, not fall through to state.remove()."""
+    import datetime as dt
+
+    from pandarus_spark.streaming.stream import stream_asof_join
+
+    def T(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    lsrc, rsrc = str(tmp_path / "l_in"), str(tmp_path / "r_in")
+    ck = str(tmp_path / "ck")
+    lschema = "user_id bigint, ts timestamp, event_id bigint"
+    rschema = "user_id bigint, ts timestamp, value double"
+    batches = [
+        # run 1: key 1 has ONLY right history; watermark is epoch 0
+        # during this update (regression a)
+        ([], [(1, T(1000), 1.0)]),
+        # run 2: another key advances the watermark far past epoch
+        # 86400 but not past T(1000)+TTL
+        ([(9, T(5000), 90)], []),
+        # run 3: key-1 left arrives; also advances wm so it releases —
+        # possibly via a timeout invocation (regression b)
+        ([(1, T(5000), 10), (9, T(7000), 91)], []),
+        # run 4: a later key-1 left; its match must STILL be the
+        # t=1000 right row retained through run 3's release
+        ([(1, T(7000), 11), (9, T(9000), 92)], []),
+        ([(9, T(17000), 93)], []),
+    ]
+    got = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            got[r["event_id"]] = r["matched_value"]
+
+    for lrows, rrows in batches:
+        spark.createDataFrame(lrows or [], lschema).coalesce(1) \
+            .write.mode("append").parquet(lsrc)
+        spark.createDataFrame(rrows or [], rschema).coalesce(1) \
+            .write.mode("append").parquet(rsrc)
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        q = (stream_asof_join(ls, rs, watermark="10 minutes")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    assert got.get(10) == 1.0, got   # regression (a): history survived wm jump
+    assert got.get(11) == 1.0, got   # regression (b): survived the release
