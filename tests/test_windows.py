@@ -215,3 +215,37 @@ def test_chunk_tokens_rejects_gapping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         C.chunk_tokens(df, size=4, stride=6)
+
+
+def test_asof_join_matches_duckdb_asof_randomized(spark):
+    # cross-engine differential: DuckDB's native ASOF LEFT JOIN is the
+    # independent semantics oracle (the driver gate runs it on real
+    # events; this fuzzes edge structure — sparse keys, equal ts,
+    # NULL-value right rows, unmatched keys)
+    import random
+
+    import duckdb
+    rng = random.Random(42)
+    lrows = [(rng.randrange(8), float(rng.randrange(50)), i) for i in range(250)]
+    rseen = set()
+    rrows = []
+    for j in range(150):
+        k, t = rng.randrange(10), float(rng.randrange(50))
+        if (k, t) in rseen:     # right unique per (key, ts) contract
+            continue
+        rseen.add((k, t))
+        rrows.append((k, t, None if j % 11 == 0 else k * 100.0 + t))
+    left = spark.createDataFrame(lrows, "k long, ts double, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts double, v double")
+    got = {r["lid"]: r["v"] for r in
+           asof_join(left, right, key_col="k", ts_col="ts").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, ts DOUBLE, lid BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.execute("CREATE TABLE r(k BIGINT, ts DOUBLE, v DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    want = {lid: v for lid, v in con.execute(
+        "SELECT l.lid, r.v FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts").fetchall()}
+    assert got == want and len(got) == 250
