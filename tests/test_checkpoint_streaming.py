@@ -524,3 +524,33 @@ def test_stream_asof_right_history_survives_release_timeout(spark, tmp_path):
 
     assert got.get(10) == 1.0, got   # regression (a): history survived wm jump
     assert got.get(11) == 1.0, got   # regression (b): survived the release
+
+
+def test_interval_join_stream_static(spark, tmp_path):
+    """interval_join is an explode + equi-join + filter, so it works
+    unchanged as a STREAM-static join (streaming points against a
+    static interval table) in append mode — the third temporal
+    operator usable on live streams."""
+    import datetime as dt
+
+    from pandarus_spark.operators.windows import interval_join
+
+    def T(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    src = str(tmp_path / "pts_in")
+    spark.createDataFrame(
+        [(1, T(100)), (2, T(500)), (3, T(2000))], "pid bigint, ts timestamp") \
+        .coalesce(1).write.parquet(src)
+    intervals = spark.createDataFrame(
+        [(10, T(0), T(600)), (11, T(1500), T(1800))],
+        "iid bigint, start timestamp, end timestamp")
+
+    stream = spark.readStream.schema("pid bigint, ts timestamp").parquet(src)
+    out = interval_join(stream, intervals, bucket_seconds=300.0) \
+        .select("pid", "iid")
+    q = (out.writeStream.format("memory").queryName("ij_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["pid"], r["iid"]) for r in spark.table("ij_stream").collect()}
+    assert got == {(1, 10), (2, 10)}
