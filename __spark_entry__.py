@@ -27,6 +27,8 @@ from pandarus_spark.operators import dedup as D
 from pandarus_spark.operators import multimodal as M
 from pandarus_spark.operators import similarity as S
 from pandarus_spark.operators import textstats as T
+from pandarus_spark.operators.distance import distance_join, haversine_m_sql
+from pandarus_spark.operators.rollup import parent_cell_sql, tile_rollup_levels
 from pandarus_spark.sources.pages import (
     CELL_DEG, GRID_COLS, GRID_X0, GRID_Y0,
     extract_features, pages_df, pages_from_documents,
@@ -92,6 +94,21 @@ _PII_LACED_SQL = (
 # per-language sampling quotas for the stratified-sample gate (the
 # synthetic corpus carries lang in {en,de,fr,es,zh})
 _SAMPLE_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.15, "zh": 0.1}
+
+# deterministic global point cloud derived from doc_id (shared by the
+# distance-join gate and its oracle: integer arithmetic then ONE exact
+# IEEE division, so both engines construct identical doubles)
+_PTS_SQL = ("(SELECT doc_id AS pid, "
+            "(doc_id * 7919 % 3600) / 10.0 - 180.0 AS lon, "
+            "(doc_id * 104729 % 1600) / 10.0 - 80.0 AS lat FROM documents)")
+_DIST_RADIUS_M = 300000.0
+
+
+def _points_from_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").alias("pid"),
+                    ((F.col("doc_id") * 7919 % 3600) / 10.0 - 180.0).alias("lon"),
+                    ((F.col("doc_id") * 104729 % 1600) / 10.0 - 80.0).alias("lat"))
 
 
 def _intersect_fixture(spark, first: str, second: str) -> DataFrame:
@@ -213,6 +230,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labels = _fixtures(spark, "grid").select("feature_id", "label")
         return covers.join(labels, "feature_id").select("label", "cell")
 
+    def q_tile_rollup_grid(spark, sf_dir):
+        # hypertable-rollup analogue: the res-8 grid cover aggregated up
+        # the quadtree pyramid in one exploded partial-agg pass
+        covers = ps.cover_features(_fixtures(spark, "grid"), res=8, max_cells=256)
+        return tile_rollup_levels(covers.select("cell"), [2, 4, 6])
+
+    def q_distance_join_points(spark, sf_dir):
+        # geodesic within-radius self-join over a deterministic global
+        # point cloud — cell-bucket candidates + exact haversine residual
+        pts = _points_from_docs(spark, sf_dir)
+        out = distance_join(pts.withColumnRenamed("pid", "a"),
+                            pts.withColumnRenamed("pid", "b"), _DIST_RADIUS_M)
+        return (out.filter(F.col("a") < F.col("b"))
+                .select("a", "b", F.round("dist_m", 3).alias("dist_m")))
+
     def q_knn_points_grid(spark, sf_dir):
         from pyspark.sql import Window
         grid = _fixtures(spark, "grid")
@@ -284,6 +316,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_simhash_docs(spark, sf_dir):
         return D.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+
+    def q_line_dedup_docs(spark, sf_dir):
+        # CCNet-style paragraph dedup; the corpus is newline-free word
+        # soup, so both engines first reshape it into 10-word lines
+        docs = _docs(spark, sf_dir)
+        w = D.words(F.col("text"))
+        nch = F.floor((F.size(w) + 9) / 10).cast("int")
+        lines = F.transform(F.sequence(F.lit(0), nch - 1),
+                            lambda i: F.array_join(F.slice(w, i * 10 + 1, 10), " "))
+        docs2 = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+        return D.line_dedup(docs2, min_count=2)
 
     def q_simhash_neardup_docs(spark, sf_dir):
         return D.simhash_neardup_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 150),
@@ -558,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ifi_projections": q_ifi_projections,
         "remaining_outside": q_remaining_outside,
         "tile_assignments": q_tile_assignments,
+        "tile_rollup_grid": q_tile_rollup_grid,
+        "distance_join_points": q_distance_join_points,
         "knn_points_grid": q_knn_points_grid,
         "zonal_coverage": q_zonal_coverage,
         "zonal_centers": q_zonal_centers,
@@ -571,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs_docs": q_lsh_pairs_docs,
         "simhash_docs": q_simhash_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
+        "line_dedup_docs": q_line_dedup_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "clean_corpus": q_clean_corpus,
         "pricing_summary": q_pricing_summary,
@@ -665,6 +711,18 @@ SELECT * FROM (VALUES
     # --- arithmetic (first-principles) oracles ------------------------------
     tile_assignments = cell_cover_sql(grid_fixture_values(), res=8)
 
+    tile_rollup_grid = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS res, {parent_cell_sql('cell', r)} AS cell, "
+        f"count(*) AS n FROM ({cell_cover_sql(grid_fixture_values(), res=8)}) c "
+        f"GROUP BY 2"
+        for r in (2, 4, 6))
+
+    _hs = haversine_m_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    distance_join_points = (
+        f"SELECT a.pid AS a, b.pid AS b, round({_hs}, 3) AS dist_m "
+        f"FROM {_PTS_SQL} a, {_PTS_SQL} b "
+        f"WHERE a.pid < b.pid AND {_hs} <= {_DIST_RADIUS_M!r}")
+
     knn = """
 WITH q(query_id, qx, qy) AS (VALUES (1, 0.25, 0.25), (2, 1.75, 1.75),
                                     (3, 5.0, 0.5), (4, -1.0, -1.0)),
@@ -735,6 +793,15 @@ FROM ({sh150}) a JOIN ({sh150}) b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     dup_clusters = D.duplicate_clusters_sql(
         dup_pairs, "SELECT doc_id FROM documents WHERE doc_id < 150")
+
+    # 10-word line reshaping mirrored from q_line_dedup_docs, then the
+    # operator's own SQL rendering over the derived table
+    _w = D.WORDS_SQL.format(t="text")
+    _docs2 = (f"(SELECT doc_id, array_to_string("
+              f"[array_to_string(w[i*10+1:i*10+10], ' ') "
+              f"for i in range(0, (len(w)+9)//10)], chr(10)) AS text "
+              f"FROM (SELECT doc_id, {_w} AS w FROM documents) t)")
+    line_dedup = D.line_dedup_sql(source=_docs2, min_count=2)
 
     q_sql = T.quality_score_sql("text")
     good_sql = (f"SELECT doc_id, text, {q_sql} AS quality FROM documents "
@@ -977,6 +1044,8 @@ FROM u GROUP BY domain"""
         "ifi_projections": ifi,
         "remaining_outside": remaining,
         "tile_assignments": tile_assignments,
+        "tile_rollup_grid": tile_rollup_grid,
+        "distance_join_points": distance_join_points,
         "knn_points_grid": knn,
         "zonal_coverage": zonal_coverage,
         "zonal_centers": zonal_centers,
@@ -990,6 +1059,7 @@ FROM u GROUP BY domain"""
         "ngram_jaccard_docs": ngram_jaccard,
         "simhash_docs": simhash,
         "simhash_neardup_docs": simhash_neardup,
+        "line_dedup_docs": line_dedup,
         "dup_clusters_docs": dup_clusters,
         "clean_corpus": clean_corpus,
         "pricing_summary": pricing_summary,

@@ -554,3 +554,76 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 64,
             .dropDuplicates(["doc_a", "doc_b"]))
     return (cand.select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# line-level (paragraph) dedup — CCNet-style
+# ---------------------------------------------------------------------------
+
+def line_dedup(docs: DataFrame, min_count: int = 2, delim: str = "\n",
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide line/paragraph-level exact dedup (the CCNet recipe:
+    boilerplate — headers, cookie banners, navigation — repeats across
+    pages even when whole documents don't).  Every line whose trimmed
+    text occurs ``min_count``-or-more times corpus-wide is dropped from
+    every document EXCEPT its globally-first occurrence (ordered by
+    (doc_id, line_no) — deterministic, engine-independent).  Output:
+    (doc_id, n_lines, n_kept, kept_md5) where kept_md5 hashes the
+    surviving lines re-joined with ``delim`` in original order.
+
+    Plan shape (the 100 TB story): posexplode is partition-local; ONE
+    window shuffle on the line hash ranks occurrences (partial top-1
+    per partition does not apply to rank, but the key is the md5 —
+    uniform, no skew); ONE groupBy shuffle on doc_id rebuilds
+    documents.  Nothing touches the driver, no joins at all — the
+    occurrence rank and the corpus-wide count come from the same
+    window partition.
+
+    Empty lines count like any line (a duplicated blank line drops);
+    NULL text ≡ '' (one empty line)."""
+    lines = (docs.select(F.col(id_col),
+                         F.posexplode(F.split(nz(F.col(text_col)), delim))
+                         .alias("line_no", "line")))
+    h = F.md5(F.encode(F.trim(F.col("line")), "utf-8"))
+    wcnt = Window.partitionBy("h")
+    wrank = (Window.partitionBy("h")
+             .orderBy(F.col(id_col).asc(), F.col("line_no").asc()))
+    ranked = (lines.withColumn("h", h)
+              .withColumn("occ", F.count("*").over(wcnt))
+              .withColumn("rank", F.row_number().over(wrank)))
+    kept = F.when((F.col("occ") < min_count) | (F.col("rank") == 1), F.col("line"))
+    return (ranked
+            .select(id_col, "line_no", kept.alias("kept"))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_lines"),
+                 F.count("kept").alias("n_kept"),
+                 F.md5(F.encode(F.array_join(
+                     F.array_sort(F.collect_list(F.struct("line_no", "kept")))
+                     .getField("kept"), delim), "utf-8")).alias("kept_md5")))
+
+
+def line_dedup_sql(source: str = "documents", min_count: int = 2,
+                   delim_sql: str = "chr(10)", text_expr: str = "text",
+                   id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`line_dedup` (same window semantics;
+    ``delim_sql`` is a SQL EXPRESSION — default a literal newline)."""
+    return f"""
+WITH docs_l AS (
+  SELECT {id_expr} AS doc_id,
+         string_split(coalesce({text_expr}, ''), {delim_sql}) AS l
+  FROM {source}),
+lines AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS line_no, l[u.i] AS line
+  FROM docs_l, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u),
+ranked AS (
+  SELECT doc_id, line_no, line,
+         count(*) OVER (PARTITION BY md5(trim(line))) AS occ,
+         row_number() OVER (PARTITION BY md5(trim(line))
+                            ORDER BY doc_id, line_no) AS rnk
+  FROM lines)
+SELECT doc_id, count(*) AS n_lines,
+       count(CASE WHEN occ < {min_count} OR rnk = 1 THEN 1 END) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN occ < {min_count} OR rnk = 1
+                                    THEN line END,
+                               {delim_sql} ORDER BY line_no), '')) AS kept_md5
+FROM ranked GROUP BY doc_id"""
