@@ -237,3 +237,71 @@ def test_bucketed_cover_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cov_a")
         spark.sql("DROP TABLE IF EXISTS cov_b")
+
+
+def test_distance_join_plan_single_equijoin(spark):
+    """distance_join must compile to ONE hash equi-join on the cell key
+    with the haversine residual inside the join condition — never a
+    nested-loop/cartesian theta join, never a Python stage, and no
+    post-join dedup aggregation (COVERAGE.md distance-join row)."""
+    from pandarus_spark.operators.distance import distance_join
+
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 1600) / 10.0 - 80.0).alias("lat"))
+    df = distance_join(pts.withColumnRenamed("pid", "a"),
+                       pts.withColumnRenamed("pid", "b"), 300_000.0)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Join") >= 1
+    # residual filter fused into the join, not a separate post-join stage
+    assert "Join condition: ((ASIN" in plan or "Join condition: (ASIN" in plan
+
+    # above the broadcast threshold the same plan degrades to a shuffled
+    # equi-join on the cell key — still no nested loop
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = plan_of(distance_join(pts.withColumnRenamed("pid", "a"),
+                                      pts.withColumnRenamed("pid", "b"),
+                                      300_000.0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "CartesianProduct" not in plan2
+    assert ("SortMergeJoin" in plan2) or ("ShuffledHashJoin" in plan2)
+
+
+def test_tile_rollup_plan_partial_agg_one_shuffle(spark):
+    """Multi-level rollup: map-side partial aggregation collapses the
+    exploded (row × levels) stream before ONE hash-partition exchange;
+    zero joins, zero Python (rollup.py docstring)."""
+    from pandarus_spark.operators.rollup import tile_rollup_levels
+    from pandarus_spark.tiling.cells import cell_id
+
+    cells = spark.createDataFrame(
+        [(cell_id(8, i % 256, (i * 7) % 256),) for i in range(400)], "cell long")
+    plan = plan_of(tile_rollup_levels(cells, [2, 4, 6]))
+    assert "partial_count" in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_line_dedup_plan_two_shuffles_no_join(spark):
+    """line_dedup's 100 TB shape: occurrence count and rank share one
+    window shuffle on the line hash, one groupBy shuffle rebuilds the
+    documents — exactly two exchanges, NO join anywhere (dedup.py
+    line_dedup docstring)."""
+    from pandarus_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame([(i, "a\nb\nc") for i in range(50)],
+                                 "doc_id long, text string")
+    plan = plan_of(line_dedup(docs))
+    assert plan.count("hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Window") >= 1
