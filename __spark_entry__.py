@@ -111,6 +111,16 @@ def _points_from_docs(spark, sf_dir):
                     ((F.col("doc_id") * 104729 % 1600) / 10.0 - 80.0).alias("lat"))
 
 
+def _docs_as_lines(docs: DataFrame) -> DataFrame:
+    # 10-word line reshaping shared by the line-dedup gates (the
+    # synthetic corpus is newline-free word soup)
+    w = D.words(F.col("text"))
+    nch = F.floor((F.size(w) + 9) / 10).cast("int")
+    lines = F.transform(F.sequence(F.lit(0), nch - 1),
+                        lambda i: F.array_join(F.slice(w, i * 10 + 1, 10), " "))
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
 def _intersect_fixture(spark, first: str, second: str) -> DataFrame:
     import pandarus_spark as ps
     out = ps.intersect(_fixtures(spark, first), _fixtures(spark, second))
@@ -318,15 +328,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
 
     def q_line_dedup_docs(spark, sf_dir):
-        # CCNet-style paragraph dedup; the corpus is newline-free word
-        # soup, so both engines first reshape it into 10-word lines
+        # CCNet-style paragraph dedup over the corpus
+        return D.line_dedup(_docs_as_lines(_docs(spark, sf_dir)), min_count=2)
+
+    def q_line_dedup_doc_scope(spark, sf_dir):
+        # in-document repetition stripping: same reshaping, window
+        # keyed by (doc, line hash) — cross-doc duplicates untouched
+        return D.line_dedup(_docs_as_lines(_docs(spark, sf_dir)),
+                            min_count=2, scope="doc")
+
+    def q_decontam_docs(spark, sf_dir):
+        # benchmark decontamination: every 37th doc doubles as an eval
+        # prompt; shingle overlap flags it (and near-copies) in the corpus
+        from pandarus_spark.operators.decontam import contamination_stats
         docs = _docs(spark, sf_dir)
-        w = D.words(F.col("text"))
-        nch = F.floor((F.size(w) + 9) / 10).cast("int")
-        lines = F.transform(F.sequence(F.lit(0), nch - 1),
-                            lambda i: F.array_join(F.slice(w, i * 10 + 1, 10), " "))
-        docs2 = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
-        return D.line_dedup(docs2, min_count=2)
+        bench = docs.filter(F.col("doc_id") % 37 == 0) \
+                    .select(F.col("doc_id").alias("bid"), "text")
+        out = contamination_stats(docs, bench, k=5)
+        return out.select("doc_id", "n_shingles", "n_hits",
+                          F.col("contaminated").cast("int").alias("contaminated"))
+
+    def q_unigram_logprob_docs(spark, sf_dir):
+        return T.unigram_logprob(_docs(spark, sf_dir))
 
     def q_simhash_neardup_docs(spark, sf_dir):
         return D.simhash_neardup_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 150),
@@ -617,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "line_dedup_docs": q_line_dedup_docs,
+        "line_dedup_doc_scope": q_line_dedup_doc_scope,
+        "decontam_docs": q_decontam_docs,
+        "unigram_logprob_docs": q_unigram_logprob_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "clean_corpus": q_clean_corpus,
         "pricing_summary": q_pricing_summary,
@@ -802,6 +828,17 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
               f"for i in range(0, (len(w)+9)//10)], chr(10)) AS text "
               f"FROM (SELECT doc_id, {_w} AS w FROM documents) t)")
     line_dedup = D.line_dedup_sql(source=_docs2, min_count=2)
+    line_dedup_doc = D.line_dedup_sql(source=_docs2, min_count=2, scope="doc")
+
+    from pandarus_spark.operators.decontam import contamination_stats_sql
+    from pandarus_spark.operators.textstats import unigram_logprob_sql
+    decontam = contamination_stats_sql(
+        docs_source="documents",
+        bench_source="(SELECT doc_id AS bid, text FROM documents "
+                     "WHERE doc_id % 37 = 0)", k=5)
+    decontam = (f"SELECT doc_id, n_shingles, n_hits, "
+                f"CAST(contaminated AS INT) AS contaminated FROM ({decontam})")
+    unigram_lp = unigram_logprob_sql()
 
     q_sql = T.quality_score_sql("text")
     good_sql = (f"SELECT doc_id, text, {q_sql} AS quality FROM documents "
@@ -1060,6 +1097,9 @@ FROM u GROUP BY domain"""
         "simhash_docs": simhash,
         "simhash_neardup_docs": simhash_neardup,
         "line_dedup_docs": line_dedup,
+        "line_dedup_doc_scope": line_dedup_doc,
+        "decontam_docs": decontam,
+        "unigram_logprob_docs": unigram_lp,
         "dup_clusters_docs": dup_clusters,
         "clean_corpus": clean_corpus,
         "pricing_summary": pricing_summary,

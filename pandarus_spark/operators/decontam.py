@@ -1,0 +1,86 @@
+"""Benchmark decontamination (graft addition — no reference analogue;
+a training-data pipeline must remove documents that overlap the eval
+sets it will be judged on, or the benchmark numbers are fiction).
+
+:func:`contamination_stats` counts, per document, how many of its
+distinct k-word shingles appear in ANY benchmark text's shingle set;
+:func:`decontaminate` keeps only unhit documents.  Shingling reuses
+``dedup.word_shingles`` so the Spark and DuckDB renderings stay
+bit-identical.
+
+Plan shape (the 100 TB story): eval benchmarks are tiny (MBs) next to
+the corpus — their distinct shingle set builds on the benchmark side
+only and BROADCASTS; the corpus side explodes its shingles
+partition-locally, left-joins the broadcast set with no shuffle, and
+the per-document hit count partial-aggregates map-side (each document's
+shingles are contiguous in its partition, so the single doc-keyed
+exchange moves exactly one row per document).  The corpus is never
+shuffled on content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles_sql, word_shingles
+
+
+def benchmark_shingles(bench: DataFrame, k: int = 8,
+                       text_col: str = "text") -> DataFrame:
+    """Distinct k-word shingles over every benchmark text — the
+    (small) build side of the contamination join."""
+    return (bench.select(F.explode(word_shingles(F.col(text_col), k))
+                         .alias("shingle"))
+            .distinct())
+
+
+def contamination_stats(docs: DataFrame, bench: DataFrame, k: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination profile: (doc_id, n_shingles,
+    n_hits, contaminated) where n_hits counts the document's distinct
+    shingles that occur anywhere in the benchmark and contaminated is
+    n_hits > 0.  Documents shorter than k words still emit their one
+    truncated shingle (word_shingles semantics), so every input row
+    appears in the output."""
+    bset = benchmark_shingles(bench, k=k, text_col=text_col) \
+        .withColumn("__hit", F.lit(1))
+    sh = docs.select(F.col(id_col),
+                     F.explode(word_shingles(F.col(text_col), k))
+                     .alias("shingle"))
+    joined = sh.join(F.broadcast(bset), "shingle", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("__hit").alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The cleaned corpus: documents sharing NO k-word shingle with the
+    benchmark, original columns intact (left-anti against the hit
+    set, so document payloads never enter the contamination join)."""
+    hits = (contamination_stats(docs, bench, k=k, text_col=text_col,
+                                id_col=id_col)
+            .filter(F.col("contaminated")).select(id_col))
+    return docs.join(hits, id_col, "left_anti")
+
+
+def contamination_stats_sql(docs_source: str = "documents",
+                            bench_source: str = "benchmark", k: int = 8,
+                            text_expr: str = "text",
+                            id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`contamination_stats` (lockstep
+    shingling via :func:`dedup.shingles_sql`)."""
+    dsh = shingles_sql(text_expr, k=k)
+    bsh = shingles_sql(text_expr, k=k)
+    return f"""
+WITH bset AS (
+  SELECT DISTINCT unnest({bsh}) AS shingle FROM {bench_source}),
+dsh AS (
+  SELECT {id_expr} AS doc_id, unnest({dsh}) AS shingle FROM {docs_source})
+SELECT dsh.doc_id, count(*) AS n_shingles,
+       count(bset.shingle) AS n_hits,
+       count(bset.shingle) > 0 AS contaminated
+FROM dsh LEFT JOIN bset USING (shingle)
+GROUP BY dsh.doc_id"""

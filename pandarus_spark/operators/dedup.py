@@ -561,7 +561,8 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 64,
 # ---------------------------------------------------------------------------
 
 def line_dedup(docs: DataFrame, min_count: int = 2, delim: str = "\n",
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+               text_col: str = "text", id_col: str = "doc_id",
+               scope: str = "corpus") -> DataFrame:
     """Corpus-wide line/paragraph-level exact dedup (the CCNet recipe:
     boilerplate — headers, cookie banners, navigation — repeats across
     pages even when whole documents don't).  Every line whose trimmed
@@ -580,13 +581,21 @@ def line_dedup(docs: DataFrame, min_count: int = 2, delim: str = "\n",
     window partition.
 
     Empty lines count like any line (a duplicated blank line drops);
-    NULL text ≡ '' (one empty line)."""
+    NULL text ≡ '' (one empty line).
+
+    ``scope="doc"`` restricts counting and ranking to within each
+    document (in-document repetition stripping — a line repeated
+    across documents is untouched); the window key gains the doc id,
+    so the shuffle count and skew profile are unchanged."""
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
     lines = (docs.select(F.col(id_col),
                          F.posexplode(F.split(nz(F.col(text_col)), delim))
                          .alias("line_no", "line")))
     h = F.md5(F.encode(F.trim(F.col("line")), "utf-8"))
-    wcnt = Window.partitionBy("h")
-    wrank = (Window.partitionBy("h")
+    keys = ["h"] if scope == "corpus" else [id_col, "h"]
+    wcnt = Window.partitionBy(*keys)
+    wrank = (Window.partitionBy(*keys)
              .orderBy(F.col(id_col).asc(), F.col("line_no").asc()))
     ranked = (lines.withColumn("h", h)
               .withColumn("occ", F.count("*").over(wcnt))
@@ -604,9 +613,12 @@ def line_dedup(docs: DataFrame, min_count: int = 2, delim: str = "\n",
 
 def line_dedup_sql(source: str = "documents", min_count: int = 2,
                    delim_sql: str = "chr(10)", text_expr: str = "text",
-                   id_expr: str = "doc_id") -> str:
+                   id_expr: str = "doc_id", scope: str = "corpus") -> str:
     """DuckDB rendering of :func:`line_dedup` (same window semantics;
     ``delim_sql`` is a SQL EXPRESSION — default a literal newline)."""
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
+    part = "md5(trim(line))" if scope == "corpus" else "doc_id, md5(trim(line))"
     return f"""
 WITH docs_l AS (
   SELECT {id_expr} AS doc_id,
@@ -617,8 +629,8 @@ lines AS (
   FROM docs_l, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u),
 ranked AS (
   SELECT doc_id, line_no, line,
-         count(*) OVER (PARTITION BY md5(trim(line))) AS occ,
-         row_number() OVER (PARTITION BY md5(trim(line))
+         count(*) OVER (PARTITION BY {part}) AS occ,
+         row_number() OVER (PARTITION BY {part}
                             ORDER BY doc_id, line_no) AS rnk
   FROM lines)
 SELECT doc_id, count(*) AS n_lines,

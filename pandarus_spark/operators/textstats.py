@@ -218,3 +218,59 @@ def _sql_list(markers: tuple[str, ...]) -> str:
 def fingerprint_sql(t: str) -> str:
     from .dedup import hash60_sql, shingles_sql
     return f"list_min([{hash60_sql('s')} for s in {shingles_sql(t, 2)}])"
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own unigram LM — the CCNet recipe's perplexity proxy (low = common,
+    head-of-distribution text; high = rare-token noise).  Output:
+    (doc_id, n_tokens, nll) with nll in nats, rounded to 6 decimals.
+
+    Cross-engine determinism: float sums are order-dependent, so each
+    token's -ln(p) is first rounded to integer MICRO-nats and the
+    per-document total is an exact int64 sum (order-free), divided and
+    re-rounded at the end — Spark and DuckDB produce identical bits
+    regardless of partitioning or aggregation order.
+
+    Plan shape: tf per (doc, token) is one partial-agg shuffle; the
+    corpus frequency table derives from tf (vocabulary-sized, shuffle
+    keyed on the token — broadcast-eligible at small vocab); the final
+    doc-keyed agg moves one row per (doc, distinct-token).  Every doc
+    appears in the output (empty/NULL text tokenizes to the single ''
+    token, scored like any other)."""
+    from .dedup import words
+    toks = docs.select(F.col(id_col),
+                       F.explode(words(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = freq.agg(F.sum("c").alias("__t"))  # 1-row scalar
+    nll_micro = F.round(F.log(F.col("__t") / F.col("c")) * 1e6, 0).cast("long")
+    scored = (tf.join(freq, "token").crossJoin(F.broadcast(total))
+              .select(id_col, "tf", (F.col("tf") * nll_micro).alias("nll_m")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.round(F.sum("nll_m") / (F.sum("tf") * 1e6), 6).alias("nll")))
+
+
+def unigram_logprob_sql(source: str = "documents", text_expr: str = "text",
+                        id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`unigram_logprob` (same micro-nat
+    integer summation, so the mean is bit-identical)."""
+    w = WORDS_SQL.format(t=text_expr)
+    return f"""
+WITH toks AS (SELECT {id_expr} AS doc_id, unnest({w}) AS token FROM {source}),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+freq AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+t AS (SELECT sum(c) AS t FROM freq),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf * CAST(round(ln(t.t * 1.0 / freq.c) * 1e6, 0) AS BIGINT) AS nll_m
+  FROM tf JOIN freq USING (token), t)
+SELECT doc_id, sum(tf) AS n_tokens,
+       round(sum(nll_m) / (sum(tf) * 1e6), 6) AS nll
+FROM scored GROUP BY doc_id"""

@@ -1,0 +1,133 @@
+"""Tests for benchmark decontamination and the unigram LM scorer
+(graft additions — training-data pipeline surface, no reference
+analogue), plus line_dedup's in-document scope."""
+
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandarus_spark.operators.decontam import (
+    benchmark_shingles, contamination_stats, contamination_stats_sql,
+    decontaminate)
+from pandarus_spark.operators.dedup import line_dedup, line_dedup_sql
+from pandarus_spark.operators.textstats import (
+    unigram_logprob, unigram_logprob_sql)
+
+
+def test_contamination_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),      # contains bench shingle
+         (2, "totally clean document text here"),
+         (3, "short")],                          # < k words: one truncated shingle
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(1, "quick brown fox")],
+                                  "bid long, text string")
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in contamination_stats(docs, bench, k=3).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    clean = sorted(r["doc_id"] for r in decontaminate(docs, bench, k=3).collect())
+    assert clean == [2, 3]
+
+
+def test_benchmark_shingles_distinct(spark):
+    bench = spark.createDataFrame([(1, "a b c a b c"), (2, "a b c")],
+                                  "bid long, text string")
+    got = sorted(r["shingle"] for r in benchmark_shingles(bench, k=3).collect())
+    assert got == ["a b c", "b c a", "c a b"]
+
+
+def test_contamination_duckdb_parity(spark):
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 15)))
+             + (" alpha beta gamma delta" if i % 9 == 0 else ""))
+            for i in range(80)]
+    bench = [(i, " ".join(rng.choice(vocab) for _ in range(6)))
+             for i in range(4)] + [(99, "alpha beta gamma delta epsilon")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "bid long, text string")
+    got = sorted(tuple(r) for r in contamination_stats(ddf, bdf, k=4).collect())
+    con = duckdb.connect()
+    docs_pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    bench_pdf = pd.DataFrame(bench, columns=["bid", "text"])
+    con.register("documents", docs_pdf)
+    con.register("benchmark", bench_pdf)
+    want = sorted(tuple(r) for r in
+                  con.execute(contamination_stats_sql(k=4)).fetchall())
+    assert got == want
+    assert any(r[3] for r in got)  # fixture actually exercises hits
+
+
+def test_unigram_logprob_hand_corpus(spark):
+    # corpus: 6 tokens total — 'a'×3, 'b'×2, 'c'×1
+    docs = spark.createDataFrame([(1, "a a b"), (2, "a b c")],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["nll"])
+           for r in unigram_logprob(docs).collect()}
+
+    def micro(p):  # the operator's integer micro-nat rounding
+        return round(math.log(1.0 / p) * 1e6)
+
+    nll1 = round((2 * micro(3 / 6) + micro(2 / 6)) / (3 * 1e6), 6)
+    nll2 = round((micro(3 / 6) + micro(2 / 6) + micro(1 / 6)) / (3 * 1e6), 6)
+    assert out == {1: (3, nll1), 2: (3, nll2)}
+    # rarer tokens -> higher mean NLL
+    assert out[2][1] > out[1][1]
+
+
+def test_unigram_logprob_partition_invariance(spark):
+    rng = random.Random(31)
+    docs = [(i, " ".join(f"t{rng.randrange(20)}" for _ in range(10)))
+            for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(tuple(r) for r in unigram_logprob(df).collect())
+    b = sorted(tuple(r) for r in unigram_logprob(df.repartition(7)).collect())
+    assert a == b  # integer micro-nat sums: order-free, bit-identical
+
+
+def test_unigram_logprob_duckdb_parity(spark):
+    rng = random.Random(37)
+    docs = [(i, " ".join(f"t{rng.randrange(15)}"
+                         for _ in range(rng.randrange(1, 12))))
+            for i in range(60)] + [(999, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in unigram_logprob(df).collect())
+    con = duckdb.connect()
+    docs_pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    con.register("documents", docs_pdf)
+    want = sorted(tuple(r) for r in
+                  con.execute(unigram_logprob_sql()).fetchall())
+    assert got == want
+
+
+def test_line_dedup_doc_scope(spark):
+    docs = spark.createDataFrame([(1, "x\ny\nx"), (2, "x\nz")],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r["n_kept"]
+           for r in line_dedup(docs, scope="doc").collect()}
+    # doc1's second 'x' drops; doc2's 'x' is untouched (cross-doc)
+    assert out == {1: 2, 2: 2}
+    corpus = {r["doc_id"]: r["n_kept"]
+              for r in line_dedup(docs, scope="corpus").collect()}
+    assert corpus == {1: 2, 2: 1}  # corpus scope also strips doc2's 'x'
+    con = duckdb.connect()
+    docs_pdf = pd.DataFrame([(1, "x\ny\nx"), (2, "x\nz")],
+                            columns=["doc_id", "text"])
+    con.register("documents", docs_pdf)
+    w = {r[0]: r[2] for r in
+         con.execute(line_dedup_sql(scope="doc")).fetchall()}
+    assert w == out
+
+
+def test_line_dedup_scope_validation(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="scope"):
+        line_dedup(docs, scope="global")
+    with pytest.raises(ValueError, match="scope"):
+        line_dedup_sql(scope="global")

@@ -305,3 +305,39 @@ def test_line_dedup_plan_two_shuffles_no_join(spark):
     assert "Join" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_decontam_plan_broadcast_bench_partial_agg(spark):
+    """Contamination join: the (small) benchmark shingle set must
+    broadcast — the corpus side is never shuffled on content, and the
+    per-doc hit count partial-aggregates map-side before the single
+    doc-keyed exchange (decontam.py docstring)."""
+    from pandarus_spark.operators.decontam import contamination_stats
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 17).cast("string"),
+                 F.lit(" x y z w"), (F.col("id") % 5).cast("string")).alias("text"))
+    bench = docs.filter(F.col("doc_id") % 37 == 0) \
+                .select(F.col("doc_id").alias("bid"), "text")
+    plan = plan_of(contamination_stats(docs, bench, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unigram_logprob_plan_jvm_partial_agg(spark):
+    """Unigram LM scoring stays fully JVM-side with partial aggregation
+    at every groupBy (textstats.py unigram_logprob docstring)."""
+    from pandarus_spark.operators.textstats import unigram_logprob
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 13).cast("string"),
+                 F.lit(" common tail"),
+                 (F.col("id") % 3).cast("string")).alias("text"))
+    plan = plan_of(unigram_logprob(docs))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # the scalar total broadcasts
