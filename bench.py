@@ -544,6 +544,40 @@ def job_curation_scale(spark, n: int) -> dict:
     return out
 
 
+def job_decontam_scale(spark, n: int) -> dict:
+    """Decontamination + unigram-LM throughput at scale.  The eval set
+    is a tiny deterministic slice of the corpus (~n/997 docs), so its
+    shingle set builds small and BROADCASTS; the corpus side explodes
+    shingles partition-locally and never shuffles on content (the
+    doc-keyed hit agg moves one row per document).  unigram_logprob is
+    two partial-agg shuffles (doc-token tf, vocabulary freq) plus one
+    broadcast scalar.  Each phase forced with the noop write so the
+    regex/shingle/NLL columns cannot be pruned out of the timing."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators import decontam as DC
+    from pandarus_spark.operators.textstats import unigram_logprob
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+    bench = docs.filter(F.col("doc_id") % 997 == 3).select("text")
+    out: dict = {"docs": n, "bench_docs": bench.count()}
+
+    t0 = time.perf_counter()
+    stats = DC.contamination_stats(docs, bench, k=8)
+    _force(stats)
+    out["decontam_sec"] = round(time.perf_counter() - t0, 3)
+    out["contaminated"] = stats.filter(F.col("contaminated")).count()
+
+    t0 = time.perf_counter()
+    lm = unigram_logprob(docs)
+    _force(lm)
+    out["unigram_sec"] = round(time.perf_counter() - t0, 3)
+    out["lm_rows"] = lm.count()
+
+    docs.unpersist()
+    return out
+
+
 def synthetic_events(spark, n: int, partitions: int = 64):
     """Deterministic synthetic event stream: n rows over 10k users,
     5 event types, monotone-ish timestamps with per-row jitter."""
@@ -605,7 +639,8 @@ def main() -> None:
     ap.add_argument("--job", default="headline",
                     choices=["headline", "overlay_scale", "overlay_skew",
                              "zonal_scale", "dedup_scale", "refine_shapes",
-                             "curation_scale", "asof_scale"])
+                             "curation_scale", "asof_scale",
+                             "decontam_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=3,
@@ -659,6 +694,22 @@ def main() -> None:
             "sf": args.n, "cpus": cpus,
             "near_dup_pairs": res["near_dup_pairs"],
             "clusters": res["clusters"],
+            "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "decontam_scale":
+        res = job_decontam_scale(spark, args.n)
+        total = res["decontam_sec"] + res["unigram_sec"]
+        emit({
+            "metric": "decontam_plus_unigram_lm",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"decontam": res["decontam_sec"],
+                        "unigram_lm": res["unigram_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "bench_docs": res["bench_docs"],
+            "contaminated": res["contaminated"], "lm_rows": res["lm_rows"],
             "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()
