@@ -161,13 +161,21 @@ def tf_idf(docs: DataFrame, text_col: str = "text",
     because it is reproducible in pure SQL.  N is the TOTAL document
     count (including empty docs).  Two shuffles: per-(doc, token)
     counts, then the token-keyed doc-frequency join; the df table is
-    vocabulary-sized and broadcast-eligible."""
+    vocabulary-sized and broadcast-eligible.  The ln is
+    ``detmath.det_ln`` (correctly-rounded arithmetic only) evaluated on
+    the vocab-sized df table, so the 6-decimal rounding can never
+    diverge from the DuckDB oracle by a libm ulp (VERDICT.md r3 #1/#2),
+    and the transcendental runs per vocab entry, not per (doc, token)."""
+    from ..functions.detmath import det_ln_col
     toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     df_tab = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("__n"))  # 1-row scalar, broadcast below
-    idf_raw = F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1
-    return (tf.join(df_tab, "token").crossJoin(F.broadcast(n))
+    idf_tab = (df_tab.crossJoin(F.broadcast(n))
+               .select("token",
+                       (det_ln_col("__n + 1", "df + 1") + 1).alias("__idf_raw")))
+    idf_raw = F.col("__idf_raw")
+    return (tf.join(idf_tab, "token")
             .select(id_col, "token", "tf",
                     F.round(idf_raw, 6).alias("idf"),
                     F.round(F.col("tf") * idf_raw, 6).alias("tf_idf")))
@@ -175,16 +183,19 @@ def tf_idf(docs: DataFrame, text_col: str = "text",
 
 def tf_idf_sql(source: str = "documents", text_expr: str = "text",
                id_expr: str = "doc_id") -> str:
+    from ..functions.detmath import det_ln_sql
     w = WORDS_SQL.format(t=text_expr)
+    idf_raw = f"({det_ln_sql('n.n + 1', 'dfr.df + 1', 'duckdb')} + 1)"
     return f"""
 WITH toks AS (SELECT {id_expr} AS doc_id, unnest({w}) AS token FROM {source}),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
 dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-n AS (SELECT count(*) AS n FROM {source})
+n AS (SELECT count(*) AS n FROM {source}),
+idf_tab AS (SELECT dfr.token, {idf_raw} AS idf_raw FROM dfr, n)
 SELECT tf.doc_id, tf.token, tf.tf,
-       round(ln((n.n + 1) * 1.0 / (dfr.df + 1)) + 1, 6) AS idf,
-       round(tf.tf * (ln((n.n + 1) * 1.0 / (dfr.df + 1)) + 1), 6) AS tf_idf
-FROM tf JOIN dfr USING (token), n"""
+       round(it.idf_raw, 6) AS idf,
+       round(tf.tf * it.idf_raw, 6) AS tf_idf
+FROM tf JOIN idf_tab it USING (token)"""
 
 
 # ---------------------------------------------------------------------------
@@ -231,27 +242,33 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     head-of-distribution text; high = rare-token noise).  Output:
     (doc_id, n_tokens, nll) with nll in nats, rounded to 6 decimals.
 
-    Cross-engine determinism: float sums are order-dependent, so each
-    token's -ln(p) is first rounded to integer MICRO-nats and the
-    per-document total is an exact int64 sum (order-free), divided and
-    re-rounded at the end — Spark and DuckDB produce identical bits
-    regardless of partitioning or aggregation order.
+    Cross-engine determinism (two layers, both required): (1) float
+    sums are order-dependent, so each token's -ln(p) is first rounded
+    to integer MICRO-nats and the per-document total is an exact int64
+    sum (order-free); (2) the ln itself is ``detmath.det_ln_micro``,
+    built from correctly-rounded arithmetic only — libm ``ln`` differs
+    by 1 ulp across engines and flipped the micro-nat rounding of this
+    very operator in the round-3 driver gate (VERDICT.md r3 #1).
 
     Plan shape: tf per (doc, token) is one partial-agg shuffle; the
     corpus frequency table derives from tf (vocabulary-sized, shuffle
-    keyed on the token — broadcast-eligible at small vocab); the final
-    doc-keyed agg moves one row per (doc, distinct-token).  Every doc
-    appears in the output (empty/NULL text tokenizes to the single ''
-    token, scored like any other)."""
+    keyed on the token — broadcast-eligible at small vocab); the
+    micro-nat ln is evaluated on the VOCAB-sized freq table, not per
+    (doc, token) row; the final doc-keyed agg moves one row per
+    (doc, distinct-token).  Every doc appears in the output
+    (empty/NULL text tokenizes to the single '' token, scored like
+    any other)."""
+    from ..functions.detmath import det_ln_micro_col
     from .dedup import words
     toks = docs.select(F.col(id_col),
                        F.explode(words(F.col(text_col))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     freq = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     total = freq.agg(F.sum("c").alias("__t"))  # 1-row scalar
-    nll_micro = F.round(F.log(F.col("__t") / F.col("c")) * 1e6, 0).cast("long")
-    scored = (tf.join(freq, "token").crossJoin(F.broadcast(total))
-              .select(id_col, "tf", (F.col("tf") * nll_micro).alias("nll_m")))
+    scored_tok = (freq.crossJoin(F.broadcast(total))
+                  .select("token", det_ln_micro_col("__t", "c").alias("__nll_m1")))
+    scored = (tf.join(scored_tok, "token")
+              .select(id_col, "tf", (F.col("tf") * F.col("__nll_m1")).alias("nll_m")))
     return (scored.groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  F.round(F.sum("nll_m") / (F.sum("tf") * 1e6), 6).alias("nll")))
@@ -260,17 +277,20 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
 def unigram_logprob_sql(source: str = "documents", text_expr: str = "text",
                         id_expr: str = "doc_id") -> str:
     """DuckDB rendering of :func:`unigram_logprob` (same micro-nat
-    integer summation, so the mean is bit-identical)."""
+    integer summation AND the same correctly-rounded-arithmetic ln from
+    ``functions/detmath.py``, so the mean is bit-identical — no libm)."""
+    from ..functions.detmath import det_ln_micro_sql
     w = WORDS_SQL.format(t=text_expr)
+    nll_m1 = det_ln_micro_sql("t.t", "freq.c", "duckdb")
     return f"""
 WITH toks AS (SELECT {id_expr} AS doc_id, unnest({w}) AS token FROM {source}),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
 freq AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
 t AS (SELECT sum(c) AS t FROM freq),
+scored_tok AS (SELECT freq.token, {nll_m1} AS nll_m1 FROM freq, t),
 scored AS (
-  SELECT tf.doc_id, tf.tf,
-         tf.tf * CAST(round(ln(t.t * 1.0 / freq.c) * 1e6, 0) AS BIGINT) AS nll_m
-  FROM tf JOIN freq USING (token), t)
+  SELECT tf.doc_id, tf.tf, tf.tf * st.nll_m1 AS nll_m
+  FROM tf JOIN scored_tok st USING (token))
 SELECT doc_id, sum(tf) AS n_tokens,
        round(sum(nll_m) / (sum(tf) * 1e6), 6) AS nll
 FROM scored GROUP BY doc_id"""
