@@ -319,10 +319,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      k=3, threshold=0.2)
 
     def q_lsh_pairs_docs(spark, sf_dir):
-        # no SQL oracle: LSH recall < 1 by construction (rows-only check);
-        # exactness of surviving pairs is covered by q_ngram_jaccard_docs
+        # value-exact since round 4: D.minhash_lsh_sql reproduces the
+        # FULL banded pipeline in DuckDB (r3 verdict #5)
         return D.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8,
                                    threshold=0.2)
+
+    def q_lsh_recall_docs(spark, sf_dir):
+        # measured-recall gate (r3 verdict #5): the LSH pair set vs the
+        # exact all-pairs baseline, recall pinned as driver-hashed
+        # values (floor asserted in tests/test_pipeline_ops.py)
+        docs = _docs(spark, sf_dir)
+        lsh = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.2) \
+            .select("doc_a", "doc_b", F.lit(1).alias("_l"))
+        true = D.ngram_jaccard_pairs(docs, k=3, threshold=0.2) \
+            .select("doc_a", "doc_b", F.lit(1).alias("_t"))
+        j = lsh.join(true, ["doc_a", "doc_b"], "full_outer")
+        return (j.agg(F.sum("_t").alias("n_true"), F.sum("_l").alias("n_lsh"),
+                      F.sum(F.when(F.col("_l").isNotNull()
+                                   & F.col("_t").isNotNull(), 1)
+                            .otherwise(0)).alias("n_hit"))
+                .select("n_true", "n_lsh", "n_hit",
+                        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall")))
 
     def q_simhash_docs(spark, sf_dir):
         return D.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
@@ -458,12 +475,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          n_tables=16, n_planes=3)
 
     def q_ann_lsh_embeddings(spark, sf_dir):
-        # approximate by construction — rows-only check; subset-of-bruteforce
-        # is asserted in tests/test_pipeline_ops.py
+        # value-exact since round 4: S.ann_lsh_sql reproduces the seeded
+        # plane literals + bucket join + window top-k in DuckDB (r3
+        # verdict #5); subset-of-bruteforce additionally asserted in
+        # tests/test_pipeline_ops.py
         emb = _emb(spark, sf_dir)
         q = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
         return S.ann_lsh_topk(emb, q, k=3, n_planes=6, dim=64)
+
+    def q_ann_multiprobe_embeddings(spark, sf_dir):
+        # multi-table SRP union — the configuration that actually
+        # reaches high recall (16 tables x 4 planes: measured recall
+        # 1.0 on this corpus); value-exact vs S.ann_multiprobe_sql
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        return S.ann_lsh_multiprobe_topk(emb, q, k=3, n_tables=16,
+                                         n_planes=4, dim=64)
+
+    def q_ann_recall_embeddings(spark, sf_dir):
+        # measured recall@k of the multi-probe SRP-LSH path vs brute
+        # force, pinned as driver-hashed values (r3 verdict #5); floor
+        # asserted in tests/test_pipeline_ops.py
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        brute = S.cosine_topk(emb, q, k=3) \
+            .select("query_id", "neighbor_id", F.lit(1).alias("_b"))
+        ann = S.ann_lsh_multiprobe_topk(emb, q, k=3, n_tables=16,
+                                        n_planes=4, dim=64) \
+            .select("query_id", "neighbor_id", F.lit(1).alias("_a"))
+        j = brute.join(ann, ["query_id", "neighbor_id"], "full_outer")
+        return (j.agg(F.sum("_b").alias("n_brute"), F.sum("_a").alias("n_ann"),
+                      F.sum(F.when(F.col("_a").isNotNull()
+                                   & F.col("_b").isNotNull(), 1)
+                            .otherwise(0)).alias("n_hit"))
+                .select("n_brute", "n_ann", "n_hit",
+                        F.round(F.col("n_hit") / F.col("n_brute"), 6)
+                        .alias("recall")))
 
     def q_ann_ivf_embeddings(spark, sf_dir):
         # full probe (nprobe == n_centroids) → exactly brute-force top-k,
@@ -583,6 +633,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             bucket_seconds=1800.0)
         return out.select("click_id", "purchase_id")
 
+    def q_events_session_rows(spark, sf_dir):
+        # per-session rows (gaps-and-islands) — the batch twin of the
+        # streaming sessionizer's output shape
+        from pandarus_spark.operators.windows import session_rows
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return session_rows(ev.select("user_id", "ts"), gap_seconds=1800.0)
+
+    def q_stream_sessions(spark, sf_dir):
+        # deterministic streaming replay gate (r3 verdict #7): the
+        # stateful sessionizer over the events parquet with an
+        # availableNow trigger and a fresh checkpoint.  The emitted set
+        # is exactly the sessions the final watermark (max event time
+        # ms-truncated, minus the 10-minute delay) has released —
+        # reproduced in the oracle by the batch session_rows SQL plus
+        # the same integer-microsecond release predicate.
+        import os
+        import shutil
+        import tempfile
+
+        from pandarus_spark.streaming.stream import stream_sessionize
+        ev_path = f"{sf_dir}/events.parquet"
+        schema = spark.read.parquet(ev_path).schema
+        # the file-stream source wants a directory; testdata is a file
+        src = tempfile.mkdtemp(prefix="ps_stream_src_")
+        shutil.copy(ev_path, os.path.join(src, "events.parquet"))
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_sessionize(stream.select("user_id", "ts"),
+                                gap_seconds=1800.0, watermark="10 minutes")
+        rows = []
+
+        def sink(df, _epoch):
+            rows.extend(df.collect())
+
+        ck = tempfile.mkdtemp(prefix="ps_stream_ck_")
+        qy = (out.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", ck)
+              .trigger(availableNow=True).start())
+        qy.awaitTermination(300)
+        return spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, "
+                  "session_end timestamp, n_events long")
+
     def q_url_normalize_docs(spark, sf_dir):
         # URL canonicalization + registrable-domain extraction over a
         # deterministic messy-URL column (userinfo, WWW, default port,
@@ -637,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs_docs": q_minhash_sigs_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lsh_pairs_docs": q_lsh_pairs_docs,
+        "lsh_recall_docs": q_lsh_recall_docs,
         "simhash_docs": q_simhash_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "line_dedup_docs": q_line_dedup_docs,
@@ -655,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
         "cosine_neardup_bucketed": q_cosine_neardup_bucketed,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_multiprobe_embeddings": q_ann_multiprobe_embeddings,
+        "ann_recall_embeddings": q_ann_recall_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -667,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_docs": q_tf_idf_docs,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
+        "events_session_rows": q_events_session_rows,
+        "stream_sessions": q_stream_sessions,
         "url_normalize_docs": q_url_normalize_docs,
         "domain_stats_docs": q_domain_stats_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -938,12 +1035,20 @@ p AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
 
-    # deterministic synthetic media: precompute expected metadata rows
+    # deterministic synthetic media: precompute expected metadata rows.
+    # Float literals go through CAST('<repr>' AS DOUBLE): a bare float
+    # in a VALUES list parses as DECIMAL first, and the DECIMAL→DOUBLE
+    # round-trip loses the low bits (caught by the round-4 exact-mode
+    # checker: 126.96969696969697 became ...95) — the string→double
+    # parse is correctly rounded, so the repr round-trips exactly.
+    def _dlit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
     media_rows = []
     for i in range(16):
         b = M.encode_fake(8 + i % 8, 8 + (i * 3) % 8, seed=i)
         fmt, w, h2, mean = M._decode_one(b)
-        media_rows.append(f"({i}, 'image', 'fake', {w}, {h2}, {len(b)}, {mean!r})")
+        media_rows.append(f"({i}, 'image', 'fake', {w}, {h2}, {len(b)}, {_dlit(mean)})")
     multimodal = ("SELECT CAST(media_id AS BIGINT) AS media_id, kind, format, "
                   "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
                   "CAST(n_bytes AS INT) AS n_bytes, CAST(mean_value AS DOUBLE) AS mean_value "
@@ -962,7 +1067,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         else:
             w, h2 = src.shape[0], src.shape[1]  # frames, channels
         real_rows.append(f"({i}, {kind!r}, {fmt!r}, {w}, {h2}, {len(b)}, "
-                         f"{float(src.mean())!r})")
+                         f"{_dlit(float(src.mean()))})")
     multimodal_real = ("SELECT CAST(media_id AS BIGINT) AS media_id, kind, format, "
                        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
                        "CAST(n_bytes AS INT) AS n_bytes, "
@@ -984,7 +1089,7 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         resized = payload[_np.ix_(yi, xi)]
         rb = M.MAGIC + _struct.pack(">II", 4, 4) + resized.tobytes()
         _, rw, rh, rmean = M._decode_one(rb)
-        resize_rows.append(f"({i}, 'image', 'fake', {rw}, {rh}, {len(rb)}, {rmean!r})")
+        resize_rows.append(f"({i}, 'image', 'fake', {rw}, {rh}, {len(rb)}, {_dlit(rmean)})")
         n_frames = len(range(0, h, 2))
         frame_rows.append(f"({i}, {n_frames}, {max(range(0, h, 2))})")
     multimodal_resize = ("SELECT CAST(media_id AS BIGINT) AS media_id, kind, format, "
@@ -1007,8 +1112,8 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"""
         for wno, start in enumerate(range(0, len(pcm), 16)):
             seg = pcm[start:start + 16]
             audio_rows.append(f"({i}, {wno}, {len(seg)}, "
-                              f"{round(float(_np.sqrt(_np.mean(seg ** 2))), 6)!r}, "
-                              f"{float(seg.max())!r})")
+                              f"{_dlit(round(float(_np.sqrt(_np.mean(seg ** 2))), 6))}, "
+                              f"{_dlit(float(seg.max()))})")
     multimodal_audio = ("SELECT CAST(media_id AS BIGINT) AS media_id, "
                         "CAST(window_no AS INT) AS window_no, "
                         "CAST(n_samples AS INT) AS n_samples, "
@@ -1073,6 +1178,56 @@ FROM u GROUP BY domain"""
 
     source_profile = C.source_profile_sql()
 
+    # --- round-4 lockstep oracles for the formerly rows-only gates ----------
+    lsh_pairs = D.minhash_lsh_sql(num_hashes=16, bands=8, k=3, threshold=0.2)
+
+    ngram_all = f"""
+WITH shx AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2"""
+
+    lsh_recall = f"""
+WITH lshp AS (SELECT doc_a, doc_b FROM ({lsh_pairs}) z),
+tru AS ({ngram_all})
+SELECT t.n AS n_true, l.n AS n_lsh, h.n AS n_hit,
+       round(h.n * 1.0 / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM tru) t,
+     (SELECT count(*) AS n FROM lshp) l,
+     (SELECT count(*) AS n FROM lshp JOIN tru USING (doc_a, doc_b)) h"""
+
+    ann_lsh = S.ann_lsh_sql(k=3, n_planes=6, seed=7, dim=64)
+    ann_multiprobe = S.ann_multiprobe_sql(k=3, n_tables=16, n_planes=4,
+                                          seed=7, dim=64)
+
+    ann_recall = f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({cosine_topk}) z),
+ann AS (SELECT query_id, neighbor_id FROM ({ann_multiprobe}) z)
+SELECT b.n AS n_brute, a.n AS n_ann, h.n AS n_hit,
+       round(h.n * 1.0 / b.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM brute) b,
+     (SELECT count(*) AS n FROM ann) a,
+     (SELECT count(*) AS n FROM ann JOIN brute USING (query_id, neighbor_id)) h"""
+
+    # --- streaming replay + batch session-rows oracles ----------------------
+    from pandarus_spark.operators.windows import session_rows_sql
+    session_rows_oracle = session_rows_sql("events")
+
+    # release predicate in exact integer microseconds: the streaming
+    # watermark is the ms-truncated max event time minus the 10-minute
+    # delay; a session is emitted iff session_end + gap < watermark
+    stream_sessions = f"""
+WITH s AS ({session_rows_oracle}),
+wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) AS wm_ms FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM s, wm
+WHERE epoch_us(session_end) + 1800 * 1000000 < wm_ms * 1000"""
+
     return {
         "intersect_grid_square": grid_square,
         "intersect_outside_grid": outside_grid,
@@ -1094,6 +1249,8 @@ FROM u GROUP BY domain"""
         "exact_dedup_docs": exact_dedup,
         "minhash_sigs_docs": minhash,
         "ngram_jaccard_docs": ngram_jaccard,
+        "lsh_pairs_docs": lsh_pairs,
+        "lsh_recall_docs": lsh_recall,
         "simhash_docs": simhash,
         "simhash_neardup_docs": simhash_neardup,
         "line_dedup_docs": line_dedup,
@@ -1114,6 +1271,9 @@ FROM u GROUP BY domain"""
         # brute-force pair set, so it shares the full value oracle
         "cosine_neardup_bucketed": cosine_neardup,
         "ann_ivf_embeddings": cosine_topk,  # full probe == brute force
+        "ann_lsh_embeddings": ann_lsh,
+        "ann_multiprobe_embeddings": ann_multiprobe,
+        "ann_recall_embeddings": ann_recall,
 
         "multimodal_decode": multimodal,
         "multimodal_real_codecs": multimodal_real,
@@ -1129,6 +1289,8 @@ FROM documents WHERE doc_id < 200""",
         "tf_idf_docs": tf_idf,
         "events_asof": events_asof,
         "events_interval_join": events_interval,
+        "events_session_rows": session_rows_oracle,
+        "stream_sessions": stream_sessions,
         "url_normalize_docs": url_normalize,
         "domain_stats_docs": domain_stats,
         "stratified_sample_docs": stratified_sample,
@@ -1136,6 +1298,6 @@ FROM documents WHERE doc_id < 200""",
         "pii_stats_docs": pii_stats,
         "source_profile_docs": source_profile,
         "flagship_overlay": _flagship_oracle(),
-        # omitted (approximate / non-SQL-expressible): lsh_pairs_docs,
-        # ann_lsh_embeddings
+        # every queries() entry has a value oracle as of round 4 (the
+        # formerly rows-only LSH/ANN gates gained lockstep banded SQL)
     }

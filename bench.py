@@ -562,17 +562,22 @@ def job_decontam_scale(spark, n: int) -> dict:
     bench = docs.filter(F.col("doc_id") % 997 == 3).select("text")
     out: dict = {"docs": n, "bench_docs": bench.count()}
 
+    # persist before forcing so the untimed metadata counts below read
+    # the cached result instead of recomputing the whole pipeline
+    # (r3 ADVICE: the counts roughly doubled job wall time at large n)
     t0 = time.perf_counter()
-    stats = DC.contamination_stats(docs, bench, k=8)
+    stats = DC.contamination_stats(docs, bench, k=8).persist()
     _force(stats)
     out["decontam_sec"] = round(time.perf_counter() - t0, 3)
     out["contaminated"] = stats.filter(F.col("contaminated")).count()
+    stats.unpersist()
 
     t0 = time.perf_counter()
-    lm = unigram_logprob(docs)
+    lm = unigram_logprob(docs).persist()
     _force(lm)
     out["unigram_sec"] = round(time.perf_counter() - t0, 3)
     out["lm_rows"] = lm.count()
+    lm.unpersist()
 
     docs.unpersist()
     return out

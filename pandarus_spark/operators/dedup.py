@@ -113,6 +113,91 @@ def shingles_sql(text_expr: str, k: int = 3) -> str:
             f"for i in range(1, greatest(len({w})-{k - 2}, 2))])")
 
 
+# --- rolling-hash shingle ids (round-4 design item: k>=5 shingles) ---------
+#
+# word_shingles materializes each k-word shingle STRING through a
+# zip_with chain that re-concatenates the growing prefix — O(k²) string
+# bytes per shingle.  Fine at minhash's k=3; at decontam's k=8 the
+# shingle expression alone was 9.3 s of a 15.6 s operator (BASELINE.md
+# r3 "decontam_scale", with the O(k) transform/slice string rewrite
+# measured 3.5× SLOWER — interpreted lambda).  The real fix: consumers
+# that only need shingle IDENTITY (set membership) get a 62-bit shingle
+# id built incrementally from per-word hashes — one md5 per WORD, then
+# k-1 zip_with steps of pure integer arithmetic per lane, zero string
+# allocation, and the exploded join key is a long, not a ~50-byte
+# string.  Two independent 31-bit lanes (hash60 / hash60b word hashes —
+# ONE md5, two hex ranges — with different polynomial bases) combine as
+# ``h1 * 2^31 + h2``: every intermediate stays < 2^62, so ANSI-mode
+# long arithmetic cannot overflow, and the collision rate is 2^-62 per
+# shingle pair.  DuckDB rendering is the same recurrence unrolled, so
+# the oracle stays value-exact by construction.
+
+SHINGLE_B1 = 1_000_003       # polynomial bases, both < P so a*B+b < 2^62
+SHINGLE_B2 = 16_777_619
+
+
+def _rolling_lane(hs: Column, k: int, m: Column, base: int) -> Column:
+    """acc_i = fold over j of (acc*B + h[i+j]) % P, skipping the
+    null-padding past a short text's end (mirrors concat_ws skipping
+    nulls in the string kernel, so truncated-shingle semantics match
+    word_shingles exactly)."""
+    acc = F.slice(hs, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(hs, 1 + j, m),
+            lambda a, b: F.when(b.isNull(), a)
+                          .otherwise(F.pmod(a * base + b, F.lit(MINHASH_P))))
+    return acc
+
+
+def word_shingle_ids(col: Column, k: int = 8) -> Column:
+    """Distinct 62-bit k-word shingle ids (array<long>) — the
+    identity-only twin of :func:`word_shingles` for k ≥ 5 consumers
+    (decontamination, overlap counting).  Same tokenization, same
+    truncated-shingle clamping for short texts; the value is a hash,
+    not the shingle text."""
+    w = words(col)
+    m = F.greatest(F.size(w) - (k - 1), F.lit(1))
+    h1 = F.transform(w, lambda s: hash60(s) % MINHASH_P)
+    h2 = F.transform(w, lambda s: hash60b(s) % MINHASH_P)
+    lane1 = _rolling_lane(h1, k, m, SHINGLE_B1)
+    lane2 = _rolling_lane(h2, k, m, SHINGLE_B2)
+    combined = F.zip_with(lane1, lane2,
+                          lambda a, b: a * F.lit(1 << 31).cast("long") + b)
+    return F.array_distinct(combined)
+
+
+def shingle_id_lanes_sql(text_expr: str) -> tuple[str, str]:
+    """The two per-word hash-lane arrays as DuckDB expressions — bind
+    them ONCE per row (``SELECT ... AS h1, ... AS h2``) and feed the
+    column names to :func:`shingle_ids_over_sql`, so the md5 arrays
+    are not recomputed per unrolled term."""
+    w = WORDS_SQL.format(t=text_expr)
+    return (f"[{hash60_sql('s')} % {MINHASH_P} for s in {w}]",
+            f"[{hash60b_sql('s')} % {MINHASH_P} for s in {w}]")
+
+
+def shingle_ids_over_sql(h1_col: str = "h1", h2_col: str = "h2",
+                         k: int = 8) -> str:
+    """DuckDB rendering of :func:`word_shingle_ids` over pre-bound lane
+    columns: the identical two-lane recurrence unrolled per shingle
+    index (list indexing past the end yields NULL, skipped exactly like
+    the Spark lane's null-padding guard)."""
+
+    def lane(arr: str, base: int) -> str:
+        acc = f"{arr}[i]"
+        for j in range(1, k):
+            nxt = f"{arr}[i+{j}]"
+            acc = (f"(CASE WHEN {nxt} IS NULL THEN {acc} "
+                   f"ELSE ({acc} * {base} + {nxt}) % {MINHASH_P} END)")
+        return acc
+
+    body = (f"({lane(h1_col, SHINGLE_B1)}) * {1 << 31} "
+            f"+ ({lane(h2_col, SHINGLE_B2)})")
+    return (f"list_distinct([{body} "
+            f"for i in range(1, greatest(len({h1_col})-{k - 1}, 1) + 1)])")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -292,6 +377,56 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
            .select("doc_a", "doc_b",
                    F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6).alias("jaccard")))
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_sql(num_hashes: int = 16, bands: int = 8, k: int = 3,
+                    threshold: float = 0.5, source: str = "documents",
+                    text_expr: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB lockstep oracle for :func:`minhash_lsh_pairs` — the FULL
+    pipeline, not just the exact-Jaccard twin: exact-dup collapse,
+    one-hash+affine MinHash signatures (shared literals via
+    :func:`minhash_coeffs`), banded candidates, exact shingle-Jaccard
+    verification, member expansion.  Banding compares the
+    rows-per-band signature values directly where Spark joins on an
+    ``xxhash64`` of them — identical candidate sets unless xxhash64
+    produces a cross-band 64-bit collision whose pair ALSO passes exact
+    verification (~2⁻⁶⁴ per candidate; the driver hash would surface
+    it).  This upgrades the round-3 rows-only gate to value-exact
+    (VERDICT.md r3 next-round item #5)."""
+    rows_per_band = num_hashes // bands
+    sh = shingles_sql(text_expr, k)
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.s{b * rows_per_band + r} = b.s{b * rows_per_band + r}"
+                           for r in range(rows_per_band)) + ")"
+        for b in range(bands))
+    sigs = minhash_sql(num_hashes, source="rep_docs", text_expr=text_expr,
+                       id_col=id_col, k=k)
+    return f"""
+WITH members AS (SELECT {id_col}, md5({text_expr}) AS t FROM {source}),
+reps AS (SELECT t, min({id_col}) AS {id_col} FROM members GROUP BY t),
+rep_docs AS (SELECT r.{id_col}, d.{text_expr}
+             FROM reps r JOIN {source} d USING ({id_col})),
+sh AS (SELECT {id_col}, {sh} AS sh FROM rep_docs),
+sigs AS ({sigs}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+  FROM sigs a JOIN sigs b ON a.{id_col} < b.{id_col} AND ({band_conds})),
+rep_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(x.sh, y.sh)) * 1.0
+               / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+  FROM cand c JOIN sh x ON x.{id_col} = c.doc_a
+              JOIN sh y ON y.{id_col} = c.doc_b),
+rp AS (SELECT * FROM rep_pairs WHERE jaccard >= {threshold}),
+m AS (SELECT mm.{id_col} AS m, r.{id_col} AS rep
+      FROM members mm JOIN reps r ON mm.t = r.t),
+cross_p AS (
+  SELECT least(ma.m, mb.m) AS doc_a, greatest(ma.m, mb.m) AS doc_b, p.jaccard
+  FROM rp p JOIN m ma ON ma.rep = p.doc_a JOIN m mb ON mb.rep = p.doc_b),
+intra AS (
+  SELECT x.m AS doc_a, y.m AS doc_b, 1.0 AS jaccard
+  FROM m x JOIN m y ON x.rep = y.rep AND x.m < y.m)
+SELECT * FROM cross_p UNION ALL SELECT * FROM intra"""
 
 
 # ---------------------------------------------------------------------------

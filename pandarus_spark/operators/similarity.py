@@ -372,6 +372,123 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def ann_lsh_multiprobe_topk(embeddings: DataFrame, queries: DataFrame,
+                            k: int = 3, n_tables: int = 16, n_planes: int = 4,
+                            seed: int = 7, dim: int | None = None,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            qid_col: str = "query_id", qvec_col: str = "qvec",
+                            exclude_self: bool = True,
+                            literal_max: int = 4096) -> DataFrame:
+    """Multi-probe ANN top-k — :func:`ann_lsh_topk` with ``n_tables``
+    independent SRP tables (seeds ``seed..seed+n_tables-1``) and the
+    candidate union across tables, which is how SRP-LSH actually
+    reaches high recall (per-pair miss probability decays as
+    ``(1 - (1-θ/π)^planes)^tables``).  Candidate generation is the same
+    ids-only (t, bucket) hash join as :func:`cosine_neardup_bucketed`;
+    pair dedup is an aggregation on (query, neighbor); the exact cosine
+    runs once per surviving candidate, then the per-query window top-k.
+    Plan stays O(1) in dim×tables×planes through the same
+    literal/broadcast-matmul split as every SRP path here."""
+    if dim is None:
+        head = embeddings.select(vec_col).first()
+        if head is None or head[0] is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rank int")
+        dim = len(head[0])
+    e = embeddings.select(F.col(id_col).alias("id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(qid_col).alias("id"),
+                       _as_double(F.col(qvec_col)).alias("v"))
+    he = _lsh_hashed(e, dim, n_tables, n_planes, seed, literal_max) \
+        .withColumnRenamed("id", "neighbor_id")
+    hq = _lsh_hashed(q, dim, n_tables, n_planes, seed, literal_max) \
+        .withColumnRenamed("id", "query_id")
+    cand = (hq.join(he, ["t", "bucket"])
+            .select("query_id", "neighbor_id")
+            .groupBy("query_id", "neighbor_id").agg(F.lit(1).alias("_one"))
+            .drop("_one"))
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    ev = e.select(F.col("id").alias("neighbor_id"), F.col("v"),
+                  norm(F.col("v")).alias("nv"))
+    qv = q.select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                  norm(F.col("v")).alias("nq"))
+    scored = (cand.join(ev, "neighbor_id").join(qv, "query_id")
+              .select("query_id", "neighbor_id",
+                      F.round(_cos_prenorm(F.col("qv"), F.col("v"),
+                                           F.col("nq"), F.col("nv")), 6).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def ann_multiprobe_sql(k: int = 3, n_tables: int = 16, n_planes: int = 4,
+                       seed: int = 7, dim: int = 64,
+                       query_where: str = "vec_id < 5",
+                       source: str = "embeddings") -> str:
+    """DuckDB lockstep oracle for :func:`ann_lsh_multiprobe_topk`
+    (literal-plane path): per-table bucket ids from the same seeded
+    plane literals, candidates where ANY table's buckets collide, then
+    the identical exact-cosine window top-k."""
+    cols = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t)
+        expr = " + ".join(
+            f"(CASE WHEN list_dot_product(v, "
+            f"[{', '.join(repr(float(x)) for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+        cols.append(f"({expr}) AS b{t}")
+    any_match = " OR ".join(f"q.b{t} = e.b{t}" for t in range(n_tables))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
+b AS (SELECT vec_id, v, {', '.join(cols)} FROM v),
+q AS (SELECT * FROM b WHERE {query_where}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM q JOIN b e ON ({any_match}) AND e.vec_id != q.vec_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}"""
+
+
+def ann_lsh_sql(k: int = 3, n_planes: int = 8, seed: int = 7, dim: int = 64,
+                query_where: str = "vec_id < 5",
+                source: str = "embeddings") -> str:
+    """DuckDB lockstep oracle for :func:`ann_lsh_topk` (literal-plane
+    path): the SAME seeded hyperplanes as repr'd double literals, the
+    same strict ``dot > 0`` sign bits, the same bucket join + exact
+    cosine + (cos desc, neighbor_id) window top-k.  The dot product is
+    ``list_dot_product``, which sums in array order exactly like the
+    engine's sequential ``aggregate`` fold (the brute-force cosine
+    gates have pinned that equivalence since round 1), so bucket bits
+    can only diverge if an engine re-associates IEEE addition — none
+    does.  Upgrades the round-3 rows-only gate to value-exact
+    (VERDICT.md r3 next-round item #5)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE {query_where}),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(qv, b.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id != q.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}"""
+
+
 def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                  n_planes: int = 8, seed: int = 7, dim: int | None = None,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -146,3 +146,53 @@ def sessionize(events: DataFrame, gap_seconds: float = 1800.0,
             .groupBy(key_col)
             .agg(F.count("*").alias("n_events"),
                  F.sum("new_session").alias("n_sessions")))
+
+
+def session_rows(events: DataFrame, gap_seconds: float = 1800.0,
+                 key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Per-session rows (key, session_start, session_end, n_events) —
+    the batch twin of ``streaming/stream.py:stream_sessionize``'s
+    output (same gap rule: a new session starts when the gap to the
+    previous event STRICTLY exceeds ``gap_seconds``).  Gaps-and-islands
+    over one window shuffle + one groupBy on the derived session id
+    (same key prefix, so AQE coalesces the exchanges); no joins.
+
+    Deterministic without an order tie-break: equal timestamps have
+    gap 0 and always share a session, so the break column is invariant
+    to their relative order."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(F.col(ts_col)).over(w).cast("timestamp").cast("double")
+    brk = F.when(prev.isNull() | ((secs - prev) > gap_seconds), 1).otherwise(0)
+    sid = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (events
+            .select(key_col, F.col(ts_col), sid.alias("__sid"))
+            .groupBy(key_col, "__sid")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count("*").alias("n_events"))
+            .drop("__sid"))
+
+
+def session_rows_sql(source: str = "events", key_col: str = "user_id",
+                     ts_col: str = "ts", gap_seconds: float = 1800.0,
+                     where: str = "") -> str:
+    """DuckDB rendering of :func:`session_rows` (same strict-gap break
+    rule over ``epoch`` double seconds — both engines derive the epoch
+    from the same integer microseconds by one correctly-rounded
+    division, so the break decisions are bit-identical)."""
+    return f"""
+SELECT {key_col}, min({ts_col}) AS session_start, max({ts_col}) AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT {key_col}, {ts_col},
+         sum(brk) OVER (PARTITION BY {key_col} ORDER BY {ts_col}
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT {key_col}, {ts_col},
+           CASE WHEN lag({ts_col}) OVER w IS NULL
+                  OR epoch({ts_col}) - epoch(lag({ts_col}) OVER w) > {gap_seconds}
+                THEN 1 ELSE 0 END AS brk
+    FROM {source} {where}
+    WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})) b) g
+GROUP BY {key_col}, sid"""

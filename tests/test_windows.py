@@ -35,6 +35,47 @@ def test_sessionize(spark):
     assert out == {1: (3, 2), 2: (3, 1)}
 
 
+def test_session_rows_hand_corpus(spark):
+    from pandarus_spark.operators.windows import session_rows
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in session_rows(_events(spark), gap_seconds=1800.0).collect()}
+    assert got == {
+        (1, T0, T0 + dt.timedelta(minutes=10), 2),
+        (1, T0 + dt.timedelta(minutes=55), T0 + dt.timedelta(minutes=55), 1),
+        (2, T0 + dt.timedelta(minutes=50), T0 + dt.timedelta(minutes=100), 3),
+    }
+
+
+def test_session_rows_consistent_with_sessionize(spark):
+    """Per-user session count and event totals of the row-level view
+    must agree with the aggregate operator on real testdata."""
+    from pandarus_spark.operators.windows import session_rows
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts")
+    rows = session_rows(ev, gap_seconds=1800.0) \
+        .groupBy("user_id").agg(F.count("*").alias("n_sessions"),
+                                F.sum("n_events").alias("n_events"))
+    agg = sessionize(spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+                     gap_seconds=1800.0)
+    a = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in rows.collect()}
+    b = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in agg.collect()}
+    assert a == b
+
+
+def test_session_rows_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from pandarus_spark.operators.windows import session_rows, session_rows_sql
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts")
+    got = sorted(map(tuple, session_rows(ev, gap_seconds=1800.0).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    want = sorted(map(tuple, con.execute(session_rows_sql("events")).fetchall()))
+    assert got == want
+
+
 def test_hourly_rollup(spark):
     out = {(r["window_start"].minute == 0 and r["window_start"].hour, r["event_type"]):
            (r["n_events"], r["sum_value"])
