@@ -22,16 +22,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import shingles_sql, word_shingles
+from .dedup import (shingle_id_lanes_sql, shingle_id_rows,
+                    shingle_ids_over_sql)
 
 
 def benchmark_shingles(bench: DataFrame, k: int = 8,
                        text_col: str = "text") -> DataFrame:
-    """Distinct k-word shingles over every benchmark text — the
-    (small) build side of the contamination join."""
-    return (bench.select(F.explode(word_shingles(F.col(text_col), k))
-                         .alias("shingle"))
-            .distinct())
+    """Distinct k-word shingle IDS over every benchmark text — the
+    (small) build side of the contamination join.
+
+    Round 4: shingle identity is the 62-bit rolling hash
+    (``dedup.word_shingle_ids``), not the materialized string — the
+    k=8 string kernel was O(k²) bytes per shingle and alone cost 9.3 s
+    of the 15.6 s operator at 100k docs (BASELINE.md r3
+    ``decontam_scale``; r3 verdict next-round item #4).  Contamination
+    only needs set membership, the id preserves it up to a 2^-62
+    collision, and the DuckDB oracle renders the identical recurrence."""
+    return shingle_id_rows(bench, k=k, text_col=text_col,
+                           id_col=None).distinct()
 
 
 def contamination_stats(docs: DataFrame, bench: DataFrame, k: int = 8,
@@ -50,9 +58,7 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, k: int = 8,
     appears in the output."""
     bset = benchmark_shingles(bench, k=k, text_col=text_col) \
         .withColumn("__hit", F.lit(1))
-    sh = docs.select(F.col(id_col),
-                     F.explode(word_shingles(F.col(text_col), k))
-                     .alias("shingle"))
+    sh = shingle_id_rows(docs, k=k, text_col=text_col, id_col=id_col)
     joined = sh.join(F.broadcast(bset), "shingle", "left")
     return (joined.groupBy(id_col)
             .agg(F.count("*").alias("n_shingles"),
@@ -76,14 +82,18 @@ def contamination_stats_sql(docs_source: str = "documents",
                             text_expr: str = "text",
                             id_expr: str = "doc_id") -> str:
     """DuckDB rendering of :func:`contamination_stats` (lockstep
-    shingling via :func:`dedup.shingles_sql`)."""
-    dsh = shingles_sql(text_expr, k=k)
-    bsh = shingles_sql(text_expr, k=k)
+    rolling-hash shingle ids via :func:`dedup.shingle_ids_over_sql` —
+    the word-hash lane arrays bind once per row in the inner select)."""
+    h1, h2 = shingle_id_lanes_sql(text_expr)
+    ids = shingle_ids_over_sql("h1", "h2", k)
     return f"""
 WITH bset AS (
-  SELECT DISTINCT unnest({bsh}) AS shingle FROM {bench_source}),
+  SELECT DISTINCT unnest({ids}) AS shingle
+  FROM (SELECT {h1} AS h1, {h2} AS h2 FROM {bench_source}) bl),
 dsh AS (
-  SELECT {id_expr} AS doc_id, unnest({dsh}) AS shingle FROM {docs_source})
+  SELECT doc_id, unnest({ids}) AS shingle
+  FROM (SELECT {id_expr} AS doc_id, {h1} AS h1, {h2} AS h2
+        FROM {docs_source}) dl)
 SELECT dsh.doc_id, count(*) AS n_shingles,
        count(bset.shingle) AS n_hits,
        count(bset.shingle) > 0 AS contaminated

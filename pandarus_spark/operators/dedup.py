@@ -155,7 +155,18 @@ def word_shingle_ids(col: Column, k: int = 8) -> Column:
     identity-only twin of :func:`word_shingles` for k ≥ 5 consumers
     (decontamination, overlap counting).  Same tokenization, same
     truncated-shingle clamping for short texts; the value is a hash,
-    not the shingle text."""
+    not the shingle text.
+
+    SCALE WARNING: as a single Column expression, the per-word hash
+    transforms are re-inlined into every one of the k slice references
+    (codegen subexpression elimination skips lambda-bearing
+    expressions), so this form computes ~2k md5 passes per row —
+    measured 5× SLOWER than the string kernel at k=8/100k docs.  Hot
+    paths must use :func:`shingle_id_rows`, which materializes the
+    hash-lane arrays as attributes across projection boundaries
+    (CollapseProject keeps non-cheap aliases referenced more than once
+    un-inlined).  This Column form stays for tests and small fixtures
+    where composability beats throughput."""
     w = words(col)
     m = F.greatest(F.size(w) - (k - 1), F.lit(1))
     h1 = F.transform(w, lambda s: hash60(s) % MINHASH_P)
@@ -165,6 +176,32 @@ def word_shingle_ids(col: Column, k: int = 8) -> Column:
     combined = F.zip_with(lane1, lane2,
                           lambda a, b: a * F.lit(1 << 31).cast("long") + b)
     return F.array_distinct(combined)
+
+
+def shingle_id_rows(df: DataFrame, k: int = 8, text_col: str = "text",
+                    id_col: str | None = "doc_id",
+                    out_col: str = "shingle") -> DataFrame:
+    """Exploded (``id_col``?, ``out_col``) rolling-hash shingle rows —
+    the THROUGHPUT form of :func:`word_shingle_ids` (bit-identical
+    output).  Three stacked projections: words → per-word hash lanes →
+    rolling fold + explode.  Each stage's arrays become plan
+    ATTRIBUTES, so the k slice references in the fold read a
+    materialized array instead of re-evaluating the md5 transform —
+    the difference is ~2k md5 passes vs 2 per row (measured 100.7 s →
+    see BASELINE.md round-4 decontam_scale)."""
+    ids = [F.col(id_col)] if id_col else []
+    wdf = df.select(*ids, words(F.col(text_col)).alias("_w"))
+    hdf = wdf.select(
+        *ids,
+        F.transform(F.col("_w"), lambda s: hash60(s) % MINHASH_P).alias("_h1"),
+        F.transform(F.col("_w"), lambda s: hash60b(s) % MINHASH_P).alias("_h2"))
+    m = F.greatest(F.size(F.col("_h1")) - (k - 1), F.lit(1))
+    lane1 = _rolling_lane(F.col("_h1"), k, m, SHINGLE_B1)
+    lane2 = _rolling_lane(F.col("_h2"), k, m, SHINGLE_B2)
+    combined = F.array_distinct(
+        F.zip_with(lane1, lane2,
+                   lambda a, b: a * F.lit(1 << 31).cast("long") + b))
+    return hdf.select(*ids, F.explode(combined).alias(out_col))
 
 
 def shingle_id_lanes_sql(text_expr: str) -> tuple[str, str]:

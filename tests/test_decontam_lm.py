@@ -36,10 +36,63 @@ def test_contamination_flags_overlap(spark):
 
 
 def test_benchmark_shingles_distinct(spark):
+    """Shingle identity is the rolling-hash id since round 4: the two
+    texts share their shingle sets ('a b c a b c' has exactly the
+    shingles {a b c, b c a, c a b}; 'a b c' contributes the first), so
+    the distinct union has 3 ids — and each id equals the id of the
+    corresponding standalone 3-word text (positional rolling hash)."""
+    from pandarus_spark.operators.dedup import word_shingle_ids
+    from pyspark.sql import functions as F
     bench = spark.createDataFrame([(1, "a b c a b c"), (2, "a b c")],
                                   "bid long, text string")
     got = sorted(r["shingle"] for r in benchmark_shingles(bench, k=3).collect())
-    assert got == ["a b c", "b c a", "c a b"]
+    singles = spark.createDataFrame([("a b c",), ("b c a",), ("c a b",)],
+                                    "text string")
+    want = sorted(r["ids"][0] for r in singles.select(
+        word_shingle_ids(F.col("text"), 3).alias("ids")).collect())
+    assert got == want and len(got) == 3
+
+
+def test_shingle_ids_duckdb_parity_adversarial(spark):
+    """word_shingle_ids vs the unrolled DuckDB recurrence on
+    adversarial texts (empty, NULL, shorter-than-k, unicode, repeated)
+    across k — bit parity of the full distinct id sets."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.dedup import (
+        shingle_id_lanes_sql, shingle_ids_over_sql, word_shingle_ids)
+    texts = ["", None, "one", "a b", "a b c d e f g h i j", "x " * 30,
+             "the quick brown fox jumps over the lazy dog again and again",
+             "Ünïcode wörds überall ünïcode wörds überall extra pad here"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    h1, h2 = shingle_id_lanes_sql("text")
+    for k in (2, 5, 8, 9):
+        got = {r["doc_id"]: sorted(r["ids"]) for r in df.select(
+            "doc_id", word_shingle_ids(F.col("text"), k).alias("ids")).collect()}
+        q = (f"SELECT doc_id, {shingle_ids_over_sql('h1', 'h2', k)} AS ids "
+             f"FROM (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM t) b")
+        want = {d: sorted(v) for d, v in con.execute(q).fetchall()}
+        assert got == want, k
+
+
+def test_shingle_ids_positional_and_set_semantics(spark):
+    """The rolling hash is positional (word order matters) and id
+    equality tracks shingle-text equality on a hand corpus."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.dedup import word_shingle_ids
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b c"), (3, "a a a")],
+        "doc_id long, text string")
+    ids = {r["doc_id"]: r["ids"] for r in df.select(
+        "doc_id", word_shingle_ids(F.col("text"), 3).alias("ids")).collect()}
+    assert ids[0] == ids[2]          # same text -> same id
+    assert ids[0] != ids[1]          # reversed word order -> different id
+    assert len(ids[3]) == 1          # repeated words still one distinct id
 
 
 def test_contamination_duckdb_parity(spark):
