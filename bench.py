@@ -635,6 +635,92 @@ def job_asof_scale(spark, n: int) -> dict:
     return out
 
 
+def job_temporal_skew(spark, n_uniform: int, n_cluster: int) -> dict:
+    """Skew study for the 1-D bucket joins (r3 verdict #8): a
+    flash-sale half hour puts n_cluster points in ONE time bucket
+    (interval join), and a dense urban cluster puts n_cluster points
+    in ONE spatial cell (distance join).  Each leg runs unsalted vs
+    salted on identical input and asserts result invariance.
+
+    Like job_overlay_skew, the study forces the shuffle-join path: at
+    10^12-row scale neither side broadcasts, cell/bucket hash
+    partitioning sends the whole hot key to one reducer, and AQE's
+    skew split keys on shuffle-INPUT size so it cannot see the
+    join-OUTPUT amplification."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.distance import distance_join
+    from pandarus_spark.operators.windows import interval_join
+
+    out: dict = {"uniform": n_uniform, "cluster": n_cluster}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # --- interval join: flash-sale bucket ---------------------------
+        base = spark.range(0, n_uniform, 1, 64).select(
+            F.col("id").alias("pid"),
+            (F.col("id").cast("double") * 7.3).alias("ts"))
+        hot_t0 = float(n_uniform) * 7.3 + 10_000.0
+        hot = spark.range(0, n_cluster, 1, 64).select(
+            (F.col("id") + n_uniform).alias("pid"),
+            (F.lit(hot_t0) + F.pmod(F.xxhash64("id"), F.lit(180_000))
+             .cast("double") / 100.0).alias("ts"))
+        pts = base.unionByName(hot)
+        pts.persist().count()
+        ivs = spark.range(0, 64).select(
+            F.col("id").alias("iid"),
+            F.lit(hot_t0).alias("start"),
+            F.lit(hot_t0 + 1800.0).alias("end")).persist()
+        ivs.count()
+        # count() alone understates the skew (codegen counts ~57M
+        # pairs/s even single-task); materialize the pair payload with
+        # the noop write, which is what a real consumer forces
+        for tag, salt in (("interval_unsalted", 0), ("interval_salted", 16)):
+            t0 = time.perf_counter()
+            ij = interval_join(pts, ivs, bucket_seconds=1800.0,
+                               salt_buckets=salt,
+                               salt_threshold=max(1000, n_cluster // 4))
+            _force(ij)
+            out[tag] = round(time.perf_counter() - t0, 3)
+            out[f"{tag}_rows"] = ij.count()
+        assert out["interval_unsalted_rows"] == out["interval_salted_rows"]
+        pts.unpersist(); ivs.unpersist()
+
+        # --- distance join: dense urban cell ----------------------------
+        lb = spark.range(0, n_uniform, 1, 64).select(
+            F.col("id").alias("lid"),
+            (F.pmod(F.xxhash64("id"), F.lit(360_000)).cast("double") / 1000.0
+             - 180.0).alias("lon"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(160_000)).cast("double")
+             / 1000.0 - 80.0).alias("lat"))
+        lhot = spark.range(0, n_cluster, 1, 64).select(
+            (F.col("id") + n_uniform).alias("lid"),
+            (F.lit(2.29) + F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double")
+             * 1e-5).alias("lon"),
+            (F.lit(48.85) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000))
+             .cast("double") * 1e-5).alias("lat"))
+        left = lb.unionByName(lhot)
+        left.persist().count()
+        right = spark.range(0, 512).select(
+            F.col("id").alias("rid"),
+            (F.lit(2.285) + F.col("id").cast("double") * 2e-5).alias("lon"),
+            (F.lit(48.845) + F.pmod(F.xxhash64("id"), F.lit(900)).cast("double")
+             * 2e-5).alias("lat")).persist()
+        right.count()
+        for tag, salt in (("distance_unsalted", 0), ("distance_salted", 16)):
+            t0 = time.perf_counter()
+            n = distance_join(left, right, radius_m=2000.0,
+                              salt_buckets=salt,
+                              salt_threshold=max(1000, n_cluster // 4)).count()
+            out[tag] = round(time.perf_counter() - t0, 3)
+            out[f"{tag}_rows"] = n
+        assert out["distance_unsalted_rows"] == out["distance_salted_rows"]
+        left.unpersist(); right.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -645,7 +731,7 @@ def main() -> None:
                     choices=["headline", "overlay_scale", "overlay_skew",
                              "zonal_scale", "dedup_scale", "refine_shapes",
                              "curation_scale", "asof_scale",
-                             "decontam_scale"])
+                             "decontam_scale", "temporal_skew"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=3,
@@ -716,6 +802,27 @@ def main() -> None:
             "bench_docs": res["bench_docs"],
             "contaminated": res["contaminated"], "lm_rows": res["lm_rows"],
             "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "temporal_skew":
+        res = job_temporal_skew(spark, args.n, args.n_cluster)
+        emit({
+            "metric": "temporal_distance_skew_salting",
+            "value": round(res["interval_salted"] + res["distance_salted"], 3),
+            "unit": "sec",
+            "queries": {k: res[k] for k in
+                        ("interval_unsalted", "interval_salted",
+                         "distance_unsalted", "distance_salted")},
+            "sf": args.n, "cpus": cpus,
+            "cluster": res["cluster"],
+            "interval_rows": res["interval_salted_rows"],
+            "distance_rows": res["distance_salted_rows"],
+            "interval_speedup": round(res["interval_unsalted"]
+                                      / max(res["interval_salted"], 1e-9), 2),
+            "distance_speedup": round(res["distance_unsalted"]
+                                      / max(res["distance_salted"], 1e-9), 2),
         })
         spark.stop()
         return

@@ -76,7 +76,9 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str = "user_id",
 
 def interval_join(points: DataFrame, intervals: DataFrame,
                   point_col: str = "ts", start_col: str = "start",
-                  end_col: str = "end", bucket_seconds: float = 3600.0) -> DataFrame:
+                  end_col: str = "end", bucket_seconds: float = 3600.0,
+                  salt_buckets: int = 0,
+                  salt_threshold: int = 100_000) -> DataFrame:
     """Range join: each point row matched to every interval containing
     it (``start ≤ p < end``), via 1-D time-bucket tiling — the temporal
     analogue of the engine's spatial cell join.  Intervals explode to
@@ -92,10 +94,19 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     EXACTLY (only genuine timestamps go through the epoch-seconds cast
     — a blanket double→timestamp→double round-trip would silently
     quantize numeric values to microseconds and flip boundary
-    membership for sub-microsecond differences)."""
+    membership for sub-microsecond differences).
+
+    ``salt_buckets`` > 1 enables hot-bucket salting (r3 verdict #8):
+    a flash-sale half hour is ONE bucket key whose point×interval
+    output amplification AQE's partition-splitting cannot break up.
+    Buckets whose POINT count reaches ``salt_threshold`` hash-split
+    the point side across ``salt_buckets`` salt keys and replicate
+    that bucket's interval rows across all salts; each (point,
+    interval) pair still survives exactly once (the point keeps ONE
+    salt), so results are salting-invariant (pinned by test)."""
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
-    reserved = {"__bucket", "__p"}
+    reserved = {"__bucket", "__p", "__salt", "__hot"}
     clash = sorted((set(points.columns) & set(intervals.columns))
                    | (reserved & set(points.columns))
                    | (reserved & set(intervals.columns)))
@@ -121,7 +132,28 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     hi = F.greatest(F.floor(e / bucket_seconds).cast("long"), lo)
     iv = intervals.select("*", F.explode(F.sequence(lo, hi)).alias("__bucket"))
     pt = points.select("*", pb.alias("__bucket"), p.alias("__p"))
-    joined = pt.join(iv, "__bucket").filter((F.col("__p") >= s) & (F.col("__p") < e))
+    if salt_buckets > 1:
+        hot = (pt.groupBy("__bucket").count()
+               .filter(F.col("count") >= salt_threshold)
+               .select("__bucket").withColumn("__hot", F.lit(True)))
+        pcols = [c for c in points.columns]
+        pt = (pt.join(F.broadcast(hot), "__bucket", "left")
+              .withColumn("__salt",
+                          F.when(F.col("__hot").isNotNull(),
+                                 F.pmod(F.xxhash64(*pcols), F.lit(salt_buckets)))
+                          .otherwise(F.lit(0).cast("long")))
+              .drop("__hot"))
+        iv = (iv.join(F.broadcast(hot), "__bucket", "left")
+              .withColumn("__salt", F.explode(
+                  F.when(F.col("__hot").isNotNull(),
+                         F.sequence(F.lit(0).cast("long"),
+                                    F.lit(salt_buckets - 1).cast("long")))
+                  .otherwise(F.array(F.lit(0).cast("long")))))
+              .drop("__hot"))
+        joined = pt.join(iv, ["__bucket", "__salt"]).drop("__salt")
+    else:
+        joined = pt.join(iv, "__bucket")
+    joined = joined.filter((F.col("__p") >= s) & (F.col("__p") < e))
     return joined.drop("__bucket", "__p")
 
 
