@@ -341,3 +341,35 @@ def test_unigram_logprob_plan_jvm_partial_agg(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan  # the scalar total broadcasts
+
+
+def test_shingle_id_rows_plan_no_exchange(spark):
+    """The rolling-hash shingle pipeline is a pure Project->Generate
+    chain: zero Exchanges, zero Python (PLANS.md round-4 audit).  The
+    projection stack also guards the round-4 regression: as one nested
+    Column the md5 transform re-inlines into every slice reference
+    (~2k md5 passes/row, measured 12x slower)."""
+    from pandarus_spark.operators.dedup import shingle_id_rows
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" a b c d e f g h i")).alias("text"))
+    plan = plan_of(shingle_id_rows(docs, k=8))
+    assert "Exchange" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    # the hash-lane arrays must be attributes of a lower project, not
+    # re-inlined md5 chains: the fold projection references _h1/_h2
+    assert plan.count("md5") <= 4, "hash lanes re-inlined into the fold"
+
+
+def test_session_rows_plan_single_exchange(spark):
+    """Window + groupBy share the user hash partitioning: exactly one
+    Exchange, no Join (PLANS.md round-4 audit)."""
+    from pandarus_spark.operators.windows import session_rows
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts")
+    df = session_rows(ev)
+    df.count()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
