@@ -815,12 +815,16 @@ SELECT * FROM (VALUES
     remaining = """
 SELECT * FROM (VALUES ('by-myself', CAST(6191048106 AS BIGINT))) AS t(label, remaining_m2)"""
 
+    # mean literals via string->DOUBLE cast: a bare float in VALUES
+    # parses as DECIMAL first and the DECIMAL->DOUBLE re-round can lose
+    # the low bits on 17-significant-digit reprs (the r4 multimodal
+    # finding); min/max/count are exact halves/integers and safe either way
     zonal_coverage = """
 SELECT * FROM (VALUES
-  ('grid cell 0', 30.0, 47.0, 38.29999923706055, 10.0),
-  ('grid cell 1', 0.0, 17.0, 8.300000190734863, 10.0),
-  ('grid cell 2', 32.0, 49.0, 40.70000076293945, 10.0),
-  ('grid cell 3', 2.0, 19.0, 10.699999809265137, 10.0)
+  ('grid cell 0', 30.0, 47.0, CAST('38.29999923706055' AS DOUBLE), 10.0),
+  ('grid cell 1', 0.0, 17.0, CAST('8.300000190734863' AS DOUBLE), 10.0),
+  ('grid cell 2', 32.0, 49.0, CAST('40.70000076293945' AS DOUBLE), 10.0),
+  ('grid cell 3', 2.0, 19.0, CAST('10.699999809265137' AS DOUBLE), 10.0)
 ) AS t(label, "min", "max", "mean", "count")"""
 
     zonal_centers = """
