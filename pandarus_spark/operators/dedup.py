@@ -178,17 +178,46 @@ def word_shingle_ids(col: Column, k: int = 8) -> Column:
     return F.array_distinct(combined)
 
 
+def shingle_id_arrays(df: DataFrame, k: int = 8, text_col: str = "text",
+                      keep: list[str] | None = None,
+                      out_col: str = "_ids") -> DataFrame:
+    """``keep`` columns + ``out_col``: the distinct rolling-hash
+    shingle-id ARRAY per row, built through stacked projections (words
+    → per-word hash lanes → rolling fold).  Each stage's arrays become
+    plan ATTRIBUTES, so the k slice references in the fold read a
+    materialized array instead of re-evaluating the md5 transform —
+    the difference is ~2k md5 passes vs 2 per row (measured 100.7 s vs
+    8.5 s; BASELINE.md round-4 decontam_scale).  Works on streaming
+    DataFrames too (pure stateless projections)."""
+    keep_cols = [F.col(c) for c in (keep or [])]
+    wdf = df.select(*keep_cols, words(F.col(text_col)).alias("_w"))
+    hdf = wdf.select(
+        *keep_cols,
+        F.transform(F.col("_w"), lambda s: hash60(s) % MINHASH_P).alias("_h1"),
+        F.transform(F.col("_w"), lambda s: hash60b(s) % MINHASH_P).alias("_h2"))
+    m = F.greatest(F.size(F.col("_h1")) - (k - 1), F.lit(1))
+    lane1 = _rolling_lane(F.col("_h1"), k, m, SHINGLE_B1)
+    lane2 = _rolling_lane(F.col("_h2"), k, m, SHINGLE_B2)
+    combined = F.array_distinct(
+        F.zip_with(lane1, lane2,
+                   lambda a, b: a * F.lit(1 << 31).cast("long") + b))
+    return hdf.select(*keep_cols, combined.alias(out_col))
+
+
 def shingle_id_rows(df: DataFrame, k: int = 8, text_col: str = "text",
                     id_col: str | None = "doc_id",
                     out_col: str = "shingle") -> DataFrame:
     """Exploded (``id_col``?, ``out_col``) rolling-hash shingle rows —
     the THROUGHPUT form of :func:`word_shingle_ids` (bit-identical
-    output).  Three stacked projections: words → per-word hash lanes →
-    rolling fold + explode.  Each stage's arrays become plan
-    ATTRIBUTES, so the k slice references in the fold read a
-    materialized array instead of re-evaluating the md5 transform —
-    the difference is ~2k md5 passes vs 2 per row (measured 100.7 s →
-    see BASELINE.md round-4 decontam_scale)."""
+    output).
+
+    The explode must sit in the SAME select as the fold (not over
+    :func:`shingle_id_arrays` + a second select): with an intermediate
+    ``_ids`` projection, ``InferFiltersFromGenerate`` synthesizes a
+    ``size(_ids) > 0`` predicate from the explode and pushes it through
+    the projection, inlining the entire fold — hash transforms
+    included — into the Filter (measured: 32 md5 evaluations per row
+    in the filter alone; pinned by the plan test)."""
     ids = [F.col(id_col)] if id_col else []
     wdf = df.select(*ids, words(F.col(text_col)).alias("_w"))
     hdf = wdf.select(

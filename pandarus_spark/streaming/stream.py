@@ -438,3 +438,46 @@ def stream_asof_join(left_stream: DataFrame, right_stream: DataFrame,
     return u.groupBy(key_col).applyInPandasWithState(
         fn, ASOF_OUT_SCHEMA, ASOF_STATE_SCHEMA,
         "append", GroupStateTimeout.EventTimeTimeout)
+
+
+def stream_decontaminate(docs_stream: DataFrame, bench: DataFrame,
+                         k: int = 8, text_col: str = "text") -> DataFrame:
+    """Streaming benchmark decontamination — the stateless streaming
+    twin of :func:`~pandarus_spark.operators.decontam.decontaminate`:
+    documents sharing any k-word shingle with the (batch) eval set are
+    dropped from the stream as they arrive.
+
+    Scale shape mirrors the batch operator exactly: the eval set is
+    tiny by design, so its rolling-hash shingle-id set (2^-62-collision
+    62-bit ids, `dedup.shingle_id_rows` semantics) is computed ONCE
+    batch-side and broadcast; each micro-batch row is checked
+    ROW-LOCALLY — the document's id array comes from the same stacked
+    Catalyst projections as batch (`dedup.shingle_id_arrays`), and
+    membership is one Arrow-batched set probe.  Zero state, zero
+    shuffle, append-mode safe, works under any watermark.  (A
+    stream-static LEFT ANTI join would express the same thing, but
+    Structured Streaming does not support anti joins with a static
+    right side — the broadcast set probe is the supported shape.)
+    """
+    from ..operators.decontam import benchmark_shingles
+    from ..operators.dedup import shingle_id_arrays
+
+    bench_ids = {int(r["shingle"])
+                 for r in benchmark_shingles(bench, k=k,
+                                             text_col=text_col).collect()}
+    bc = docs_stream.sparkSession.sparkContext.broadcast(bench_ids)
+
+    def _hit(ids):
+        import pandas as pd
+        s = bc.value
+        return pd.Series([any(x in s for x in arr) for arr in ids])
+
+    # explicit returnType + no type hints: `from __future__ import
+    # annotations` stringifies hints, and pandas_udf cannot resolve
+    # them against a function-local pandas import
+    hit = F.pandas_udf(_hit, "boolean")
+
+    arr = shingle_id_arrays(docs_stream, k=k, text_col=text_col,
+                            keep=list(docs_stream.columns))
+    return (arr.filter(~hit(F.col("_ids")))
+            .select(*docs_stream.columns))

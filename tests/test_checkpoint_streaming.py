@@ -554,3 +554,28 @@ def test_interval_join_stream_static(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["pid"], r["iid"]) for r in spark.table("ij_stream").collect()}
     assert got == {(1, 10), (2, 10)}
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination (stateless broadcast set probe) keeps
+    exactly the documents batch decontaminate keeps."""
+    from pandarus_spark.operators.decontam import decontaminate
+    from pandarus_spark.streaming.stream import stream_decontaminate
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    bench = docs.filter("doc_id % 9 = 0").select(
+        F.col("doc_id").alias("bid"), "text")
+
+    src = str(tmp_path / "dc_in")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = stream_decontaminate(stream, bench, k=5)
+    q = (out.writeStream.format("memory").queryName("dc_t")
+         .option("checkpointLocation", str(tmp_path / "dc_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dc_t").collect()}
+    want = {r["doc_id"] for r in decontaminate(docs, bench, k=5).collect()}
+    assert got == want
+    assert 0 < len(want) < docs.count()  # some dropped, some kept

@@ -66,3 +66,39 @@ def test_det_ln_accuracy_vs_math_log(spark):
 def test_det_ln_rejects_unknown_dialect():
     with pytest.raises(ValueError):
         det_ln_sql("t", "c", "postgres")
+
+
+def test_det_ln_property_random_ratios(spark):
+    """Property sweep beyond the fixed stress set: random integer
+    ratios across magnitudes, Spark vs DuckDB bit-identity AND
+    micro-nat agreement (hypothesis strategy, fixed seed via its
+    deterministic default derandomization in CI mode)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**62 - 1), st.data())
+    def collect(t, data):
+        c = data.draw(st.integers(min_value=1, max_value=t))
+        cases.append((t, c))
+
+    collect()
+    pairs = sorted(set(cases))
+    sdf = spark.createDataFrame(pairs, "t long, c long")
+    expr = det_ln_sql("t", "c", "spark")
+    micro = det_ln_micro_sql("t", "c", "spark")
+    srows = {(r.t, r.c): (r.v, r.m) for r in
+             sdf.selectExpr("t", "c", f"{expr} AS v", f"{micro} AS m").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(t BIGINT, c BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    drows = {(t, c): (v, m) for t, c, v, m in con.execute(
+        f"SELECT t, c, {det_ln_sql('t', 'c', 'duckdb')}, "
+        f"{det_ln_micro_sql('t', 'c', 'duckdb')} FROM p").fetchall()}
+    for key in pairs:
+        sv, sm = srows[key]
+        dv, dm = drows[key]
+        assert sv.hex() == dv.hex() and sm == dm, (key, sv.hex(), dv.hex())
+        true = math.log(key[0] / key[1])
+        assert abs(sv - true) <= 1e-9 * max(1.0, abs(true)) + 1e-11

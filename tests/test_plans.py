@@ -358,8 +358,16 @@ def test_shingle_id_rows_plan_no_exchange(spark):
     assert "Exchange" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     # the hash-lane arrays must be attributes of a lower project, not
-    # re-inlined md5 chains: the fold projection references _h1/_h2
+    # re-inlined md5 chains: the fold projection references _h1/_h2.
+    # Also guards the InferFiltersFromGenerate regression (explode over
+    # an intermediate _ids projection pushes a size()>0 filter through
+    # it, inlining 32 md5 evaluations per row into the predicate).
     assert plan.count("md5") <= 4, "hash lanes re-inlined into the fold"
+
+    from pandarus_spark.operators.dedup import shingle_id_arrays
+    aplan = plan_of(shingle_id_arrays(docs, k=8, keep=["doc_id"]))
+    assert "Exchange" not in aplan
+    assert aplan.count("md5") <= 4, "array form re-inlined the lanes"
 
 
 def test_session_rows_plan_single_exchange(spark):
