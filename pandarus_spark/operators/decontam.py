@@ -77,6 +77,87 @@ def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 8,
     return docs.join(hits, id_col, "left_anti")
 
 
+_BLOOM_MASK31 = (1 << 31) - 1
+
+
+def build_shingle_bloom(bench: DataFrame, k: int = 8, n_bits: int = 1 << 22,
+                        n_hashes: int = 7, text_col: str = "text"):
+    """Distributed Bloom filter over the benchmark's rolling-hash
+    shingle ids — the beyond-broadcast-set decontamination path: an
+    EXACT id set at 10⁹ eval shingles is 8-16 GB of broadcast state,
+    while the bloom bitmap is ``n_bits/8`` bytes at a false-positive
+    rate of ``(1-e^(-kn/m))^k`` (no false negatives ever — a
+    contaminated document is always flagged).
+
+    Bit positions use Kirsch-Mitzenmacher double hashing over the
+    62-bit shingle id's halves (``pos_i = (lo31 + i·(hi31|1)) mod
+    n_bits`` — pure int64 arithmetic, overflow-free, reproducible
+    bit-for-bit in Catalyst AND numpy, so build and probe can live on
+    different engines).  The build is fully distributed: explode to
+    bit positions, one ``bit_or`` partial-agg shuffle on the word
+    index (4M-bit filter = 65k words), collect only the sparse word
+    table.  Returns ``(words ndarray[uint64], n_bits, n_hashes)``."""
+    import numpy as np
+
+    sh = shingle_id_rows(bench, k=k, text_col=text_col, id_col=None)
+    a = F.col("shingle").bitwiseAND(F.lit(_BLOOM_MASK31))
+    b = F.shiftright(F.col("shingle"), 31).bitwiseOR(F.lit(1))
+    pos = F.pmod(a + F.col("__i") * b, F.lit(n_bits))
+    bits = (sh.select("shingle",
+                      F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1)))
+                      .alias("__i"))
+            .select(pos.alias("__pos"))
+            .select(F.expr("__pos DIV 64").alias("word_idx"),
+                    # shiftleft's bit-count arg must be a Column-typed
+                    # expression, which the python helper rejects — expr()
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(__pos % 64 AS INT))").alias("bit"))
+            .groupBy("word_idx").agg(F.bit_or("bit").alias("bits")))
+    words = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    for r in bits.collect():
+        words[r["word_idx"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return words, n_bits, n_hashes
+
+
+def bloom_contaminated(docs: DataFrame, bloom, k: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, contaminated) via the broadcast Bloom bitmap — the
+    probe half of :func:`build_shingle_bloom`.  Superset guarantee:
+    every document :func:`contamination_stats` flags is flagged here
+    (no false negatives); extra flags occur at the filter's documented
+    false-positive rate.  The probe is one Arrow batch pass per row
+    over the same stacked shingle-id projections as batch decontam —
+    zero joins, zero shuffles; works on streaming DataFrames too."""
+    from .dedup import shingle_id_arrays
+    words, n_bits, n_hashes = bloom
+    bc = docs.sparkSession.sparkContext.broadcast(words)
+
+    def _probe(ids):
+        import numpy as np
+        import pandas as pd
+        w = bc.value
+        out = []
+        for arr in ids:
+            if arr is None or len(arr) == 0:
+                out.append(False)
+                continue
+            v = np.asarray(arr, dtype=np.int64)
+            a = (v & _BLOOM_MASK31).astype(np.int64)
+            b = ((v >> 31) | 1).astype(np.int64)
+            hit = np.ones(len(v), dtype=bool)
+            for i in range(n_hashes):
+                pos = (a + i * b) % n_bits
+                hit &= ((w[pos >> 6] >> (pos & 63).astype(np.uint64))
+                        & np.uint64(1)) != 0
+            out.append(bool(hit.any()))
+        return pd.Series(out)
+
+    probe = F.pandas_udf(_probe, "boolean")
+    arr = shingle_id_arrays(docs, k=k, text_col=text_col, keep=[id_col])
+    return arr.select(F.col(id_col), probe(F.col("_ids")).alias("contaminated"))
+
+
 def contamination_stats_sql(docs_source: str = "documents",
                             bench_source: str = "benchmark", k: int = 8,
                             text_expr: str = "text",

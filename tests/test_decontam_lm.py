@@ -184,3 +184,39 @@ def test_line_dedup_scope_validation(spark):
         line_dedup(docs, scope="global")
     with pytest.raises(ValueError, match="scope"):
         line_dedup_sql(scope="global")
+
+
+def test_bloom_decontam_superset_and_fp_rate(spark):
+    """The Bloom path (beyond-broadcast-set scale variant) must flag a
+    SUPERSET of the exact contaminated set (no false negatives — the
+    guarantee that matters for decontamination) with a bounded
+    false-positive rate at the configured sizing."""
+    from pandarus_spark.operators.decontam import (
+        bloom_contaminated, build_shingle_bloom, contamination_stats)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    bench = docs.filter("doc_id % 9 = 0").select(
+        F.col("doc_id").alias("bid"), "text")
+    exact = {r["doc_id"] for r in contamination_stats(docs, bench, k=5)
+             .filter("contaminated").collect()}
+    bloom = build_shingle_bloom(bench, k=5, n_bits=1 << 20, n_hashes=7)
+    flagged = {r["doc_id"] for r in bloom_contaminated(docs, bloom, k=5)
+               .filter("contaminated").collect()}
+    assert exact <= flagged                       # no false negatives
+    n_docs = docs.count()
+    extra = len(flagged - exact)
+    # 1M bits vs a tiny eval-shingle set -> FP rate ~0; allow slack
+    assert extra <= max(2, n_docs // 50), (extra, n_docs)
+    assert len(exact) > 0
+
+
+def test_bloom_build_partition_invariant(spark):
+    """The bitmap is an OR of per-item bits — identical whatever the
+    partitioning of the build side."""
+    from pandarus_spark.operators.decontam import build_shingle_bloom
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter("doc_id % 7 = 0"))
+    w1, _, _ = build_shingle_bloom(docs, k=5, n_bits=1 << 18, n_hashes=5)
+    w2, _, _ = build_shingle_bloom(docs.repartition(13), k=5,
+                                   n_bits=1 << 18, n_hashes=5)
+    assert (w1 == w2).all() and w1.any()
