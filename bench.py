@@ -579,6 +579,19 @@ def job_decontam_scale(spark, n: int) -> dict:
     out["lm_rows"] = lm.count()
     lm.unpersist()
 
+    # the beyond-broadcast-set path: bit_or-built broadcast bitmap +
+    # Arrow probe (superset semantics — no false negatives)
+    t0 = time.perf_counter()
+    bloom = DC.build_shingle_bloom(bench.select("text"), k=8,
+                                   n_bits=1 << 24, n_hashes=7)
+    out["bloom_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    flagged = DC.bloom_contaminated(docs, bloom, k=8).persist()
+    _force(flagged)
+    out["bloom_probe_sec"] = round(time.perf_counter() - t0, 3)
+    out["bloom_flagged"] = flagged.filter(F.col("contaminated")).count()
+    flagged.unpersist()
+
     docs.unpersist()
     return out
 
@@ -801,6 +814,9 @@ def main() -> None:
             "sf": args.n, "cpus": cpus,
             "bench_docs": res["bench_docs"],
             "contaminated": res["contaminated"], "lm_rows": res["lm_rows"],
+            "bloom_build_sec": res["bloom_build_sec"],
+            "bloom_probe_sec": res["bloom_probe_sec"],
+            "bloom_flagged": res["bloom_flagged"],
             "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()
