@@ -708,6 +708,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
+    def q_areal_interp(spark, sf_dir):
+        # area-weighted attribute transfer over the overlay (the
+        # reference's downstream use case for its intersection tables):
+        # each base feature carries an integer value; probe features
+        # receive the measure-proportional share in micro-units
+        from pandarus_spark.operators.interp import areal_interpolate
+        docs = _docs(spark, sf_dir)
+        base = extract_features(pages_from_documents(docs, "base"),
+                                validate_unique=False)
+        probe = extract_features(pages_from_documents(docs, "probe"),
+                                 validate_unique=False)
+        inter = ps.intersect(probe, base, broadcast_features=False)
+        vals = docs.select(
+            F.concat(F.lit("base "), F.col("doc_id").cast("string"))
+             .alias("to_label"),
+            (F.col("doc_id") % 97 + 1).cast("long").alias("value"))
+        return areal_interpolate(inter, vals)
+
+    def q_overlay_partition_metrics(spark, sf_dir):
+        # north_rule lineage surface as a value gate: per-partition
+        # row-count / area-sum / distinct-target metrics over the
+        # flagship overlay (the distributed read path of the
+        # checkpoint ledger's per-partition markers)
+        from pandarus_spark.plans.checkpoint import lineage_metrics
+        out = _flagship(spark, sf_dir)
+        pid = F.pmod(F.split(F.col("to_label"), " ").getItem(1).cast("long"),
+                     F.lit(16))
+        return lineage_metrics(out, pid, measure_col="measure_m2",
+                               target_col="from_label")
+
+    def q_dup_span_docs(spark, sf_dir):
+        return D.dup_span_stats(_docs(spark, sf_dir), k=5)
+
+    def q_bloom_decontam_docs(spark, sf_dir):
+        # the beyond-broadcast decontamination path, value-gated: the
+        # Bloom probe is pure int64 arithmetic, so its exact output —
+        # deterministic false positives included — has a SQL twin
+        from pandarus_spark.operators.decontam import (
+            bloom_contaminated, build_shingle_bloom,
+        )
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+        bloom = build_shingle_bloom(bench, k=5, n_bits=1 << 14, n_hashes=3)
+        out = bloom_contaminated(docs, bloom, k=5)
+        return out.select("doc_id",
+                          F.col("contaminated").cast("int").alias("contaminated"))
+
+    def q_embed_quantize(spark, sf_dir):
+        return S.quantize_int8(_emb(spark, sf_dir))
+
     return {
         "intersect_grid_square": q_intersect_grid_square,
         "intersect_outside_grid": q_intersect_outside_grid,
@@ -771,6 +821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats_docs": q_pii_stats_docs,
         "source_profile_docs": q_source_profile_docs,
         "flagship_overlay": q_flagship_overlay,
+        "areal_interp_overlay": q_areal_interp,
+        "overlay_partition_metrics": q_overlay_partition_metrics,
+        "dup_span_docs": q_dup_span_docs,
+        "bloom_decontam_docs": q_bloom_decontam_docs,
+        "embed_quantize_embeddings": q_embed_quantize,
     }
 
 
@@ -1232,6 +1287,33 @@ SELECT user_id, session_start, session_end, n_events
 FROM s, wm
 WHERE epoch_us(session_end) + 1800 * 1000000 < wm_ms * 1000"""
 
+    # --- round-4 additions --------------------------------------------------
+    from pandarus_spark.operators.decontam import bloom_contaminated_sql
+    from pandarus_spark.operators.interp import areal_interpolate_sql
+    from pandarus_spark.operators.similarity import quantize_int8_sql
+
+    flagship_rel = _flagship_oracle()
+    areal_interp = areal_interpolate_sql(
+        flagship_rel,
+        "SELECT 'base ' || doc_id AS to_label, (doc_id % 97 + 1) AS value "
+        "FROM documents")
+
+    partition_metrics = f"""
+SELECT CAST(split_part(to_label, ' ', 2) AS BIGINT) % 16 AS partition_id,
+       count(*) AS n_rows,
+       CAST(SUM(measure_m2) AS BIGINT) AS area_sum_m2,
+       count(DISTINCT from_label) AS n_targets
+FROM ({flagship_rel}) f
+GROUP BY 1"""
+
+    dup_spans = D.dup_span_stats_sql(k=5)
+
+    bloom_decontam = bloom_contaminated_sql(
+        bench_source="(SELECT text FROM documents WHERE doc_id % 37 = 0)",
+        k=5, n_bits=1 << 14, n_hashes=3)
+
+    embed_quantize = quantize_int8_sql()
+
     return {
         "intersect_grid_square": grid_square,
         "intersect_outside_grid": outside_grid,
@@ -1302,6 +1384,11 @@ FROM documents WHERE doc_id < 200""",
         "pii_stats_docs": pii_stats,
         "source_profile_docs": source_profile,
         "flagship_overlay": _flagship_oracle(),
+        "areal_interp_overlay": areal_interp,
+        "overlay_partition_metrics": partition_metrics,
+        "dup_span_docs": dup_spans,
+        "bloom_decontam_docs": bloom_decontam,
+        "embed_quantize_embeddings": embed_quantize,
         # every queries() entry has a value oracle as of round 4 (the
         # formerly rows-only LSH/ANN gates gained lockstep banded SQL)
     }

@@ -180,3 +180,43 @@ SELECT dsh.doc_id, count(*) AS n_shingles,
        count(bset.shingle) > 0 AS contaminated
 FROM dsh LEFT JOIN bset USING (shingle)
 GROUP BY dsh.doc_id"""
+
+
+def bloom_contaminated_sql(docs_source: str = "documents",
+                           bench_source: str = "benchmark", k: int = 8,
+                           n_bits: int = 1 << 22, n_hashes: int = 7,
+                           text_expr: str = "text",
+                           id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`build_shingle_bloom` +
+    :func:`bloom_contaminated` — the Bloom probe is pure int64
+    arithmetic (Kirsch-Mitzenmacher ``pos_i = (lo31 + i·(hi31|1)) mod
+    n_bits`` over the rolling-hash shingle ids), so the *entire* filter
+    — false positives included — is reproducible value-exactly in SQL:
+    a corpus shingle is a bloom hit iff ALL ``n_hashes`` of its probe
+    positions collide with some benchmark shingle's position set."""
+    h1, h2 = shingle_id_lanes_sql(text_expr)
+    ids = shingle_ids_over_sql("h1", "h2", k)
+    pos = (f"((shingle & {_BLOOM_MASK31}) + i * ((shingle >> 31) | 1)) "
+           f"% {n_bits}")
+    return f"""
+WITH idx AS (SELECT unnest(range({n_hashes})) AS i),
+bsh AS (
+  SELECT DISTINCT unnest({ids}) AS shingle
+  FROM (SELECT {h1} AS h1, {h2} AS h2 FROM {bench_source}) bl),
+bbits AS (SELECT DISTINCT {pos} AS pos FROM bsh, idx),
+dsh AS (
+  SELECT doc_id, unnest({ids}) AS shingle
+  FROM (SELECT {id_expr} AS doc_id, {h1} AS h1, {h2} AS h2
+        FROM {docs_source}) dl),
+probe AS (
+  SELECT p.doc_id, p.shingle, count(b.pos) AS nhit
+  FROM (SELECT doc_id, shingle, {pos} AS pos FROM dsh, idx) p
+  LEFT JOIN bbits b USING (pos)
+  GROUP BY p.doc_id, p.shingle),
+flags AS (
+  SELECT doc_id,
+         max(CASE WHEN nhit = {n_hashes} THEN 1 ELSE 0 END) AS contaminated
+  FROM probe GROUP BY doc_id)
+SELECT d.{id_expr} AS doc_id,
+       CAST(COALESCE(f.contaminated, 0) AS INT) AS contaminated
+FROM {docs_source} d LEFT JOIN flags f ON d.{id_expr} = f.doc_id"""

@@ -840,3 +840,64 @@ SELECT doc_id, count(*) AS n_lines,
                                     THEN line END,
                                {delim_sql} ORDER BY line_no), '')) AS kept_md5
 FROM ranked GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-gram spans (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(docs: DataFrame, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-span statistics at k-word granularity —
+    the corpus-level counterpart of :func:`dup_ngram_fraction` (which is
+    in-document) and the n-gram-granular analogue of suffix-array exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a span is *duplicated* when its
+    rolling-hash shingle id occurs in at least ``min_count=2`` documents
+    (shingle ids are per-document distinct, so corpus count == document
+    frequency).
+
+    Returns ``(id_col, n_shingles, n_dup, dup_ppm)`` where ``dup_ppm``
+    is the duplicated fraction in integer parts-per-million
+    (``n_dup*1_000_000 div n_shingles`` — pure int64 arithmetic, no
+    float anywhere, bit-identical on any engine).
+
+    Scale shape: ONE window shuffle keyed on the 62-bit shingle id
+    (hash-partitioned, no join, no second scan of the corpus — the
+    count-over-window reuses the same exchange the groupBy would need)
+    followed by the per-document rollup shuffle.  State per shingle is
+    a counter; skew is bounded because a shingle duplicated across many
+    documents is exactly the boilerplate this operator exists to find,
+    and the window computes only count(*) over it.
+    """
+    rows = shingle_id_rows(docs, k=k, text_col=text_col, id_col=id_col)
+    occ = F.count("*").over(Window.partitionBy("shingle"))
+    d = rows.select(F.col(id_col), occ.alias("_occ"))
+    return (d.groupBy(id_col)
+             .agg(F.count("*").alias("n_shingles"),
+                  F.sum(F.when(F.col("_occ") >= 2, 1).otherwise(0))
+                   .cast("long").alias("n_dup"))
+             .withColumn("dup_ppm",
+                         F.expr("n_dup * 1000000 div n_shingles")))
+
+
+def dup_span_stats_sql(source: str = "documents", k: int = 5,
+                       text_expr: str = "text",
+                       id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`dup_span_stats` (lockstep rolling-hash
+    shingle ids; integer-only output columns)."""
+    h1, h2 = shingle_id_lanes_sql(text_expr)
+    ids = shingle_ids_over_sql("h1", "h2", k)
+    return f"""
+WITH dsh AS (
+  SELECT doc_id, unnest({ids}) AS shingle
+  FROM (SELECT {id_expr} AS doc_id, {h1} AS h1, {h2} AS h2
+        FROM {source}) dl),
+occ AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS c
+  FROM dsh)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_dup,
+       CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) * 1000000
+         // count(*) AS dup_ppm
+FROM occ GROUP BY doc_id"""

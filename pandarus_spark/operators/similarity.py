@@ -530,3 +530,67 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization (ANN index compression)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the compression step in
+    front of a disk-resident ANN index (IVF lists at 100 TB hold int8
+    codes, not float32): ``scale = max|x|/127``, ``q_i =
+    floor(x_i/scale + 0.5)`` (round-half-up, fixed for engine parity;
+    |q_i| ≤ 127 by construction so no clamp branch).
+
+    Returns ``(id_col, scale_ppb, q_sum, q_sq_sum, n_sat)``: the scale
+    in integer parts-per-billion plus order-free integer summaries of
+    the code vector (sum, sum of squares, saturated-lane count) — every
+    column reproducible bit-for-bit on any IEEE engine (one division,
+    one multiply, one add per lane; no libm).
+
+    Scale shape: pure row-local Catalyst (``transform``/``aggregate``
+    higher-order functions, JVM-side, no Python) — map-only, zero
+    shuffles, streams through 10^12 rows at scan speed.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = embeddings.select(F.col(id_col), v.alias("_v"))
+    mx = F.array_max(F.transform(F.col("_v"), F.abs))
+    scale = mx / F.lit(127.0)
+    d = d.withColumn("_s", scale)
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.when(F.col("_s") == 0.0, F.lit(0).cast("long"))
+                   .otherwise(F.floor(x / F.col("_s") + F.lit(0.5))))
+    d = d.withColumn("_q", q)
+    zero = F.lit(0).cast("long")
+    return d.select(
+        F.col(id_col),
+        F.round(F.col("_s") * F.lit(1.0e9), 0).cast("long").alias("scale_ppb"),
+        F.aggregate(F.col("_q"), zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("_q"), zero, lambda a, x: a + x * x).alias("q_sq_sum"),
+        F.size(F.filter(F.col("_q"), lambda x: F.abs(x) == 127))
+         .cast("int").alias("n_sat"))
+
+
+def quantize_int8_sql(source: str = "embeddings", vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> str:
+    """DuckDB rendering of :func:`quantize_int8` — identical expression
+    shapes (same association order, same round-half-up)."""
+    return f"""
+WITH e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {source}),
+s AS (SELECT {id_col}, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM e),
+q AS (SELECT {id_col}, sc,
+             list_transform(v, x -> CASE WHEN sc = 0.0 THEN CAST(0 AS BIGINT)
+                                         ELSE CAST(floor(x / sc + 0.5) AS BIGINT)
+                                    END) AS qv
+      FROM s)
+SELECT {id_col},
+       CAST(ROUND(sc * 1000000000.0) AS BIGINT) AS scale_ppb,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sq_sum,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+FROM q"""

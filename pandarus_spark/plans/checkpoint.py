@@ -100,3 +100,27 @@ def intersect_partitioned(spark, pages, features2, ledger: CheckpointLedger,
 
     return run_partitioned(ledger, dataset_id, sorted(str(p) for p in parts),
                            lambda p: run_one(p))
+
+
+def lineage_metrics(df, partition_expr, measure_col: str = "measure_m2",
+                    target_col: str | None = "from_label"):
+    """One-pass distributed lineage-metrics table: per partition, the
+    row count, the measure sum, and the distinct-target count — the
+    same numbers `intersect_partitioned` writes into its per-partition
+    markers, computed for EVERY partition in a single grouped
+    aggregation instead of one job per partition (the audit/monitoring
+    read path of the ledger; north_rule "per-partition lineage +
+    row-count/area-sum metrics").
+
+    ``measure_col`` must be integer (round the overlay measure first):
+    int64 sums are exact and order-free, so the metrics are identical
+    under any partitioning/executor count — a resumed or re-sharded
+    run reproduces them bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("n_rows"),
+            F.sum(measure_col).alias("area_sum_m2")]
+    if target_col is not None:
+        aggs.append(F.countDistinct(target_col).alias("n_targets"))
+    return df.groupBy(partition_expr.alias("partition_id")).agg(*aggs)

@@ -220,3 +220,79 @@ def test_bloom_build_partition_invariant(spark):
     w2, _, _ = build_shingle_bloom(docs.repartition(13), k=5,
                                    n_bits=1 << 18, n_hashes=5)
     assert (w1 == w2).all() and w1.any()
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats (cross-document duplicated n-gram spans, round 4)
+# ---------------------------------------------------------------------------
+
+def test_dup_span_stats_hand_corpus(spark):
+    from pandarus_spark.operators.dedup import dup_span_stats
+    d1 = "alpha beta gamma delta epsilon zeta"    # shingles: [a..e], [b..z]
+    d2 = "alpha beta gamma delta epsilon other"   # shares the first shingle
+    d3 = "one two three four five six"            # both shingles unique
+    docs = spark.createDataFrame([(1, d1), (2, d2), (3, d3)],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_ppm"])
+           for r in dup_span_stats(docs, k=5).collect()}
+    assert out[1] == (2, 1, 500000)
+    assert out[2] == (2, 1, 500000)
+    assert out[3] == (2, 0, 0)
+
+
+def test_dup_span_stats_duckdb_parity_and_invariance(spark):
+    from pandarus_spark.operators.dedup import dup_span_stats, dup_span_stats_sql
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = "the quick brown fox jumps over lazy dogs tonight"
+    rows = []
+    for i in range(120):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        rows.append((i, t + " " + shared if i % 5 == 0 else t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in dup_span_stats(docs, k=5).collect())
+    assert any(r[2] > 0 for r in got)  # the shared sentence duplicates
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(tuple(r) for r in con.execute(dup_span_stats_sql(k=5)).fetchall())
+    assert got == want
+    got2 = sorted(tuple(r) for r in
+                  dup_span_stats(docs.repartition(7), k=5).collect())
+    assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# bloom_contaminated_sql (value-exact SQL twin of the Bloom probe)
+# ---------------------------------------------------------------------------
+
+def test_bloom_contaminated_sql_parity(spark):
+    """The Bloom probe is pure int64 arithmetic, so its exact flag set
+    — deterministic false positives included — must match the SQL
+    rendering bit-for-bit.  Tiny n_bits forces false positives so the
+    parity covers the FP path, and the flag set must remain a superset
+    of exact contamination."""
+    from pandarus_spark.operators.decontam import (
+        bloom_contaminated, bloom_contaminated_sql, build_shingle_bloom,
+        contamination_stats)
+    rng = random.Random(9)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+            for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select("text")
+    bloom = build_shingle_bloom(bench, k=3, n_bits=256, n_hashes=3)
+    got = {r["doc_id"]: r["contaminated"]
+           for r in bloom_contaminated(docs, bloom, k=3).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = bloom_contaminated_sql(
+        bench_source="(SELECT text FROM documents WHERE doc_id % 11 = 0)",
+        k=3, n_bits=256, n_hashes=3)
+    want = {r[0]: bool(r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    exact = {r["doc_id"] for r in
+             contamination_stats(docs, bench.select(F.col("text")), k=3)
+             .filter("contaminated").collect()}
+    flagged = {d for d, c in got.items() if c}
+    assert exact <= flagged          # no false negatives, ever
+    assert len(flagged) > len(exact)  # n_bits=256 forces false positives

@@ -449,3 +449,48 @@ def test_tf_idf_hand_computed(spark):
     assert got[(1, "y")] == (1, idf(2), round(math.log(4 / 3) + 1, 6))
     assert got[(2, "z")][1] == idf(2)
     assert len(got) == 5
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8 (symmetric int8 embedding quantization, round 4)
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_hand_case(spark):
+    from pandarus_spark.operators.similarity import quantize_int8
+    emb = spark.createDataFrame(
+        [(0, [2.0, -4.0]),      # scale 4/127; q = [64, -127]
+         (1, [0.0, 0.0]),       # zero vector: guard path, all-zero codes
+         (2, [1.0])],           # scale 1/127; q = [127]
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["scale_ppb"], r["q_sum"], r["q_sq_sum"], r["n_sat"])
+           for r in quantize_int8(emb).collect()}
+    # floor(2/(4/127)+0.5) = floor(64.0) = 64; -4 maps to the -127 rail
+    assert out[0] == (round(4.0 / 127.0 * 1e9), 64 - 127,
+                      64 * 64 + 127 * 127, 1)
+    assert out[1] == (0, 0, 0, 0)
+    assert out[2] == (round(1.0 / 127.0 * 1e9), 127, 127 * 127, 1)
+
+
+def test_quantize_int8_duckdb_parity(spark):
+    import random
+
+    import pandas as pd
+
+    from pandarus_spark.operators.similarity import quantize_int8, quantize_int8_sql
+    rng = random.Random(21)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    rows.append((80, [0.0] * 16))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(tuple(r) for r in quantize_int8(emb).collect())
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    # parquet round-trip pins the FLOAT[] storage type the real
+    # embeddings table has (pandas registration would keep DOUBLE[])
+    import numpy as np
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: np.asarray(v, dtype="float32"))
+    con.register("raw", pdf)
+    con.execute("CREATE VIEW embeddings AS "
+                "SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding FROM raw")
+    want = sorted(tuple(r) for r in con.execute(quantize_int8_sql()).fetchall())
+    assert got == want
