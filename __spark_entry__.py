@@ -758,6 +758,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embed_quantize(spark, sf_dir):
         return S.quantize_int8(_emb(spark, sf_dir))
 
+    def q_stream_decontam_docs(spark, sf_dir):
+        # streaming replay gate for stream_decontaminate: the documents
+        # parquet replayed availableNow through the broadcast-set probe;
+        # the kept set must equal batch decontaminate (stateless op, so
+        # the replay is batch-boundary-independent), reproduced in the
+        # oracle as NOT contaminated under the batch contamination SQL
+        import os
+        import shutil
+        import tempfile
+
+        from pandarus_spark.streaming.stream import stream_decontaminate
+        docs_path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(docs_path).schema
+        src = tempfile.mkdtemp(prefix="ps_stream_dc_")
+        shutil.copy(docs_path, os.path.join(src, "documents.parquet"))
+        bench = (spark.read.parquet(docs_path)
+                 .filter(F.col("doc_id") % 37 == 0).select("text"))
+        stream = spark.readStream.schema(schema).parquet(src)
+        kept = stream_decontaminate(stream.select("doc_id", "text"),
+                                    bench, k=5)
+        rows = []
+
+        def sink(df, _epoch):
+            rows.extend(df.select("doc_id").collect())
+
+        ck = tempfile.mkdtemp(prefix="ps_stream_dc_ck_")
+        qy = (kept.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", ck)
+              .trigger(availableNow=True).start())
+        qy.awaitTermination(300)
+        return spark.createDataFrame([(r["doc_id"],) for r in rows],
+                                     "doc_id long")
+
     return {
         "intersect_grid_square": q_intersect_grid_square,
         "intersect_outside_grid": q_intersect_outside_grid,
@@ -826,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_docs": q_dup_span_docs,
         "bloom_decontam_docs": q_bloom_decontam_docs,
         "embed_quantize_embeddings": q_embed_quantize,
+        "stream_decontam_docs": q_stream_decontam_docs,
     }
 
 
@@ -1314,6 +1348,13 @@ GROUP BY 1"""
 
     embed_quantize = quantize_int8_sql()
 
+    stream_decontam = (
+        "SELECT doc_id FROM (" + contamination_stats_sql(
+            docs_source="documents",
+            bench_source="(SELECT doc_id AS bid, text FROM documents "
+                         "WHERE doc_id % 37 = 0)", k=5)
+        + ") WHERE NOT contaminated")
+
     return {
         "intersect_grid_square": grid_square,
         "intersect_outside_grid": outside_grid,
@@ -1389,6 +1430,7 @@ FROM documents WHERE doc_id < 200""",
         "dup_span_docs": dup_spans,
         "bloom_decontam_docs": bloom_decontam,
         "embed_quantize_embeddings": embed_quantize,
+        "stream_decontam_docs": stream_decontam,
         # every queries() entry has a value oracle as of round 4 (the
         # formerly rows-only LSH/ANN gates gained lockstep banded SQL)
     }

@@ -381,3 +381,30 @@ def test_session_rows_plan_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_dup_span_plan_two_shuffles_no_python(spark):
+    """Window-on-shingle + per-doc rollup share the minimal shape:
+    exactly two Exchanges, no Join, hash lanes not re-inlined
+    (round-4b audit)."""
+    from pandarus_spark.operators.dedup import dup_span_stats
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" a b c d e f g h i")).alias("text"))
+    plan = plan_of(dup_span_stats(docs, k=5))
+    assert plan.count("- Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    assert "InPandas" not in plan and "Python" not in plan
+    assert plan.count("md5") <= 4, "hash lanes re-inlined"
+
+
+def test_quantize_int8_plan_map_only(spark):
+    """int8 quantization is row-local Catalyst: zero Exchanges, zero
+    Python, and the staged _v/_s/_q projections keep the code vector
+    an attribute instead of re-inlining the transform per consumer."""
+    from pandarus_spark.operators.similarity import quantize_int8
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(quantize_int8(emb))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "Python" not in plan
