@@ -648,6 +648,76 @@ def job_asof_scale(spark, n: int) -> dict:
     return out
 
 
+def synthetic_embeddings(spark, n: int, dim: int = 64, partitions: int = 64):
+    """Deterministic synthetic embedding table (vec_id, float array):
+    lane values from an integer hash mapped into [-1, 1] — generated
+    distributed, no driver-side data."""
+    from pyspark.sql import functions as F
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: ((F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2000001))
+                    / 1000000.0) - 1.0).cast("float"))
+    return (spark.range(0, n, 1, partitions)
+            .select(F.col("id").alias("vec_id"))
+            .select("vec_id", v.alias("embedding")))
+
+
+def job_pipeline4_scale(spark, n: int) -> dict:
+    """Round-4b operator throughput at scale: cross-document dup-span
+    stats (one window shuffle on the shingle id), int8 quantization
+    (map-only), and areal interpolation over a synthetic n-row overlay
+    (window + values join + rollup).  Results persist before the
+    untimed metadata counts (same rule as decontam_scale)."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.dedup import dup_span_stats
+    from pandarus_spark.operators.interp import areal_interpolate
+    from pandarus_spark.operators.similarity import quantize_int8
+
+    out: dict = {"docs": n}
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+    t0 = time.perf_counter()
+    ds = dup_span_stats(docs, k=5).persist()
+    _force(ds)
+    out["dup_span_sec"] = round(time.perf_counter() - t0, 3)
+    out["dup_docs"] = ds.filter("n_dup > 0").count()
+    ds.unpersist()
+    docs.unpersist()
+
+    emb = synthetic_embeddings(spark, n)
+    emb.persist().count()
+    t0 = time.perf_counter()
+    qz = quantize_int8(emb).persist()
+    _force(qz)
+    out["quantize_sec"] = round(time.perf_counter() - t0, 3)
+    out["saturated_lanes"] = qz.agg(F.sum("n_sat")).collect()[0][0]
+    qz.unpersist()
+    emb.unpersist()
+
+    n_src, n_tgt = max(n // 10, 1), max(n // 7, 1)
+    inter = (spark.range(0, n, 1, 64)
+             .select(F.concat(F.lit("T"), (F.col("id") % n_tgt).cast("string"))
+                      .alias("from_label"),
+                     F.concat(F.lit("S"), (F.col("id") % n_src).cast("string"))
+                      .alias("to_label"),
+                     (F.pmod(F.xxhash64("id"), F.lit(100000)) + 1)
+                      .cast("double").alias("measure")))
+    vals = (spark.range(0, n_src)
+            .select(F.concat(F.lit("S"), F.col("id").cast("string"))
+                     .alias("to_label"),
+                    (F.col("id") % 97 + 1).cast("long").alias("value")))
+    inter.persist().count()
+    t0 = time.perf_counter()
+    ai = areal_interpolate(inter, vals).persist()
+    _force(ai)
+    out["areal_sec"] = round(time.perf_counter() - t0, 3)
+    out["areal_targets"] = ai.count()
+    ai.unpersist()
+    inter.unpersist()
+    return out
+
+
 def job_temporal_skew(spark, n_uniform: int, n_cluster: int) -> dict:
     """Skew study for the 1-D bucket joins (r3 verdict #8): a
     flash-sale half hour puts n_cluster points in ONE time bucket
@@ -744,7 +814,8 @@ def main() -> None:
                     choices=["headline", "overlay_scale", "overlay_skew",
                              "zonal_scale", "dedup_scale", "refine_shapes",
                              "curation_scale", "asof_scale",
-                             "decontam_scale", "temporal_skew"])
+                             "decontam_scale", "temporal_skew",
+                             "pipeline4_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=3,
@@ -818,6 +889,24 @@ def main() -> None:
             "bloom_probe_sec": res["bloom_probe_sec"],
             "bloom_flagged": res["bloom_flagged"],
             "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "pipeline4_scale":
+        res = job_pipeline4_scale(spark, args.n)
+        total = res["dup_span_sec"] + res["quantize_sec"] + res["areal_sec"]
+        emit({
+            "metric": "round4_ops_scale",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"dup_span": res["dup_span_sec"],
+                        "quantize_int8": res["quantize_sec"],
+                        "areal_interp": res["areal_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "dup_docs": res["dup_docs"],
+            "saturated_lanes": res["saturated_lanes"],
+            "areal_targets": res["areal_targets"],
+            "rows_per_sec": round(args.n / total, 1),
         })
         spark.stop()
         return
