@@ -28,6 +28,8 @@ from .operators.remaining import calculate_remaining
 from .operators.raster_stats import raster_statistics
 from .operators.raster_transform import clean_raster, round_raster, convert_to_vector
 from .operators.knn import knn_nearest_feature
+from .operators.interp import areal_interpolate
+from .plans.checkpoint import lineage_metrics
 from .sources.bucketed import read_bucketed, write_bucketed, write_bucketed_covers
 from .sources.geojson import intersect_files, read_geojson, read_vector, write_geojson
 from .sources.gpkg import read_gpkg, write_gpkg
@@ -43,6 +45,7 @@ __all__ = [
     "write_geojson", "read_gpkg", "write_gpkg", "read_shapefile",
     "write_gtiff", "write_gtiff_cells", "project_geom",
     "read_bucketed", "write_bucketed", "write_bucketed_covers",
+    "areal_interpolate", "lineage_metrics",
 ]
 
 __version__ = "0.1.0"
