@@ -862,21 +862,45 @@ def dup_span_stats(docs: DataFrame, k: int = 5, text_col: str = "text",
     (``n_dup*1_000_000 div n_shingles`` — pure int64 arithmetic, no
     float anywhere, bit-identical on any engine).
 
-    Scale shape: ONE window shuffle keyed on the 62-bit shingle id
-    (hash-partitioned, no join, no second scan of the corpus — the
-    count-over-window reuses the same exchange the groupBy would need)
-    followed by the per-document rollup shuffle.  State per shingle is
-    a counter; skew is bounded because a shingle duplicated across many
-    documents is exactly the boilerplate this operator exists to find,
-    and the window computes only count(*) over it.
+    Scale shape — SKEW-PROOF by construction: the obvious
+    count-over-window on the shingle id ships EVERY occurrence of a
+    hot shingle (site boilerplate in 10⁸ documents) to one reducer
+    task.  Instead ``n_dup = n_shingles − n_singletons``: the
+    singleton set comes from a partial-aggregated
+    ``groupBy(shingle)`` — map-side combine collapses a hot shingle
+    to one row per map partition BEFORE the shuffle, so the maximum
+    reducer load is O(#map partitions) regardless of how duplicated
+    any shingle is — and a ``c == 1`` group's ``min(doc_id)`` IS its
+    owning document, so no join back to the exploded rows is ever
+    needed.  Per-doc shingle totals are map-only (``size`` of the
+    distinct-id array), combined with the singleton rows through a
+    union + ONE doc-keyed rollup.  Two Exchanges total (shingle agg,
+    doc agg), zero Joins, zero Python.
+
+    The shingle-id arrays feed BOTH subtrees, so they are
+    ``localCheckpoint``ed once (the minhash pattern, dedup.py
+    signature pipeline: measured 2.8× vs recomputing the hash kernel
+    per consumer at 400k docs — 10.1 s vs 28.5 s).  The materialized
+    state is ~8 bytes per shingle; at corpus scales where that storage
+    exceeds executor budget, recomputation is the explicit fallback
+    (drop the checkpoint call — both subtrees stay correct, the plan
+    just evaluates the kernel twice).
     """
-    rows = shingle_id_rows(docs, k=k, text_col=text_col, id_col=id_col)
-    occ = F.count("*").over(Window.partitionBy("shingle"))
-    d = rows.select(F.col(id_col), occ.alias("_occ"))
-    return (d.groupBy(id_col)
-             .agg(F.count("*").alias("n_shingles"),
-                  F.sum(F.when(F.col("_occ") >= 2, 1).otherwise(0))
-                   .cast("long").alias("n_dup"))
+    arrs = shingle_id_arrays(docs, k=k, text_col=text_col, keep=[id_col]) \
+        .localCheckpoint(eager=False)
+    totals = arrs.select(F.col(id_col),
+                         F.size("_ids").cast("long").alias("_ns"),
+                         F.lit(0).cast("long").alias("_nu"))
+    rows = arrs.select(F.col(id_col), F.explode("_ids").alias("shingle"))
+    singles = (rows.groupBy("shingle")
+                   .agg(F.count("*").alias("_c"), F.min(id_col).alias(id_col))
+                   .filter(F.col("_c") == 1)
+                   .select(F.col(id_col), F.lit(0).cast("long").alias("_ns"),
+                           F.lit(1).cast("long").alias("_nu")))
+    u = totals.unionByName(singles)
+    return (u.groupBy(id_col)
+             .agg(F.sum("_ns").alias("n_shingles"),
+                  (F.sum("_ns") - F.sum("_nu")).alias("n_dup"))
              .withColumn("dup_ppm",
                          F.expr("n_dup * 1000000 div n_shingles")))
 

@@ -384,9 +384,12 @@ def test_session_rows_plan_single_exchange(spark):
 
 
 def test_dup_span_plan_two_shuffles_no_python(spark):
-    """Window-on-shingle + per-doc rollup share the minimal shape:
-    exactly two Exchanges, no Join, hash lanes not re-inlined
-    (round-4b audit)."""
+    """Skew-proof shape: partial-aggregated groupBy(shingle) for the
+    singleton set (map-side combine collapses hot boilerplate shingles
+    before the shuffle — no window, which would ship every occurrence
+    of a hot shingle to one task) + union with the map-only per-doc
+    totals into ONE doc rollup.  Exactly two Exchanges, no Join, hash
+    lanes not re-inlined (round-4b audit)."""
     from pandarus_spark.operators.dedup import dup_span_stats
     docs = spark.range(200).select(
         F.col("id").alias("doc_id"),
