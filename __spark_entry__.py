@@ -288,6 +288,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ps.raster_statistics(_fixtures(spark, "grid"), cells,
                                     method="coverage", strategy="tiles")
 
+    def q_zonal_weighted(spark, sf_dir):
+        # exactextract-style weighted zonal stats (graft addition): a
+        # second deterministic raster on the same grid supplies the
+        # weights; oracle recomputes coverage fractions in closed form
+        # (axis-aligned boxes) — first-principles, kernel-independent
+        import numpy as np
+
+        from pandarus_spark.operators.raster_stats import raster_cells_df
+        arr, spec = _range_raster()
+        r, c = np.meshgrid(np.arange(spec.height), np.arange(spec.width),
+                           indexing="ij")
+        warr = ((r * spec.width + c) % 7 + 1).astype(np.float64)
+        wcells = raster_cells_df(spark, spec, warr, drop_nodata=False)
+        return ps.raster_statistics(_fixtures(spark, "grid"),
+                                    _range_cells(spark), method="coverage",
+                                    weight_cells=wcells)
+
     def q_vectorize_range(spark, sf_dir):
         out = ps.convert_to_vector(_range_cells(spark))
         return out.groupBy("val").agg(F.count("*").alias("n_regions"))
@@ -805,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_coverage": q_zonal_coverage,
         "zonal_centers": q_zonal_centers,
         "zonal_coverage_tiles": q_zonal_coverage_tiles,
+        "zonal_weighted": q_zonal_weighted,
         "vectorize_range": q_vectorize_range,
         "clean_raster_range": q_clean_raster_range,
         "round_raster_lineitem": q_round_raster_lineitem,
@@ -923,6 +941,38 @@ SELECT * FROM (VALUES
   ('grid cell 2', 33.0, 49.0, 41.0, 8.0),
   ('grid cell 3', 3.0, 19.0, 11.0, 8.0)
 ) AS t(label, "min", "max", "mean", "count")"""
+
+    # weighted zonal: coverage fractions of axis-aligned boxes in
+    # closed form (LEAST/GREATEST overlap over the same affine cell
+    # bounds the constructor computes) — kernel-independent; the
+    # float32 round-trip swallows the last-ulp difference between the
+    # closed form and the clip kernel's shoelace areas
+    zonal_weighted = f"""
+WITH g AS (SELECT * FROM {grid_fixture_values()}),
+rc AS (SELECT rr.r, cc.c
+       FROM (SELECT unnest(range(10)) AS r) rr,
+            (SELECT unnest(range(5)) AS c) cc
+       WHERE rr.r NOT IN (4, 5)),
+cells AS (SELECT CAST(r*5+c AS DOUBLE) AS v,
+                 CAST((r*5+c) % 7 + 1 AS DOUBLE) AS wv,
+                 0.4*c AS cminx, 2 - 0.2*(r+1) AS cminy,
+                 0.4*(c+1) AS cmaxx, 2 - 0.2*r AS cmaxy
+          FROM rc),
+cand AS (
+  SELECT label, v, wv,
+         LEAST((LEAST(cmaxx, maxx) - GREATEST(cminx, minx))
+               * (LEAST(cmaxy, maxy) - GREATEST(cminy, miny))
+               / ((cmaxx - cminx) * (cmaxy - cminy)), 1.0) AS cov
+  FROM cells JOIN g ON cminx < maxx AND minx < cmaxx
+                   AND cminy < maxy AND miny < cmaxy)
+SELECT label,
+  CAST(CAST(min(v) AS FLOAT) AS DOUBLE) AS "min",
+  CAST(CAST(max(v) AS FLOAT) AS DOUBLE) AS "max",
+  CAST(CAST(sum(v*cov)/sum(cov) AS FLOAT) AS DOUBLE) AS "mean",
+  CAST(CAST(sum(cov) AS FLOAT) AS DOUBLE) AS "count",
+  CAST(CAST(sum(v*cov*wv)/sum(cov*wv) AS FLOAT) AS DOUBLE) AS weighted_mean,
+  CAST(CAST(sum(v*cov*wv) AS FLOAT) AS DOUBLE) AS weighted_sum
+FROM cand GROUP BY label"""
 
     # --- arithmetic (first-principles) oracles ------------------------------
     tile_assignments = cell_cover_sql(grid_fixture_values(), res=8)
@@ -1370,6 +1420,7 @@ GROUP BY 1"""
         "zonal_centers": zonal_centers,
         # tiles strategy + tile-table contract: same reference goldens
         "zonal_coverage_tiles": zonal_coverage,
+        "zonal_weighted": zonal_weighted,
         "vectorize_range": vectorize,
         "clean_raster_range": clean_range,
         "round_raster_lineitem": round_li,

@@ -160,7 +160,8 @@ def _tile_candidates(features: DataFrame, cells: DataFrame,
 def raster_statistics(features: DataFrame, cells: DataFrame,
                       method: str = "coverage", strategy: str = "broadcast",
                       res: int = 12, max_cells: int = 64,
-                      batch_weights: bool = True) -> DataFrame:
+                      batch_weights: bool = True,
+                      weight_cells: DataFrame | None = None) -> DataFrame:
     """Zonal stats: (label, min, max, mean, count).
 
     ``features``: the engine's feature DF (polygons). ``cells``: output
@@ -170,11 +171,29 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
     O(cells × features) predicate evaluations, fine while the feature
     side broadcasts.  ``strategy="tiles"`` (cluster scale): cell-key
     hash join via :func:`_tile_candidates` — identical results, no
-    broadcast, no quadratic predicate work."""
+    broadcast, no quadratic predicate work.
+
+    ``weight_cells`` (graft addition — exactextract's ``weights=``
+    raster; the reference's raster_statistics has no weighted variant):
+    a second cell DataFrame on the SAME grid, joined on (row, col)
+    before candidate generation (an inner join, so a cell missing from
+    the weight raster is excluded — exactextract's weight-nodata rule).
+    Appends ``weighted_mean = Σ(cov·w·v)/Σ(cov·w)`` and
+    ``weighted_sum = Σ(cov·w·v)`` to the output; requires
+    ``method="coverage"``.  The grid join is a (row, col) equi-join —
+    co-partitionable/bucketable at tile-table scale, never a geometry
+    operation."""
     if method not in ("coverage", "centers"):
         raise ValueError(method)
     if strategy not in ("broadcast", "tiles"):
         raise ValueError(strategy)
+    has_w = weight_cells is not None
+    if has_w:
+        if method != "coverage":
+            raise ValueError("weight_cells requires method='coverage'")
+        cells = cells.join(
+            weight_cells.select("row", "col", F.col("value").alias("wval")),
+            ["row", "col"])
 
     if strategy == "tiles":
         cand = _tile_candidates(features, cells, res, max_cells)
@@ -194,6 +213,8 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
         from ..geometry import batch as B
         for pdf in batches:
             out = {"label": [], "value": [], "weight": []}
+            if has_w:
+                out["wval"] = []
             for wkb, grp in pdf.groupby("geom_wkb", sort=False):
                 geom = G.wkb_loads(bytes(wkb))
                 rings_list = G.extract_kind_parts(geom, "polygon")
@@ -201,6 +222,7 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
                 mxx = grp["maxx"].to_numpy(); mxy = grp["maxy"].to_numpy()
                 vals = grp["value"].to_numpy()
                 labels = grp["label"].to_numpy()
+                wvals = grp["wval"].to_numpy() if has_w else None
                 if centers:
                     pts = np.column_stack([(mnx + mxx) / 2.0, (mny + mxy) / 2.0])
                     mask = np.zeros(len(pts), dtype=bool)
@@ -248,6 +270,8 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
                     keep = frac > 1e-12
                     out["label"].extend(labels[keep]); out["value"].extend(vals[keep])
                     out["weight"].extend(np.minimum(frac[keep], 1.0))
+                    if has_w:
+                        out["wval"].extend(wvals[keep])
                 else:
                     for i in range(len(vals)):
                         box = [np.array([[mnx[i], mny[i]], [mxx[i], mny[i]], [mxx[i], mxy[i]],
@@ -260,25 +284,40 @@ def raster_statistics(features: DataFrame, cells: DataFrame,
                         if frac > 1e-12:
                             out["label"].append(labels[i]); out["value"].append(vals[i])
                             out["weight"].append(min(frac, 1.0))
-            yield pd.DataFrame({"label": pd.Series(out["label"], dtype="object"),
-                                "value": pd.Series(out["value"], dtype="float64"),
-                                "weight": pd.Series(out["weight"], dtype="float64")})
+                            if has_w:
+                                out["wval"].append(wvals[i])
+            cols = {"label": pd.Series(out["label"], dtype="object"),
+                    "value": pd.Series(out["value"], dtype="float64"),
+                    "weight": pd.Series(out["weight"], dtype="float64")}
+            if has_w:
+                cols["wval"] = pd.Series(out["wval"], dtype="float64")
+            yield pd.DataFrame(cols)
 
-    weighted = cand.mapInPandas(gen, schema=WEIGHT_SCHEMA)
-    stats = weighted.groupBy("label").agg(
+    schema = WEIGHT_SCHEMA + (", wval double" if has_w else "")
+    weighted = cand.mapInPandas(gen, schema=schema)
+    aggs = [
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
         (F.sum(F.col("value") * F.col("weight")) / F.sum("weight")).alias("vmean"),
         F.sum("weight").alias("vcount"),
-    )
+    ]
+    if has_w:
+        cw = F.col("weight") * F.col("wval")
+        aggs += [(F.sum(F.col("value") * cw) / F.sum(cw)).alias("vwmean"),
+                 F.sum(F.col("value") * cw).alias("vwsum")]
+    stats = weighted.groupBy("label").agg(*aggs)
     # float32 round-trip to match the reference's float32 goldens
-    return stats.select(
-        "label",
+    sel = [
+        F.col("label"),
         F.col("vmin").cast("float").cast("double").alias("min"),
         F.col("vmax").cast("float").cast("double").alias("max"),
         F.col("vmean").cast("float").cast("double").alias("mean"),
         F.col("vcount").cast("float").cast("double").alias("count"),
-    )
+    ]
+    if has_w:
+        sel += [F.col("vwmean").cast("float").cast("double").alias("weighted_mean"),
+                F.col("vwsum").cast("float").cast("double").alias("weighted_sum")]
+    return stats.select(*sel)
 
 
 def _centers_in(pts: np.ndarray, rings: list) -> np.ndarray:

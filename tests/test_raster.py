@@ -408,3 +408,67 @@ def test_read_gtiff_fallback_error_mentions_contract(spark, tmp_path):
     from pandarus_spark.sources import raster as R
     with pytest.raises(ImportError, match="tile parquet"):
         R.read_gtiff(spark, p)
+
+
+# ---------------------------------------------------------------------------
+# weighted zonal statistics (exactextract weights= analogue, round 4b)
+# ---------------------------------------------------------------------------
+
+def _weighted_fixture(spark):
+    arr = np.arange(50, dtype=np.float64).reshape(10, 5)
+    arr[4, :] = -1.0
+    arr[5, :] = -1.0
+    spec = RasterSpec(5, 10, (0.4, 0, 0, 0, -0.2, 2), nodata=-1.0)
+    cells = raster_cells_df(spark, spec, arr)
+    r, c = np.meshgrid(np.arange(10), np.arange(5), indexing="ij")
+    warr = ((r * 5 + c) % 7 + 1).astype(np.float64)
+    wcells = raster_cells_df(spark, spec, warr, drop_nodata=False)
+    grid = extract_features(pages_df(spark, "grid"))
+    return grid, cells, wcells, arr, warr, spec
+
+
+def test_weighted_zonal_matches_closed_form(spark):
+    """Weighted mean/sum vs a numpy closed-form recomputation (axis-
+    aligned coverage fractions — no geometry kernel), float32-rounded
+    like the operator's output contract."""
+    grid, cells, wcells, arr, warr, spec = _weighted_fixture(spark)
+    out = {r["label"]: (r["weighted_mean"], r["weighted_sum"], r["mean"], r["count"])
+           for r in raster_statistics(grid, cells, method="coverage",
+                                      weight_cells=wcells).collect()}
+    # closed form per grid cell (unit boxes at (i, j)..(i+1, j+1))
+    for i in range(2):
+        for j in range(2):
+            label = f"grid cell {i * 2 + j}"
+            num = den = 0.0
+            for rr in range(10):
+                if rr in (4, 5):
+                    continue
+                for cc in range(5):
+                    cminx, cmaxx = 0.4 * cc, 0.4 * (cc + 1)
+                    cminy, cmaxy = 2 - 0.2 * (rr + 1), 2 - 0.2 * rr
+                    ox = min(cmaxx, i + 1.0) - max(cminx, float(i))
+                    oy = min(cmaxy, j + 1.0) - max(cminy, float(j))
+                    if ox <= 0 or oy <= 0:
+                        continue
+                    cov = min(ox * oy / ((cmaxx - cminx) * (cmaxy - cminy)), 1.0)
+                    cw = cov * warr[rr, cc]
+                    num += arr[rr, cc] * cw
+                    den += cw
+            got_mean, got_sum = out[label][0], out[label][1]
+            assert got_mean == np.float64(np.float32(num / den))
+            assert got_sum == np.float64(np.float32(num))
+
+
+def test_weighted_zonal_tiles_matches_broadcast(spark):
+    grid, cells, wcells, *_ = _weighted_fixture(spark)
+    a = sorted(map(tuple, raster_statistics(
+        grid, cells, weight_cells=wcells).collect()))
+    b = sorted(map(tuple, raster_statistics(
+        grid, cells, weight_cells=wcells, strategy="tiles").collect()))
+    assert a == b
+
+
+def test_weighted_zonal_requires_coverage(spark):
+    grid, cells, wcells, *_ = _weighted_fixture(spark)
+    with pytest.raises(ValueError, match="coverage"):
+        raster_statistics(grid, cells, method="centers", weight_cells=wcells)
