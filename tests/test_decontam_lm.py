@@ -296,3 +296,18 @@ def test_bloom_contaminated_sql_parity(spark):
     flagged = {d for d, c in got.items() if c}
     assert exact <= flagged          # no false negatives, ever
     assert len(flagged) > len(exact)  # n_bits=256 forces false positives
+
+
+def test_dup_span_stats_null_and_empty_text(spark):
+    """NULL/empty text docs still emit a row (one truncated shingle of
+    the empty word) and never crash the union rollup."""
+    from pandarus_spark.operators.dedup import dup_span_stats
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real words here beyond the window")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shingles"] for r in dup_span_stats(docs, k=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == 1 and out[2] == 1   # coalesce('') -> [''] -> 1 shingle
+    # NULL and '' collapse to the same shingle id -> both are dup spans
+    dup = {r["doc_id"]: r["n_dup"] for r in dup_span_stats(docs, k=5).collect()}
+    assert dup[1] == 1 and dup[2] == 1 and dup[3] == 0

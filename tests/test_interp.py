@@ -93,3 +93,37 @@ def test_lineage_metrics_matches_manual_agg(spark):
     out2 = {r["partition_id"]: (r["n_rows"], r["area_sum_m2"], r["n_targets"])
             for r in lineage_metrics(df.repartition(13), pid).collect()}
     assert out2 == want
+
+
+def test_areal_interpolate_missing_column_raises(spark):
+    inter = spark.createDataFrame([("T", "S", 1.0)],
+                                  "from_label string, to_label string, measure double")
+    vals = spark.createDataFrame([("S", 1)], "to_label string, value long")
+    import pytest
+    with pytest.raises(ValueError, match="measure"):
+        from pandarus_spark.operators.interp import areal_interpolate as ai
+        ai(inter.drop("measure"), vals)
+    with pytest.raises(ValueError, match="value"):
+        from pandarus_spark.operators.interp import areal_interpolate as ai
+        ai(inter, vals.drop("value"))
+
+
+def test_areal_interpolate_empty_overlay(spark):
+    inter = spark.createDataFrame(
+        [], "from_label string, to_label string, measure double")
+    vals = spark.createDataFrame([("S", 1)], "to_label string, value long")
+    assert areal_interpolate(inter, vals).count() == 0
+
+
+def test_areal_interpolate_randomized_mass_conservation(spark):
+    """Property sweep across seeds: received micro-mass equals source
+    mass within half a micro-unit per overlay pair, at any fan-out."""
+    for seed in (1, 2, 3):
+        rows, vals = _random_overlay(seed=seed, n_sources=25, n_targets=40)
+        inter = spark.createDataFrame(
+            rows, "from_label string, to_label string, measure double")
+        values = spark.createDataFrame(vals, "to_label string, value long")
+        got = areal_interpolate(inter, values).agg(
+            F.sum("recv_micro")).collect()[0][0]
+        mass = sum(v * MICRO for _, v in vals)
+        assert abs(got - mass) <= len(rows)
