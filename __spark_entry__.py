@@ -532,6 +532,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_hit") / F.col("n_brute"), 6)
                         .alias("recall")))
 
+    def q_ann_quantized_embeddings(spark, sf_dir):
+        # int8-code prescreen + exact re-rank (full-scan configuration;
+        # the bucketed generators compose in front of it) — the whole
+        # pipeline incl. prescreen ordering is engine-deterministic
+        emb = _emb(spark, sf_dir)
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        return S.ann_quantized_topk(emb, qs, k=3, refine_m=32)
+
     def q_ann_ivf_embeddings(spark, sf_dir):
         # full probe (nprobe == n_centroids) → exactly brute-force top-k,
         # so the cosine_topk SQL is a full value oracle; partial-probe
@@ -852,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_embeddings": q_ann_multiprobe_embeddings,
         "ann_recall_embeddings": q_ann_recall_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "ann_quantized_embeddings": q_ann_quantized_embeddings,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1449,6 +1459,7 @@ GROUP BY 1"""
         # brute-force pair set, so it shares the full value oracle
         "cosine_neardup_bucketed": cosine_neardup,
         "ann_ivf_embeddings": cosine_topk,  # full probe == brute force
+        "ann_quantized_embeddings": S.ann_quantized_sql(k=3, refine_m=32),
         "ann_lsh_embeddings": ann_lsh,
         "ann_multiprobe_embeddings": ann_multiprobe,
         "ann_recall_embeddings": ann_recall,

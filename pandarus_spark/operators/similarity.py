@@ -594,3 +594,127 @@ SELECT {id_col},
        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sq_sum,
        CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
 FROM q"""
+
+
+def _int8_codes(vec: Column) -> Column:
+    """The int8 code array of :func:`quantize_int8` (scale = max|x|/127,
+    floor(x/scale + 0.5)) as a Column — shared by the quantized-scan
+    operator and (through the lockstep SQL) its oracle."""
+    mx = F.array_max(F.transform(vec, F.abs))
+    return F.transform(
+        vec,
+        lambda x: F.when(mx == 0.0, F.lit(0).cast("long"))
+                   .otherwise(F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5))))
+
+
+def ann_quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                       refine_m: int = 32,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       qid_col: str = "query_id", qvec_col: str = "qvec",
+                       exclude_self: bool = True) -> DataFrame:
+    """Quantized-scan ANN: prescreen on int8 codes, exact re-rank.
+
+    The scan half of a disk-resident index: candidates are scored
+    against the 4×-smaller code vectors (``approx = Σ(q_i·c_i) /
+    (‖q‖·√Σc_i²)`` — the per-vector scale cancels out of the cosine,
+    so the score is pure integer-code arithmetic against the query),
+    the top ``refine_m`` per query survive, and ONLY those join back
+    to the full-precision vectors for the exact cosine top-k.  At
+    100 TB the full vectors are touched ``refine_m·|Q|`` times instead
+    of once per candidate — the scan streams codes, the refine is a
+    narrow id join.  Composes with the bucketed candidate generators
+    (:func:`ivf_topk`'s assignment, :func:`ann_lsh_topk`'s tables)
+    by feeding their candidate pairs in as ``embeddings``.
+
+    Every arithmetic step is engine-deterministic (integer codes,
+    sequential dot-product folds, one sqrt), so the full pipeline —
+    prescreen ordering included — reproduces bit-for-bit in SQL.
+    """
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    codes = e.select("neighbor_id",
+                     _int8_codes(F.col("v")).alias("c")) \
+             .withColumn("nc", F.sqrt(F.aggregate(
+                 F.transform(F.col("c"), lambda x: (x * x).cast("double")),
+                 F.lit(0.0), lambda a, x: a + x)))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       _as_double(F.col(qvec_col)).alias("qv")) \
+        .withColumn("nq", norm(F.col("qv")))
+
+    qdot = F.aggregate(F.zip_with(F.col("qv"), F.col("c"),
+                                  lambda x, c: x * c.cast("double")),
+                       F.lit(0.0), lambda a, x: a + x)
+    approx = qdot / F.greatest(F.col("nq") * F.col("nc"), F.lit(1e-24))
+    scored = codes.crossJoin(q).select(
+        "query_id", "neighbor_id", approx.alias("approx"))
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                               F.col("neighbor_id"))
+    survivors = (scored.withColumn("arank", F.row_number().over(w))
+                 .filter(F.col("arank") <= refine_m)
+                 .select("query_id", "neighbor_id"))
+
+    ev = e.withColumn("nv", norm(F.col("v")))
+    exact = (survivors.join(ev, "neighbor_id")
+             .join(q.select("query_id", "qv", "nq"), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(_cos_prenorm(F.col("qv"), F.col("v"),
+                                          F.col("nq"), F.col("nv")), 6)
+                      .alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def ann_quantized_sql(k: int = 3, refine_m: int = 32,
+                      source: str = "embeddings",
+                      query_where: str = "vec_id < 5") -> str:
+    """DuckDB rendering of :func:`ann_quantized_topk` — identical
+    quantization, identical sequential dot folds, identical windows."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
+codes AS (
+  SELECT vec_id,
+         list_transform(v, x -> CASE
+             WHEN list_max(list_transform(v, y -> abs(y))) = 0.0
+                 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(x / (list_max(list_transform(v, y -> abs(y)))
+                                  / 127.0) + 0.5) AS BIGINT) END) AS c
+  FROM e),
+cn AS (SELECT vec_id,
+              c,
+              sqrt(list_sum(list_transform(c,
+                   x -> CAST(x * x AS DOUBLE)))) AS nc
+       FROM codes),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_dot_product(v, v)) AS nq
+      FROM e WHERE {query_where}),
+approx AS (
+  SELECT query_id, cn.vec_id AS neighbor_id,
+         list_dot_product(qv, list_transform(c, x -> CAST(x AS DOUBLE)))
+           / GREATEST(nq * nc, 1e-24) AS approx
+  FROM cn, q WHERE cn.vec_id != query_id),
+surv AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id) AS arank
+        FROM approx)
+  WHERE arank <= {refine_m}),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(q.qv, e.v)
+               / GREATEST(q.nq * sqrt(list_dot_product(e.v, e.v)), 1e-24),
+               6) AS cos
+  FROM surv s JOIN e ON e.vec_id = s.neighbor_id
+              JOIN q ON q.query_id = s.query_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM exact)
+WHERE rank <= {k}"""

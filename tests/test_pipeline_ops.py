@@ -494,3 +494,55 @@ def test_quantize_int8_duckdb_parity(spark):
                 "SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding FROM raw")
     want = sorted(tuple(r) for r in con.execute(quantize_int8_sql()).fetchall())
     assert got == want
+
+
+def test_ann_quantized_full_refine_equals_brute_force(spark):
+    """With refine_m covering the corpus, the prescreen cannot drop a
+    true neighbor and the exact re-rank IS brute-force top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 120)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    got = sorted(map(tuple, S.ann_quantized_topk(emb, qs, k=3, refine_m=200)
+                     .collect()))
+    want = sorted(map(tuple, S.cosine_topk(emb, qs, k=3).collect()))
+    assert got == want
+
+
+def test_ann_quantized_small_refine_recall_floor(spark):
+    """int8 error is ~1/254 per lane; at refine_m=16 the true top-3
+    must survive the prescreen on this corpus (recall 1.0 measured —
+    floor asserted so a quantizer regression trips it)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in S.ann_quantized_topk(emb, qs, k=3, refine_m=16).collect()}
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(emb, qs, k=3).collect()}
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.9
+
+
+def test_ann_quantized_duckdb_parity_random(spark):
+    import random
+
+    import pandas as pd
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    got = sorted(map(tuple, S.ann_quantized_topk(emb, qs, k=2, refine_m=10)
+                     .collect()))
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: np.asarray(v, dtype="float32"))
+    con.register("raw", pdf)
+    con.execute("CREATE VIEW embeddings AS SELECT vec_id, "
+                "CAST(embedding AS FLOAT[]) AS embedding FROM raw")
+    want = sorted(map(tuple, con.execute(
+        S.ann_quantized_sql(k=2, refine_m=10, query_where="vec_id < 3"))
+        .fetchall()))
+    assert got == want
