@@ -731,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_source_profile_docs(spark, sf_dir):
         return C.source_profile(_docs(spark, sf_dir))
 
+    def q_shard_corpus_docs(spark, sf_dir):
+        return C.shard_corpus(_docs(spark, sf_dir), n_shards=16)
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -882,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats_docs": q_pii_stats_docs,
         "source_profile_docs": q_source_profile_docs,
         "flagship_overlay": q_flagship_overlay,
+        "shard_corpus_docs": q_shard_corpus_docs,
         "areal_interp_overlay": q_areal_interp,
         "overlay_partition_metrics": q_overlay_partition_metrics,
         "dup_span_docs": q_dup_span_docs,
@@ -1487,6 +1491,7 @@ FROM documents WHERE doc_id < 200""",
         "pii_stats_docs": pii_stats,
         "source_profile_docs": source_profile,
         "flagship_overlay": _flagship_oracle(),
+        "shard_corpus_docs": C.shard_corpus_sql(16),
         "areal_interp_overlay": areal_interp,
         "overlay_partition_metrics": partition_metrics,
         "dup_span_docs": dup_spans,

@@ -331,3 +331,50 @@ SELECT {group_col} AS source, count(*) AS n_docs,
        round(quantile_cont(CAST({size_col} AS DOUBLE), 0.5), 6) AS median_size,
        round(quantile_cont(CAST({size_col} AS DOUBLE), 0.9), 6) AS p90_size
 FROM {source} GROUP BY {group_col}"""
+
+
+def shard_corpus(docs, n_shards: int = 64, id_col: str = "doc_id"):
+    """Deterministic training-order sharding: every document gets a
+    ``(shard, pos)`` that is a pure function of its id — the data-order
+    reproducibility contract a training run needs (re-running the prep
+    job on re-partitioned/re-scaled input yields byte-identical shard
+    manifests, so a resumed training job sees the same sample order).
+
+    ``shard = md5-lane(id) mod n_shards`` balances shards to within
+    sampling noise regardless of id distribution (sequential ids, url
+    hashes, snapshot offsets all land uniformly); ``pos`` ranks the
+    second md5 lane within the shard (ties broken by id), giving a
+    deterministic within-shard shuffle — training sees a stable
+    pseudo-random order, not ingestion order.
+
+    Scale shape: one narrow projection + ONE window shuffle keyed on
+    the shard id (n_shards partitions of ~|docs|/n_shards rows each —
+    the partition size is chosen by n_shards, so executor memory
+    bounds are explicit, and the same key is the natural write
+    partitioning for the shard files).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import hash60, hash60b
+
+    sid = F.col(id_col).cast("string")
+    d = docs.select(F.col(id_col),
+                    F.pmod(hash60(sid), F.lit(n_shards)).alias("shard"),
+                    hash60b(sid).alias("_ord"))
+    w = Window.partitionBy("shard").orderBy(F.col("_ord"), F.col(id_col))
+    return (d.withColumn("pos", F.row_number().over(w).cast("long"))
+            .select(id_col, "shard", "pos"))
+
+
+def shard_corpus_sql(n_shards: int = 64, source: str = "documents",
+                     id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`shard_corpus` (lockstep md5 lanes)."""
+    from .dedup import hash60_sql, hash60b_sql
+    sid = f"CAST({id_expr} AS VARCHAR)"
+    return f"""
+SELECT {id_expr} AS doc_id,
+       {hash60_sql(sid)} % {n_shards} AS shard,
+       CAST(row_number() OVER (PARTITION BY {hash60_sql(sid)} % {n_shards}
+                               ORDER BY {hash60b_sql(sid)}, {id_expr})
+            AS BIGINT) AS pos
+FROM {source}"""

@@ -262,3 +262,42 @@ def test_chunk_tokens_reconstructs_stream(spark):
         assert last_no * stride + last_len == n, (doc_id, n, chunks)
         for no, ln in chunks[:-1]:
             assert ln == size, (doc_id, chunks)
+
+
+# ---------------------------------------------------------------------------
+# shard_corpus (deterministic training-order sharding, round 4b)
+# ---------------------------------------------------------------------------
+
+def test_shard_corpus_deterministic_and_balanced(spark):
+    from pandarus_spark.operators.curation import shard_corpus
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in shard_corpus(docs, n_shards=8).collect()}
+    # partitioning-independent manifest
+    out2 = {r["doc_id"]: (r["shard"], r["pos"])
+            for r in shard_corpus(docs.repartition(13), n_shards=8).collect()}
+    assert out == out2
+    # every shard is a dense 1..n_s sequence (a valid training order)
+    from collections import Counter
+    sizes = Counter(s for s, _ in out.values())
+    assert len(sizes) == 8
+    for s, n in sizes.items():
+        assert sorted(p for sh, p in out.values() if sh == s) == list(range(1, n + 1))
+    # md5 balance: no shard more than 35% off the mean at n=2000
+    assert max(sizes.values()) <= 1.35 * 2000 / 8
+    assert min(sizes.values()) >= 0.65 * 2000 / 8
+
+
+def test_shard_corpus_duckdb_parity(spark):
+    import duckdb
+
+    import pandas as pd
+
+    from pandarus_spark.operators.curation import shard_corpus, shard_corpus_sql
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    got = sorted(tuple(r) for r in shard_corpus(docs, n_shards=7).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(300)}))
+    want = sorted(tuple(r) for r in
+                  con.execute(shard_corpus_sql(7)).fetchall())
+    assert got == want
