@@ -734,6 +734,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_shard_corpus_docs(spark, sf_dir):
         return C.shard_corpus(_docs(spark, sf_dir), n_shards=16)
 
+    def q_pack_sequences_docs(spark, sf_dir):
+        # training-sequence packing in deterministic shard order —
+        # every non-tail sequence carries exactly 128 tokens
+        return C.pack_sequences(_docs(spark, sf_dir), seq_len=128, n_shards=8)
+
+    def q_gopher_quality_docs(spark, sf_dir):
+        return T.gopher_rules(_docs(spark, sf_dir))
+
+    def q_postings_docs(spark, sf_dir):
+        # inverted-index postings sample: salted two-stage per-token
+        # top-p (exact, salt-count-invariant) + doc frequency
+        return T.postings_sample(_docs(spark, sf_dir), p=3, n_salts=8)
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -892,6 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam_docs": q_bloom_decontam_docs,
         "embed_quantize_embeddings": q_embed_quantize,
         "stream_decontam_docs": q_stream_decontam_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "gopher_quality_docs": q_gopher_quality_docs,
+        "postings_docs": q_postings_docs,
     }
 
 
@@ -1498,6 +1514,9 @@ FROM documents WHERE doc_id < 200""",
         "bloom_decontam_docs": bloom_decontam,
         "embed_quantize_embeddings": embed_quantize,
         "stream_decontam_docs": stream_decontam,
+        "pack_sequences_docs": C.pack_sequences_sql(128, 8),
+        "gopher_quality_docs": T.gopher_rules_sql(),
+        "postings_docs": T.postings_sample_sql(3),
         # every queries() entry has a value oracle as of round 4 (the
         # formerly rows-only LSH/ANN gates gained lockstep banded SQL)
     }

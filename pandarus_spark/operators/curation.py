@@ -378,3 +378,92 @@ SELECT {id_expr} AS doc_id,
                                ORDER BY {hash60b_sql(sid)}, {id_expr})
             AS BIGINT) AS pos
 FROM {source}"""
+
+def pack_sequences(docs, seq_len: int = 128, n_shards: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Training-sequence packing: concatenate the corpus in the
+    deterministic :func:`shard_corpus` order and cut it into
+    fixed-``seq_len``-token training sequences, emitting for every
+    document the sequence slices it fills — the last data-prep step
+    before a causal-LM training run (documents are packed back to back
+    so no sequence carries padding; a document crossing a boundary
+    contributes a slice to each side).
+
+    Output: ``(doc_id, shard, seq, doc_from, n_fill)`` — document
+    ``doc_id`` supplies ``n_fill`` tokens starting at its own token
+    offset ``doc_from`` into training sequence ``seq`` of ``shard``.
+    ``sum(n_fill) GROUP BY shard, seq`` is exactly ``seq_len`` for
+    every sequence except each shard's ragged tail — invariants the
+    gate's oracle pins.  Token count is the whitespace convention
+    (``size(split(text, ' '))``, the same count chunk_tokens uses), so
+    the whole kernel is integer arithmetic: bit-identical on any
+    engine, byte-identical manifests under any input partitioning.
+
+    Scale shape (100 TB): ONE window shuffle keyed on the shard id —
+    the cumulative-offset window and the row-local slice explode both
+    run inside the shard partition, and the explode fan-out is bounded
+    by ``tokens/seq_len + 1`` rows per document.  Pick ``n_shards`` ≥
+    cluster parallelism (each shard is one task's sequential scan);
+    shard sizes concentrate at |corpus|/n_shards by the md5 lane, so
+    executor memory bounds are explicit, exactly as in
+    :func:`shard_corpus`.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import hash60, hash60b
+
+    sid = F.col(id_col).cast("string")
+    d = docs.select(
+        F.col(id_col),
+        F.pmod(hash60(sid), F.lit(n_shards)).alias("shard"),
+        hash60b(sid).alias("_ord"),
+        F.size(F.split(nz(F.col(text_col)), " ")).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy(F.col("_ord"), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")))
+    # sequences this document overlaps (n_tokens >= 1 always: split('')
+    # is [''] on both engines, so the range is never empty)
+    d = d.withColumn("seq", F.explode(F.sequence(
+        F.expr(f"off div {seq_len}"),
+        F.expr(f"(off + n_tokens - 1) div {seq_len}"))))
+    beg = F.greatest(F.col("off"), F.col("seq") * seq_len)
+    end = F.least(F.col("off") + F.col("n_tokens"), (F.col("seq") + 1) * seq_len)
+    return d.select(
+        F.col(id_col), F.col("shard"),
+        F.col("seq").cast("long").alias("seq"),
+        (beg - F.col("off")).cast("long").alias("doc_from"),
+        (end - beg).cast("long").alias("n_fill"))
+
+
+def pack_sequences_sql(seq_len: int = 128, n_shards: int = 16,
+                       source: str = "documents", id_expr: str = "doc_id",
+                       text_expr: str = "text") -> str:
+    """DuckDB rendering of :func:`pack_sequences` (lockstep md5 lanes,
+    integer window + generate_series; `//` == Spark's `div` on the
+    non-negative operands here)."""
+    from .dedup import hash60_sql, hash60b_sql
+    sid = f"CAST({id_expr} AS VARCHAR)"
+    ntok = f"CAST(len(string_split(coalesce({text_expr}, ''), ' ')) AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id,
+         {hash60_sql(sid)} % {n_shards} AS shard,
+         {hash60b_sql(sid)} AS _ord,
+         {ntok} AS n_tokens
+  FROM {source}),
+offs AS (
+  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY _ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS off
+  FROM base),
+sl AS (
+  SELECT doc_id, shard, off, n_tokens,
+         unnest(generate_series(off // {seq_len},
+                                (off + n_tokens - 1) // {seq_len})) AS seq
+  FROM offs)
+SELECT doc_id, shard, CAST(seq AS BIGINT) AS seq,
+       CAST(greatest(off, seq * {seq_len}) - off AS BIGINT) AS doc_from,
+       CAST(least(off + n_tokens, (seq + 1) * {seq_len})
+            - greatest(off, seq * {seq_len}) AS BIGINT) AS n_fill
+FROM sl"""

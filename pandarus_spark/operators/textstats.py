@@ -294,3 +294,179 @@ scored AS (
 SELECT doc_id, sum(tf) AS n_tokens,
        round(sum(nll_m) / (sum(tf) * 1e6), 6) AS nll
 FROM scored GROUP BY doc_id"""
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (per-document filter flags)
+# ---------------------------------------------------------------------------
+
+# presence of >= GOPHER_MIN_STOPWORDS of these marks natural prose
+# (the classic Gopher rule set's stop list)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 stopwords: tuple = GOPHER_STOPWORDS) -> DataFrame:
+    """Gopher-style document quality rules (graft addition — the
+    standard web-corpus filter battery, per Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length window [3, 10], symbol-to-word
+    ratio (#, ellipses) < 0.1, < 90% bullet-started lines, < 30%
+    ellipsis-ended lines, > 80% words with an alphabetic character,
+    and >= 2 stopwords present.  Emits the per-document metrics plus
+    ``keep_flag`` (1 = passes every rule).
+
+    Determinism: every metric is a ratio of two integers — one IEEE
+    divide, no libm — so rule comparisons and the 6-decimal rounded
+    outputs are bit-identical across engines (see COVERAGE.md's
+    float-determinism policy; class "integer-exact").  Mean word
+    length exploits the single-space ``words`` convention:
+    ``sum(len(word)) == n_chars - (n_words - 1)`` exactly.
+
+    Scale shape: narrow map-side projection, zero shuffles, zero UDFs
+    — whole-stage codegen end to end, same class as text_stats.
+    """
+    t = nz(F.col(text_col))
+    w = words(F.col(text_col))
+    nw = F.size(w)                               # >= 1: split('') == ['']
+    mean_wl = (F.length(t) - (nw - 1)) / nw
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / nw
+    hash_cnt = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    ell3_cnt = ((F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3).cast("long")
+    ell1_cnt = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    sym = (hash_cnt + ell3_cnt + ell1_cnt) / nw
+    lines = F.split(t, "\n")
+    nl = F.size(lines)                           # >= 1 likewise
+    bullet = F.size(F.filter(
+        lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"))) / nl
+    ellipsis = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"))) / nl
+    stop = sum((F.array_contains(w, s).cast("int") for s in stopwords),
+               F.lit(0))
+    keep = ((nw >= min_words) & (nw <= max_words)
+            & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+            & (sym < 0.1) & (bullet < 0.9) & (ellipsis < 0.3)
+            & (alpha > 0.8) & (stop >= GOPHER_MIN_STOPWORDS))
+    return docs.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        F.round(bullet, 6).alias("bullet_ratio"),
+        F.round(ellipsis, 6).alias("ellipsis_ratio"),
+        F.round(alpha, 6).alias("alpha_word_frac"),
+        stop.cast("int").alias("n_stopwords"),
+        keep.cast("int").alias("keep_flag"))
+
+
+def gopher_rules_sql(source: str = "documents", text_expr: str = "text",
+                     id_expr: str = "doc_id",
+                     min_words: int = 50, max_words: int = 100_000,
+                     stopwords: tuple = GOPHER_STOPWORDS) -> str:
+    """DuckDB rendering of :func:`gopher_rules` (lockstep arithmetic)."""
+    t = NZ_SQL.format(t=text_expr)
+    w = WORDS_SQL.format(t=text_expr)
+    stop = " + ".join(f"CAST(list_contains(w, '{s}') AS INT)"
+                      for s in stopwords)
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id, {t} AS t, {w} AS w,
+         string_split({t}, chr(10)) AS lines
+  FROM {source}),
+m AS (
+  SELECT doc_id,
+         len(w) AS nw,
+         (length(t) - (len(w) - 1)) / len(w) AS mean_wl,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w) AS alpha,
+         (length(t) - length(replace(t, '#', ''))
+          + (length(t) - length(replace(t, '...', ''))) // 3
+          + length(t) - length(replace(t, '…', ''))) / len(w) AS sym,
+         len(list_filter(lines,
+             l -> left(ltrim(l), 1) IN ('-', '*', '•'))) / len(lines) AS bullet,
+         len(list_filter(lines,
+             l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+           / len(lines) AS ellipsis,
+         {stop} AS stop
+  FROM base)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(bullet, 6) AS bullet_ratio,
+       round(ellipsis, 6) AS ellipsis_ratio,
+       round(alpha, 6) AS alpha_word_frac,
+       CAST(stop AS INT) AS n_stopwords,
+       CAST(nw BETWEEN {min_words} AND {max_words}
+            AND mean_wl BETWEEN 3.0 AND 10.0
+            AND sym < 0.1 AND bullet < 0.9 AND ellipsis < 0.3
+            AND alpha > 0.8 AND stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep_flag
+FROM m"""
+
+# ---------------------------------------------------------------------------
+# inverted-index postings sample (skew-proof per-key top-k)
+# ---------------------------------------------------------------------------
+
+
+def postings_sample(docs: DataFrame, p: int = 3, n_salts: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index build: per token, the document frequency plus a
+    deterministic postings sample — the ``p`` smallest doc ids that
+    contain the token, rendered as a comma-joined string (graft
+    addition; the index-construction step of a corpus search/audit
+    pipeline).
+
+    The per-key top-k is the interesting scale problem: a stopword's
+    posting list is the whole corpus, so ``collect_list`` per token
+    (unbounded state) or a single window over the token (one task
+    sorts a billion rows) both die at 100 TB.  Two-stage salted
+    selection instead: stage 1 ranks within ``(token, salt)`` —
+    sort-based window, max partition df/n_salts rows, spillable —
+    and keeps ``p``; stage 2 re-ranks the surviving ≤ p·n_salts rows
+    per token.  The p smallest ids globally survive both stages
+    (each is smallest-p within its own salt a fortiori), so the
+    result is EXACT and salt-count-invariant — same contract as the
+    overlay's hot-cell salting.  doc_freq is a separate partial-agg
+    ``count``; the final token-keyed join of two token-partitioned
+    sides is AQE-planned.  Integer/string ops only — engine-exact.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import hash60
+
+    td = docs.select(
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("token"),
+        F.col(id_col).alias("did"))
+    dfreq = td.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    salt = F.pmod(hash60(F.col("did").cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy("token", "salt").orderBy("did")
+    s1 = (td.withColumn("salt", salt)
+            .withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= p))
+    w2 = Window.partitionBy("token").orderBy("did")
+    s2 = (s1.select("token", "did")
+            .withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= p))
+    samp = s2.groupBy("token").agg(
+        F.array_join(F.transform(F.array_sort(F.collect_set("did")),
+                                 lambda x: x.cast("string")), ",").alias("sample_docs"))
+    return (dfreq.join(samp, "token")
+            .select("token", "doc_freq", "sample_docs"))
+
+
+def postings_sample_sql(p: int = 3, source: str = "documents",
+                        text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`postings_sample` (single window —
+    the salted plan is result-identical by construction)."""
+    w = WORDS_SQL.format(t=text_expr)
+    return f"""
+WITH td AS (
+  SELECT unnest(list_distinct({w})) AS token, {id_expr} AS did
+  FROM {source}),
+r AS (
+  SELECT token, did,
+         row_number() OVER (PARTITION BY token ORDER BY did) AS rn,
+         count(*) OVER (PARTITION BY token) AS doc_freq
+  FROM td)
+SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
+       string_agg(CAST(did AS VARCHAR), ',' ORDER BY did) AS sample_docs
+FROM r WHERE rn <= {p}
+GROUP BY token, doc_freq"""
