@@ -718,6 +718,45 @@ def job_pipeline4_scale(spark, n: int) -> dict:
     return out
 
 
+def job_pipeline4c_scale(spark, n: int) -> dict:
+    """Round-4c operator throughput at scale over the synthetic corpus:
+    training-sequence packing (one shard-keyed window shuffle +
+    partition-local explode), the Gopher quality-rule battery
+    (map-only, zero shuffles), and the inverted-index postings sample
+    (salted two-stage per-token top-k).  Same persist-before-untimed-
+    counts rule as decontam_scale."""
+    from pandarus_spark.operators.curation import pack_sequences
+    from pandarus_spark.operators.textstats import gopher_rules, postings_sample
+
+    out: dict = {"docs": n}
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+
+    t0 = time.perf_counter()
+    pk = pack_sequences(docs, seq_len=128, n_shards=64).persist()
+    _force(pk)
+    out["pack_sec"] = round(time.perf_counter() - t0, 3)
+    out["pack_slices"] = pk.count()
+    pk.unpersist()
+
+    t0 = time.perf_counter()
+    gq = gopher_rules(docs).persist()
+    _force(gq)
+    out["gopher_sec"] = round(time.perf_counter() - t0, 3)
+    out["gopher_kept"] = gq.filter("keep_flag = 1").count()
+    gq.unpersist()
+
+    t0 = time.perf_counter()
+    po = postings_sample(docs, p=3, n_salts=8).persist()
+    _force(po)
+    out["postings_sec"] = round(time.perf_counter() - t0, 3)
+    out["postings_tokens"] = po.count()
+    po.unpersist()
+
+    docs.unpersist()
+    return out
+
+
 def job_temporal_skew(spark, n_uniform: int, n_cluster: int) -> dict:
     """Skew study for the 1-D bucket joins (r3 verdict #8): a
     flash-sale half hour puts n_cluster points in ONE time bucket
@@ -815,7 +854,7 @@ def main() -> None:
                              "zonal_scale", "dedup_scale", "refine_shapes",
                              "curation_scale", "asof_scale",
                              "decontam_scale", "temporal_skew",
-                             "pipeline4_scale"])
+                             "pipeline4_scale", "pipeline4c_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=3,
@@ -907,6 +946,24 @@ def main() -> None:
             "saturated_lanes": res["saturated_lanes"],
             "areal_targets": res["areal_targets"],
             "rows_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "pipeline4c_scale":
+        res = job_pipeline4c_scale(spark, args.n)
+        total = res["pack_sec"] + res["gopher_sec"] + res["postings_sec"]
+        emit({
+            "metric": "round4c_ops_scale",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"pack_sequences": res["pack_sec"],
+                        "gopher_rules": res["gopher_sec"],
+                        "postings_sample": res["postings_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "pack_slices": res["pack_slices"],
+            "gopher_kept": res["gopher_kept"],
+            "postings_tokens": res["postings_tokens"],
+            "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()
         return

@@ -422,34 +422,40 @@ def postings_sample(docs: DataFrame, p: int = 3, n_salts: int = 8,
     sorts a billion rows) both die at 100 TB.  Two-stage salted
     selection instead: stage 1 ranks within ``(token, salt)`` —
     sort-based window, max partition df/n_salts rows, spillable —
-    and keeps ``p``; stage 2 re-ranks the surviving ≤ p·n_salts rows
-    per token.  The p smallest ids globally survive both stages
-    (each is smallest-p within its own salt a fortiori), so the
-    result is EXACT and salt-count-invariant — same contract as the
-    overlay's hot-cell salting.  doc_freq is a separate partial-agg
-    ``count``; the final token-keyed join of two token-partitioned
-    sides is AQE-planned.  Integer/string ops only — engine-exact.
+    keeping ``p`` rows AND, over the same window partition (same
+    single shuffle), each salt's member count; stage 2 is a tiny
+    token-keyed agg over the surviving ≤ p·n_salts rows per token:
+    the p smallest ids globally survive stage 1 (each is smallest-p
+    within its own salt a fortiori), so slicing the sorted survivors
+    is EXACT and salt-count-invariant — same contract as the
+    overlay's hot-cell salting — and ``doc_freq`` is the sum of each
+    salt's count taken once via its rn=1 row.  ONE full-data shuffle
+    total (the exploded pairs table is never scanned or shuffled a
+    second time, and there is no join).  Integer/string ops only —
+    engine-exact.
     """
     from pyspark.sql import Window
-
-    from .dedup import hash60
 
     td = docs.select(
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("token"),
         F.col(id_col).alias("did"))
-    dfreq = td.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    salt = F.pmod(hash60(F.col("did").cast("string")), F.lit(n_salts))
+    # the salt never reaches the output (result is salt-count-invariant),
+    # so any deterministic hash does — xxhash64, not the md5 lanes
+    salt = F.pmod(F.xxhash64(F.col("did")), F.lit(n_salts))
     w1 = Window.partitionBy("token", "salt").orderBy("did")
+    wc = Window.partitionBy("token", "salt")
     s1 = (td.withColumn("salt", salt)
-            .withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= p))
-    w2 = Window.partitionBy("token").orderBy("did")
-    s2 = (s1.select("token", "did")
-            .withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= p))
-    samp = s2.groupBy("token").agg(
-        F.array_join(F.transform(F.array_sort(F.collect_set("did")),
-                                 lambda x: x.cast("string")), ",").alias("sample_docs"))
-    return (dfreq.join(samp, "token")
-            .select("token", "doc_freq", "sample_docs"))
+            .select("token", "did",
+                    F.row_number().over(w1).alias("rn"),
+                    F.count("*").over(wc).alias("cnt"))
+            .filter(F.col("rn") <= p))
+    return (s1.groupBy("token").agg(
+        F.sum(F.when(F.col("rn") == 1, F.col("cnt")).otherwise(0))
+         .alias("doc_freq"),
+        F.array_join(
+            F.transform(F.slice(F.array_sort(F.collect_set("did")), 1, p),
+                        lambda x: x.cast("string")), ",").alias("sample_docs"))
+        .select("token", "doc_freq", "sample_docs"))
 
 
 def postings_sample_sql(p: int = 3, source: str = "documents",
