@@ -174,3 +174,16 @@ def test_postings_sample_duckdb_parity(spark):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = sorted(tuple(r) for r in con.execute(T.postings_sample_sql(3)).fetchall())
     assert got == want
+
+
+def test_postings_sample_plan_single_full_shuffle(spark):
+    """The exploded token table crosses exactly ONE exchange (the
+    (token, salt) window shuffle); the second exchange carries only
+    the ≤ p·n_salts survivors per token after a map-side partial agg.
+    No Join anywhere, and both window functions share the one sort."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(T.postings_sample(docs, p=3, n_salts=8))
+    assert plan.count("- Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    assert plan.count("- Sort") == 1, plan          # shared by both windows
+    assert "partial_collect_set" in plan, plan      # map-side before exch 2
