@@ -747,6 +747,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-p (exact, salt-count-invariant) + doc frequency
         return T.postings_sample(_docs(spark, sf_dir), p=3, n_salts=8)
 
+    def q_lm_dataset_docs(spark, sf_dir):
+        # the composed end-to-end training-data prep pipeline in ONE
+        # Catalyst plan: Gopher quality filter (map-side predicate,
+        # BEFORE any shuffle) -> exact dedup (keep min doc_id per text
+        # md5, one window) -> pack into fixed 64-token sequences.
+        # Rule params relaxed to the synthetic corpus's vocabulary
+        # (min_words=40; stopword list {the, a}) so the filter is
+        # discriminative rather than all-or-nothing.
+        from pyspark.sql import Window
+        docs = _docs(spark, sf_dir)
+        kept = docs.filter(T.gopher_keep("text", min_words=40,
+                                         stopwords=("the", "a")))
+        w = Window.partitionBy(F.md5(F.encode(F.col("text"), "utf-8")))
+        uniq = (kept.withColumn("_mn", F.min("doc_id").over(w))
+                    .filter(F.col("doc_id") == F.col("_mn"))
+                    .select("doc_id", "text"))
+        return C.pack_sequences(uniq, seq_len=64, n_shards=4)
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -908,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": q_pack_sequences_docs,
         "gopher_quality_docs": q_gopher_quality_docs,
         "postings_docs": q_postings_docs,
+        "lm_dataset_docs": q_lm_dataset_docs,
     }
 
 
@@ -1517,6 +1536,15 @@ FROM documents WHERE doc_id < 200""",
         "pack_sequences_docs": C.pack_sequences_sql(128, 8),
         "gopher_quality_docs": T.gopher_rules_sql(),
         "postings_docs": T.postings_sample_sql(3),
+        # composed pipeline oracle: prepend the filter+dedup CTEs to the
+        # packing SQL (same lockstep kernels end to end)
+        "lm_dataset_docs": C.pack_sequences_sql(64, 4, source="dd").replace(
+            "WITH base AS",
+            "WITH kept AS (SELECT doc_id, text FROM documents WHERE "
+            + T.gopher_keep_sql("text", min_words=40, stopwords=("the", "a"))
+            + "), dd AS (SELECT doc_id, text FROM ("
+            "SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mn"
+            " FROM kept) WHERE doc_id = mn), base AS", 1),
         # every queries() entry has a value oracle as of round 4 (the
         # formerly rows-only LSH/ANN gates gained lockstep banded SQL)
     }

@@ -305,6 +305,71 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_MIN_STOPWORDS = 2
 
 
+def _gopher_metrics(text_col: str, stopwords: tuple) -> dict[str, Column]:
+    """The raw rule metrics as named Column expressions — shared by
+    :func:`gopher_rules` (reporting) and :func:`gopher_keep`
+    (composable filter predicate), so the two can never drift."""
+    t = nz(F.col(text_col))
+    w = words(F.col(text_col))
+    nw = F.size(w)                               # >= 1: split('') == ['']
+    mean_wl = (F.length(t) - (nw - 1)) / nw
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / nw
+    hash_cnt = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    ell3_cnt = ((F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3).cast("long")
+    ell1_cnt = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    sym = (hash_cnt + ell3_cnt + ell1_cnt) / nw
+    lines = F.split(t, "\n")
+    nl = F.size(lines)                           # >= 1 likewise
+    bullet = F.size(F.filter(
+        lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"))) / nl
+    ellipsis = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"))) / nl
+    stop = sum((F.array_contains(w, s).cast("int") for s in stopwords),
+               F.lit(0))
+    return {"nw": nw, "mean_wl": mean_wl, "alpha": alpha, "sym": sym,
+            "bullet": bullet, "ellipsis": ellipsis, "stop": stop}
+
+
+def gopher_keep(text_col: str = "text",
+                min_words: int = 50, max_words: int = 100_000,
+                stopwords: tuple = GOPHER_STOPWORDS) -> Column:
+    """The composite keep rule as a boolean Column — the form a
+    composed pipeline filters on BEFORE any shuffle (cheap map-side
+    predicate; same integer-exact arithmetic as gopher_rules, same
+    cross-engine determinism).  ``gopher_keep_sql`` is the lockstep
+    rendering."""
+    m = _gopher_metrics(text_col, stopwords)
+    return ((m["nw"] >= min_words) & (m["nw"] <= max_words)
+            & (m["mean_wl"] >= 3.0) & (m["mean_wl"] <= 10.0)
+            & (m["sym"] < 0.1) & (m["bullet"] < 0.9) & (m["ellipsis"] < 0.3)
+            & (m["alpha"] > 0.8) & (m["stop"] >= GOPHER_MIN_STOPWORDS))
+
+
+def gopher_keep_sql(text_expr: str = "text",
+                    min_words: int = 50, max_words: int = 100_000,
+                    stopwords: tuple = GOPHER_STOPWORDS) -> str:
+    """DuckDB rendering of :func:`gopher_keep` as a single inline
+    boolean expression (no CTE — droppable into any WHERE clause)."""
+    t = NZ_SQL.format(t=text_expr)
+    w = WORDS_SQL.format(t=text_expr)
+    lines = f"string_split({t}, chr(10))"
+    stop = " + ".join(f"CAST(list_contains({w}, '{s}') AS INT)"
+                      for s in stopwords)
+    return (
+        f"(len({w}) BETWEEN {min_words} AND {max_words}"
+        f" AND (length({t}) - (len({w}) - 1)) / len({w}) BETWEEN 3.0 AND 10.0"
+        f" AND (length({t}) - length(replace({t}, '#', ''))"
+        f"      + (length({t}) - length(replace({t}, '...', ''))) // 3"
+        f"      + length({t}) - length(replace({t}, '…', ''))) / len({w}) < 0.1"
+        f" AND len(list_filter({lines},"
+        f"       l -> left(ltrim(l), 1) IN ('-', '*', '•'))) / len({lines}) < 0.9"
+        f" AND len(list_filter({lines},"
+        f"       l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))"
+        f"     / len({lines}) < 0.3"
+        f" AND len(list_filter({w}, x -> regexp_matches(x, '[a-z]'))) / len({w}) > 0.8"
+        f" AND ({stop}) >= {GOPHER_MIN_STOPWORDS})")
+
+
 def gopher_rules(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  min_words: int = 50, max_words: int = 100_000,
@@ -327,36 +392,17 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     Scale shape: narrow map-side projection, zero shuffles, zero UDFs
     — whole-stage codegen end to end, same class as text_stats.
     """
-    t = nz(F.col(text_col))
-    w = words(F.col(text_col))
-    nw = F.size(w)                               # >= 1: split('') == ['']
-    mean_wl = (F.length(t) - (nw - 1)) / nw
-    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / nw
-    hash_cnt = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
-    ell3_cnt = ((F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3).cast("long")
-    ell1_cnt = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
-    sym = (hash_cnt + ell3_cnt + ell1_cnt) / nw
-    lines = F.split(t, "\n")
-    nl = F.size(lines)                           # >= 1 likewise
-    bullet = F.size(F.filter(
-        lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"))) / nl
-    ellipsis = F.size(F.filter(
-        lines, lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"))) / nl
-    stop = sum((F.array_contains(w, s).cast("int") for s in stopwords),
-               F.lit(0))
-    keep = ((nw >= min_words) & (nw <= max_words)
-            & (mean_wl >= 3.0) & (mean_wl <= 10.0)
-            & (sym < 0.1) & (bullet < 0.9) & (ellipsis < 0.3)
-            & (alpha > 0.8) & (stop >= GOPHER_MIN_STOPWORDS))
+    m = _gopher_metrics(text_col, stopwords)
+    keep = gopher_keep(text_col, min_words, max_words, stopwords)
     return docs.select(
         F.col(id_col),
-        nw.cast("long").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(sym, 6).alias("symbol_ratio"),
-        F.round(bullet, 6).alias("bullet_ratio"),
-        F.round(ellipsis, 6).alias("ellipsis_ratio"),
-        F.round(alpha, 6).alias("alpha_word_frac"),
-        stop.cast("int").alias("n_stopwords"),
+        m["nw"].cast("long").alias("n_words"),
+        F.round(m["mean_wl"], 6).alias("mean_word_len"),
+        F.round(m["sym"], 6).alias("symbol_ratio"),
+        F.round(m["bullet"], 6).alias("bullet_ratio"),
+        F.round(m["ellipsis"], 6).alias("ellipsis_ratio"),
+        F.round(m["alpha"], 6).alias("alpha_word_frac"),
+        m["stop"].cast("int").alias("n_stopwords"),
         keep.cast("int").alias("keep_flag"))
 
 

@@ -187,3 +187,46 @@ def test_postings_sample_plan_single_full_shuffle(spark):
     assert "Join" not in plan, plan
     assert plan.count("- Sort") == 1, plan          # shared by both windows
     assert "partial_collect_set" in plan, plan      # map-side before exch 2
+
+
+# ---------------------------------------------------------------------------
+# composed lm_dataset pipeline (gopher filter -> exact dedup -> pack)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_dataset_composition_semantics(spark):
+    import __spark_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["lm_dataset_docs"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # recompute the expected survivor set independently
+    kept = {(r["doc_id"], r["text"]) for r in
+            docs.filter(T.gopher_keep("text", min_words=40,
+                                      stopwords=("the", "a"))).collect()}
+    by_text = {}
+    for did, text in kept:
+        by_text.setdefault(text, []).append(did)
+    survivors = {min(v) for v in by_text.values()}
+    assert {r["doc_id"] for r in out} == survivors
+    # packing invariant: every doc's slices cover its token count
+    ntok = {did: len(t.split(" ")) for t, v in by_text.items()
+            for did in [min(v)]}
+    got = {}
+    for r in out:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["n_fill"]
+    assert got == ntok
+
+
+def test_lm_dataset_plan_filter_before_shuffles(spark):
+    """The quality predicate must sit directly on the scan (map-side,
+    BEFORE the dedup window exchange): 2 exchanges total (dedup window
+    + pack window), no Join, no Python."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["lm_dataset_docs"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("- Exchange") == 2, plan
+    assert "Join" not in plan and "Python" not in plan, plan
+    # the first operator above the scan is the quality Filter
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    lines = [ln for ln in tree.splitlines() if "(" in ln]
+    scan_idx = next(i for i, ln in enumerate(lines) if "Scan parquet" in ln)
+    assert "Filter" in lines[scan_idx - 1], tree
