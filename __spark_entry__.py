@@ -765,6 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .select("doc_id", "text"))
         return C.pack_sequences(uniq, seq_len=64, n_shards=4)
 
+    def q_remove_dup_spans_docs(spark, sf_dir):
+        # exact-substring dedup SURGERY: duplicated k-word spans cut
+        # from every document except the smallest-id canonical copy
+        return D.remove_dup_spans(_docs(spark, sf_dir), k=5)
+
     def q_flagship_overlay(spark, sf_dir):
         return _flagship(spark, sf_dir)
 
@@ -927,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_docs": q_gopher_quality_docs,
         "postings_docs": q_postings_docs,
         "lm_dataset_docs": q_lm_dataset_docs,
+        "remove_dup_spans_docs": q_remove_dup_spans_docs,
     }
 
 
@@ -1545,6 +1551,7 @@ FROM documents WHERE doc_id < 200""",
             + "), dd AS (SELECT doc_id, text FROM ("
             "SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mn"
             " FROM kept) WHERE doc_id = mn), base AS", 1),
+        "remove_dup_spans_docs": D.remove_dup_spans_sql(k=5),
         # every queries() entry has a value oracle as of round 4 (the
         # formerly rows-only LSH/ANN gates gained lockstep banded SQL)
     }

@@ -925,3 +925,145 @@ SELECT doc_id, count(*) AS n_shingles,
        CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) * 1000000
          // count(*) AS dup_ppm
 FROM occ GROUP BY doc_id"""
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate-span REMOVAL (exact-substring dedup surgery)
+# ---------------------------------------------------------------------------
+
+
+def shingle_id_pos_arrays(df: DataFrame, k: int = 5, text_col: str = "text",
+                          keep: list[str] | None = None,
+                          out_col: str = "_ids") -> DataFrame:
+    """POSITIONAL twin of :func:`shingle_id_arrays` — no
+    ``array_distinct``, so ``out_col[i]`` is the id of the k-word
+    shingle STARTING at word ``i+1`` (the form span surgery needs).
+    Same stacked-projection structure, same re-inlining guardrails."""
+    keep_cols = [F.col(c) for c in (keep or [])]
+    wdf = df.select(*keep_cols, words(F.col(text_col)).alias("_w"))
+    hdf = wdf.select(
+        *keep_cols,
+        F.transform(F.col("_w"), lambda s: hash60(s) % MINHASH_P).alias("_h1"),
+        F.transform(F.col("_w"), lambda s: hash60b(s) % MINHASH_P).alias("_h2"))
+    m = F.greatest(F.size(F.col("_h1")) - (k - 1), F.lit(1))
+    lane1 = _rolling_lane(F.col("_h1"), k, m, SHINGLE_B1)
+    lane2 = _rolling_lane(F.col("_h2"), k, m, SHINGLE_B2)
+    combined = F.zip_with(lane1, lane2,
+                          lambda a, b: a * F.lit(1 << 31).cast("long") + b)
+    return hdf.select(*keep_cols, combined.alias(out_col))
+
+
+def remove_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Surgical removal of cross-document duplicated k-word spans —
+    the REMOVAL half of the Lee et al. 2022 exact-substring dedup
+    story (:func:`dup_span_stats` is the measurement half): a k-word
+    span is duplicated when its rolling-hash shingle id occurs in ≥ 2
+    documents; the occurrence in the SMALLEST doc_id (the canonical
+    copy) survives, and every other document has the covered words cut
+    out.  Exact-duplicate documents therefore collapse to the empty
+    string everywhere except the canonical copy; partial boilerplate
+    (a shared footer) is excised in place while the unique prose stays.
+
+    Output: ``(id_col, text_clean, n_removed)`` with ``text_clean``
+    rebuilt from the surviving ORIGINAL-case words (ids hash the
+    lowercased words; positions align because both split on the same
+    single-space convention) — integer/string ops only, engine-exact.
+
+    Scale shape: the per-document positional id array is checkpointed
+    once and feeds (a) the duplicate decision — per-doc distinct ids →
+    partial-agg groupBy(shingle) with count+min, the dup_span_stats
+    skew argument: a boilerplate shingle collapses map-side to one row
+    per partition — and (b) the positional rows that join back to the
+    ≥2-doc shingles (ids-only equi-join; one row per shingle on the
+    build side, AQE skew-split on the probe side when one shingle
+    covers 10⁸ docs).  Deletion starts aggregate per doc (bounded by
+    the doc's own length), then ONE doc-keyed join attaches them to
+    the original text and the rebuild is a row-local indexed filter —
+    O(n_words · n_spans) per doc, never cross-row.
+    """
+    arrs = shingle_id_pos_arrays(docs, k=k, text_col=text_col,
+                                 keep=[id_col]).localCheckpoint(eager=False)
+    rows_d = arrs.select(F.col(id_col),
+                         F.explode(F.array_distinct("_ids")).alias("shingle"))
+    dup = (rows_d.groupBy("shingle")
+                 .agg(F.count("*").alias("_df"), F.min(id_col).alias("_keeper"))
+                 .filter(F.col("_df") >= 2)
+                 .select("shingle", "_keeper"))
+    rows_p = arrs.select(F.col(id_col),
+                         F.posexplode("_ids").alias("_p0", "shingle"))
+    dels = (rows_p.join(dup, "shingle")
+                  .filter(F.col(id_col) != F.col("_keeper"))
+                  .groupBy(id_col)
+                  .agg(F.sort_array(F.collect_list(F.col("_p0") + 1))
+                        .alias("_dels")))
+    base = docs.select(F.col(id_col), F.col(text_col))
+    joined = base.join(dels, id_col, "left").withColumn(
+        "_d", F.coalesce(F.col("_dels"), F.array().cast("array<integer>")))
+    wo = F.split(nz(F.col(text_col)), " ")
+    kept = F.filter(wo, lambda x, j: ~F.exists(
+        F.col("_d"), lambda s: (s <= j + 1) & (j + 1 <= s + (k - 1))))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        (F.size(wo) - F.size(kept)).cast("long").alias("n_removed"))
+
+
+def shingle_ids_pos_over_sql(h1_col: str = "h1", h2_col: str = "h2",
+                             k: int = 5) -> str:
+    """Positional (non-distinct) DuckDB twin of
+    :func:`shingle_ids_over_sql` — element i is the id of the shingle
+    starting at word i."""
+
+    def lane(arr: str, base: int) -> str:
+        acc = f"{arr}[i]"
+        for j in range(1, k):
+            nxt = f"{arr}[i+{j}]"
+            acc = (f"(CASE WHEN {nxt} IS NULL THEN {acc} "
+                   f"ELSE ({acc} * {base} + {nxt}) % {MINHASH_P} END)")
+        return acc
+
+    body = (f"({lane(h1_col, SHINGLE_B1)}) * {1 << 31} "
+            f"+ ({lane(h2_col, SHINGLE_B2)})")
+    return (f"[{body} "
+            f"for i in range(1, greatest(len({h1_col})-{k - 1}, 1) + 1)]")
+
+
+def remove_dup_spans_sql(source: str = "documents", k: int = 5,
+                         text_expr: str = "text",
+                         id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`remove_dup_spans` (lockstep lanes,
+    parallel-unnest positions, nested-lambda span cover test)."""
+    h1, h2 = shingle_id_lanes_sql(text_expr)
+    ids = shingle_ids_pos_over_sql("h1", "h2", k)
+    return f"""
+WITH dl AS (
+  SELECT {id_expr} AS doc_id, {h1} AS h1, {h2} AS h2 FROM {source}),
+ida AS (
+  SELECT doc_id, {ids} AS ids FROM dl),
+pos AS (
+  SELECT doc_id, unnest(ids) AS shingle,
+         unnest(range(1, len(ids) + 1)) AS pos
+  FROM ida),
+dup AS (
+  SELECT shingle, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT shingle, doc_id FROM pos)
+  GROUP BY shingle HAVING count(*) >= 2),
+dels AS (
+  SELECT doc_id, list_sort(list(pos)) AS dels
+  FROM pos JOIN dup USING (shingle)
+  WHERE doc_id <> keeper GROUP BY doc_id),
+base AS (
+  SELECT d.{id_expr} AS doc_id,
+         string_split(coalesce(d.{text_expr}, ''), ' ') AS wo,
+         coalesce(dels.dels, []) AS dd
+  FROM {source} d LEFT JOIN dels ON d.{id_expr} = dels.doc_id),
+kept AS (
+  SELECT doc_id, wo,
+         [wo[j] for j in range(1, len(wo) + 1)
+          if len(list_filter(dd, s -> s <= j AND j <= s + {k - 1})) = 0] AS kw
+  FROM base)
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws is ''
+       coalesce(array_to_string(kw, ' '), '') AS text_clean,
+       CAST(len(wo) - len(kw) AS BIGINT) AS n_removed
+FROM kept"""

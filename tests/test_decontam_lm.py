@@ -311,3 +311,61 @@ def test_dup_span_stats_null_and_empty_text(spark):
     # NULL and '' collapse to the same shingle id -> both are dup spans
     dup = {r["doc_id"]: r["n_dup"] for r in dup_span_stats(docs, k=5).collect()}
     assert dup[1] == 1 and dup[2] == 1 and dup[3] == 0
+
+
+# ---------------------------------------------------------------------------
+# remove_dup_spans (exact-substring dedup surgery, round-4c)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_dup_spans_hand_corpus(spark):
+    from pandarus_spark.operators.dedup import remove_dup_spans
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "Alpha Beta GAMMA delta epsilon zeta eta theta"),  # case-blind dup
+        (9, "unique words here then alpha beta gamma delta epsilon done"),
+        (3, "totally different content with no overlap at all"),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in remove_dup_spans(docs, k=5).collect()}
+    # canonical copy (smallest id) keeps everything
+    assert got[1] == ("alpha beta gamma delta epsilon zeta eta theta", 0)
+    # case-insensitive exact dup fully excised
+    assert got[5] == ("", 8)
+    # shared 5-gram footer cut mid-document, unique prose survives in
+    # ORIGINAL positions/case
+    assert got[9] == ("unique words here then done", 5)
+    assert got[3][1] == 0 and got[7] == ("", 0)
+
+
+def test_remove_dup_spans_consistent_with_stats(spark):
+    from pandarus_spark.operators.dedup import dup_span_stats, remove_dup_spans
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    removed = {r["doc_id"]: r["n_removed"]
+               for r in remove_dup_spans(docs, k=5).collect()}
+    dup = {r["doc_id"]: r["n_dup"] for r in dup_span_stats(docs, k=5).collect()}
+    # a doc loses words only if it HAS duplicated spans; some docs with
+    # duplicated spans lose nothing (they are the canonical copy)
+    assert any(v > 0 for v in removed.values())
+    for did, nrem in removed.items():
+        if nrem > 0:
+            assert dup[did] > 0, did
+
+
+def test_remove_dup_spans_parity_and_invariance(spark):
+    import duckdb
+    import pandas as pd
+    from pandarus_spark.operators.dedup import remove_dup_spans, remove_dup_spans_sql
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]].head(200)
+    docs = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in remove_dup_spans(docs, k=5).collect())
+    got2 = sorted(tuple(r) for r in
+                  remove_dup_spans(docs.repartition(11), k=5).collect())
+    assert got == got2
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(tuple(r) for r in con.execute(remove_dup_spans_sql(k=5)).fetchall())
+    assert [tuple(map(str, a)) for a in got] == [tuple(map(str, b)) for b in want]
