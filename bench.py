@@ -753,6 +753,14 @@ def job_pipeline4c_scale(spark, n: int) -> dict:
     out["postings_tokens"] = po.count()
     po.unpersist()
 
+    from pandarus_spark.operators.dedup import remove_dup_spans
+    t0 = time.perf_counter()
+    rm = remove_dup_spans(docs, k=5).persist()
+    _force(rm)
+    out["span_removal_sec"] = round(time.perf_counter() - t0, 3)
+    out["docs_touched"] = rm.filter("n_removed > 0").count()
+    rm.unpersist()
+
     docs.unpersist()
     return out
 
@@ -952,17 +960,20 @@ def main() -> None:
 
     if args.job == "pipeline4c_scale":
         res = job_pipeline4c_scale(spark, args.n)
-        total = res["pack_sec"] + res["gopher_sec"] + res["postings_sec"]
+        total = (res["pack_sec"] + res["gopher_sec"] + res["postings_sec"]
+                 + res["span_removal_sec"])
         emit({
             "metric": "round4c_ops_scale",
             "value": round(total, 3), "unit": "sec",
             "queries": {"pack_sequences": res["pack_sec"],
                         "gopher_rules": res["gopher_sec"],
-                        "postings_sample": res["postings_sec"]},
+                        "postings_sample": res["postings_sec"],
+                        "span_removal": res["span_removal_sec"]},
             "sf": args.n, "cpus": cpus,
             "pack_slices": res["pack_slices"],
             "gopher_kept": res["gopher_kept"],
             "postings_tokens": res["postings_tokens"],
+            "docs_touched": res["docs_touched"],
             "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()
