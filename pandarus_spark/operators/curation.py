@@ -412,6 +412,8 @@ def pack_sequences(docs, seq_len: int = 128, n_shards: int = 16,
 
     from .dedup import hash60, hash60b
 
+    if seq_len < 1 or n_shards < 1:
+        raise ValueError("seq_len and n_shards must be positive")
     sid = F.col(id_col).cast("string")
     d = docs.select(
         F.col(id_col),

@@ -981,6 +981,9 @@ def remove_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
     the original text and the rebuild is a row-local indexed filter —
     O(n_words · n_spans) per doc, never cross-row.
     """
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-gram span would cut every "
+                         "word that appears in two documents)")
     arrs = shingle_id_pos_arrays(docs, k=k, text_col=text_col,
                                  keep=[id_col]).localCheckpoint(eager=False)
     rows_d = arrs.select(F.col(id_col),

@@ -482,6 +482,8 @@ def postings_sample(docs: DataFrame, p: int = 3, n_salts: int = 8,
     """
     from pyspark.sql import Window
 
+    if p < 1 or n_salts < 1:
+        raise ValueError("p and n_salts must be positive")
     td = docs.select(
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("token"),
         F.col(id_col).alias("did"))

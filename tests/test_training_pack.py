@@ -230,3 +230,18 @@ def test_lm_dataset_plan_filter_before_shuffles(spark):
     lines = [ln for ln in tree.splitlines() if "(" in ln]
     scan_idx = next(i for i, ln in enumerate(lines) if "Scan parquet" in ln)
     assert "Filter" in lines[scan_idx - 1], tree
+
+
+def test_round4c_param_validation(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    from pandarus_spark.operators.dedup import remove_dup_spans
+    with pytest.raises(ValueError):
+        C.pack_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError):
+        C.pack_sequences(docs, seq_len=32, n_shards=0)
+    with pytest.raises(ValueError):
+        T.postings_sample(docs, p=0)
+    with pytest.raises(ValueError):
+        T.postings_sample(docs, p=3, n_salts=0)
+    with pytest.raises(ValueError):
+        remove_dup_spans(docs, k=1)
