@@ -62,6 +62,18 @@ def build_session(app: str = "pandarus-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # big text shuffles (83M exploded token rows at 3.2M docs on 8
+        # cores) SPILL when the one-wave partition count is also the
+        # sort width: measured 103.9 s -> 34.6 s (postings) and 271.5 s
+        # -> 77.4 s (span removal) just by widening to 8 waves.  Let
+        # AQE own the tradeoff instead of the static knob: shuffles
+        # START at 8 waves and coalesce back toward one wave when
+        # partitions are small (parallelismFirst keeps reduce-side
+        # parallelism >= default parallelism for medium jobs, so the
+        # headline suite is unchanged — pinned-8 A/B in BASELINE.md)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS",
+                               str(shuffle_partitions * 8)))
         # one time basis everywhere: Arrow renders timestamps as naive
         # wall times in this zone, and the stateful streaming operators
         # convert them back to epoch through it — UTC makes that exact
