@@ -344,7 +344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lsh_recall_docs(spark, sf_dir):
         # measured-recall gate (r3 verdict #5): the LSH pair set vs the
         # exact all-pairs baseline, recall pinned as driver-hashed
-        # values (floor asserted in tests/test_pipeline_ops.py)
+        # values (floor asserted in tests/test_pipeline_ops.py).
+        # recall is emitted in integer PPM with an explicit half-up
+        # tie-break — n_hit/n_true is an exact rational, so round(x,6)
+        # lands on engine-dependent .5 ties whenever n_true has a
+        # 7-digit terminating expansion (VERDICT.md r4 #1 sweep)
         docs = _docs(spark, sf_dir)
         lsh = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.2) \
             .select("doc_a", "doc_b", F.lit(1).alias("_l"))
@@ -356,7 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    & F.col("_t").isNotNull(), 1)
                             .otherwise(0)).alias("n_hit"))
                 .select("n_true", "n_lsh", "n_hit",
-                        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall")))
+                        F.expr("(2000000 * n_hit + n_true) DIV (2 * n_true)")
+                         .alias("recall_ppm")))
 
     def q_simhash_docs(spark, sf_dir):
         return D.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
@@ -524,13 +529,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         n_planes=4, dim=64) \
             .select("query_id", "neighbor_id", F.lit(1).alias("_a"))
         j = brute.join(ann, ["query_id", "neighbor_id"], "full_outer")
+        # integer-PPM recall — same exact-rational-tie rationale as
+        # q_lsh_recall_docs (VERDICT.md r4 #1 sweep)
         return (j.agg(F.sum("_b").alias("n_brute"), F.sum("_a").alias("n_ann"),
                       F.sum(F.when(F.col("_a").isNotNull()
                                    & F.col("_b").isNotNull(), 1)
                             .otherwise(0)).alias("n_hit"))
                 .select("n_brute", "n_ann", "n_hit",
-                        F.round(F.col("n_hit") / F.col("n_brute"), 6)
-                        .alias("recall")))
+                        F.expr("(2000000 * n_hit + n_brute) DIV (2 * n_brute)")
+                         .alias("recall_ppm")))
 
     def q_ann_quantized_embeddings(spark, sf_dir):
         # int8-code prescreen + exact re-rank (full-scan configuration;
@@ -1394,7 +1401,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2"""
 WITH lshp AS (SELECT doc_a, doc_b FROM ({lsh_pairs}) z),
 tru AS ({ngram_all})
 SELECT t.n AS n_true, l.n AS n_lsh, h.n AS n_hit,
-       round(h.n * 1.0 / t.n, 6) AS recall
+       CAST((2000000 * h.n + t.n) // (2 * t.n) AS BIGINT) AS recall_ppm
 FROM (SELECT count(*) AS n FROM tru) t,
      (SELECT count(*) AS n FROM lshp) l,
      (SELECT count(*) AS n FROM lshp JOIN tru USING (doc_a, doc_b)) h"""
@@ -1407,7 +1414,7 @@ FROM (SELECT count(*) AS n FROM tru) t,
 WITH brute AS (SELECT query_id, neighbor_id FROM ({cosine_topk}) z),
 ann AS (SELECT query_id, neighbor_id FROM ({ann_multiprobe}) z)
 SELECT b.n AS n_brute, a.n AS n_ann, h.n AS n_hit,
-       round(h.n * 1.0 / b.n, 6) AS recall
+       CAST((2000000 * h.n + b.n) // (2 * b.n) AS BIGINT) AS recall_ppm
 FROM (SELECT count(*) AS n FROM brute) b,
      (SELECT count(*) AS n FROM ann) a,
      (SELECT count(*) AS n FROM ann JOIN brute USING (query_id, neighbor_id)) h"""

@@ -311,14 +311,28 @@ def source_profile(docs: DataFrame, group_col: str = "source",
     """Corpus profile per source: doc count, mean quality, exact
     median / p90 of document size.  Exact (interpolated) percentiles,
     not approx — the group count is low-cardinality so the per-group
-    sort is cheap, and the oracle must reproduce values exactly."""
+    sort is cheap, and the oracle must reproduce values exactly.
+
+    Cross-engine determinism: mean quality is an exact int64 sum of
+    per-doc MICRO-quality (quality_score is already 6-decimal, so
+    micro-quality is lossless) with an explicit integer half-up mean —
+    a float ``avg`` is both summation-order-dependent and, being a
+    mean of exact rationals, structurally exposed to round(x, 6) .5
+    ties (VERDICT.md r4 #1).  The percentiles stay float: their
+    interpolation fractions terminate at one decimal digit (median =
+    (a+b)/2, p90 fraction = k/10), so a 7th-decimal tie cannot occur."""
     from .textstats import quality_score
     s = F.col(size_col).cast("double")
+    qm = F.round(quality_score(F.col("text")) * 1e6).cast("long")
     return (docs.groupBy(group_col)
             .agg(F.count("*").alias("n_docs"),
-                 F.round(F.avg(quality_score(F.col("text"))), 6).alias("avg_quality"),
+                 F.sum(qm).alias("__qsum"),
                  F.round(F.percentile(s, F.lit(0.5)), 6).alias("median_size"),
-                 F.round(F.percentile(s, F.lit(0.9)), 6).alias("p90_size")))
+                 F.round(F.percentile(s, F.lit(0.9)), 6).alias("p90_size"))
+            .select(group_col, "n_docs",
+                    F.expr("(2 * __qsum + n_docs) DIV (2 * n_docs)")
+                     .alias("avg_quality_micro"),
+                    "median_size", "p90_size"))
 
 
 def source_profile_sql(source: str = "documents", group_col: str = "source",
@@ -327,7 +341,8 @@ def source_profile_sql(source: str = "documents", group_col: str = "source",
     q = quality_score_sql("text")
     return f"""
 SELECT {group_col} AS source, count(*) AS n_docs,
-       round(avg({q}), 6) AS avg_quality,
+       CAST((2 * sum(CAST(round({q} * 1e6) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_quality_micro,
        round(quantile_cont(CAST({size_col} AS DOUBLE), 0.5), 6) AS median_size,
        round(quantile_cont(CAST({size_col} AS DOUBLE), 0.9), 6) AS p90_size
 FROM {source} GROUP BY {group_col}"""

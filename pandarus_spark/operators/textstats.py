@@ -240,15 +240,24 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     """Per-document mean negative log-probability under the corpus's
     own unigram LM — the CCNet recipe's perplexity proxy (low = common,
     head-of-distribution text; high = rare-token noise).  Output:
-    (doc_id, n_tokens, nll) with nll in nats, rounded to 6 decimals.
+    (doc_id, n_tokens, nll_micro) with nll_micro the mean NLL in
+    integer MICRO-nats (round-half-up).
 
-    Cross-engine determinism (two layers, both required): (1) float
+    Cross-engine determinism (three layers, all required): (1) float
     sums are order-dependent, so each token's -ln(p) is first rounded
     to integer MICRO-nats and the per-document total is an exact int64
     sum (order-free); (2) the ln itself is ``detmath.det_ln_micro``,
     built from correctly-rounded arithmetic only — libm ``ln`` differs
     by 1 ulp across engines and flipped the micro-nat rounding of this
-    very operator in the round-3 driver gate (VERDICT.md r3 #1).
+    very operator in the round-3 driver gate (VERDICT.md r3 #1);
+    (3) the output itself is INTEGER-only — the former
+    ``round(Σnll_m/(Σtf·1e6), 6)`` landed on exact .5 ties (integer
+    ratios with even denominators make ties structurally common;
+    r4 driver doc 62 = 3400381.5 micro-nats exactly) and Spark's
+    BigDecimal HALF_UP vs DuckDB's multiply+nearbyint tie-break
+    diverge by engine version (VERDICT.md r4 #1).  The mean is the
+    explicit integer tie-break ``(2·Σnll_m + Σtf) div (2·Σtf)`` —
+    round-half-up of Σnll_m/Σtf in pure int64, identical everywhere.
 
     Plan shape: tf per (doc, token) is one partial-agg shuffle; the
     corpus frequency table derives from tf (vocabulary-sized, shuffle
@@ -271,14 +280,18 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
               .select(id_col, "tf", (F.col("tf") * F.col("__nll_m1")).alias("nll_m")))
     return (scored.groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
-                 F.round(F.sum("nll_m") / (F.sum("tf") * 1e6), 6).alias("nll")))
+                 F.expr("(2 * sum(nll_m) + sum(tf)) DIV (2 * sum(tf))")
+                  .alias("nll_micro")))
 
 
 def unigram_logprob_sql(source: str = "documents", text_expr: str = "text",
                         id_expr: str = "doc_id") -> str:
     """DuckDB rendering of :func:`unigram_logprob` (same micro-nat
-    integer summation AND the same correctly-rounded-arithmetic ln from
-    ``functions/detmath.py``, so the mean is bit-identical — no libm)."""
+    integer summation, the same correctly-rounded-arithmetic ln from
+    ``functions/detmath.py``, and the same explicit integer
+    round-half-up mean, so the output is bit-identical — no libm, no
+    float anywhere).  DuckDB ``sum(BIGINT)`` is HUGEINT and ``//`` on
+    HUGEINT stays HUGEINT, hence the final CAST."""
     from ..functions.detmath import det_ln_micro_sql
     w = WORDS_SQL.format(t=text_expr)
     nll_m1 = det_ln_micro_sql("t.t", "freq.c", "duckdb")
@@ -292,7 +305,7 @@ scored AS (
   SELECT tf.doc_id, tf.tf, tf.tf * st.nll_m1 AS nll_m
   FROM tf JOIN scored_tok st USING (token))
 SELECT doc_id, sum(tf) AS n_tokens,
-       round(sum(nll_m) / (sum(tf) * 1e6), 6) AS nll
+       CAST((2 * sum(nll_m) + sum(tf)) // (2 * sum(tf)) AS BIGINT) AS nll_micro
 FROM scored GROUP BY doc_id"""
 
 # ---------------------------------------------------------------------------

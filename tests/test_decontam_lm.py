@@ -121,17 +121,24 @@ def test_unigram_logprob_hand_corpus(spark):
     # corpus: 6 tokens total — 'a'×3, 'b'×2, 'c'×1
     docs = spark.createDataFrame([(1, "a a b"), (2, "a b c")],
                                  "doc_id long, text string")
-    out = {r["doc_id"]: (r["n_tokens"], r["nll"])
+    out = {r["doc_id"]: (r["n_tokens"], r["nll_micro"])
            for r in unigram_logprob(docs).collect()}
 
     def micro(p):  # the operator's integer micro-nat rounding
         return round(math.log(1.0 / p) * 1e6)
 
-    nll1 = round((2 * micro(3 / 6) + micro(2 / 6)) / (3 * 1e6), 6)
-    nll2 = round((micro(3 / 6) + micro(2 / 6) + micro(1 / 6)) / (3 * 1e6), 6)
+    def mean_half_up(total, n):  # the operator's integer-only mean
+        return (2 * total + n) // (2 * n)
+
+    nll1 = mean_half_up(2 * micro(3 / 6) + micro(2 / 6), 3)
+    nll2 = mean_half_up(micro(3 / 6) + micro(2 / 6) + micro(1 / 6), 3)
     assert out == {1: (3, nll1), 2: (3, nll2)}
     # rarer tokens -> higher mean NLL
     assert out[2][1] > out[1][1]
+    # the output is INTEGER-only — round(float, 6) landed on exact .5
+    # ties across engines (VERDICT.md r4 #1); a float column here is a
+    # regression even if the values happen to agree
+    assert dict(unigram_logprob(docs).dtypes)["nll_micro"] == "bigint"
 
 
 def test_unigram_logprob_partition_invariance(spark):
