@@ -1070,3 +1070,137 @@ SELECT doc_id,
        coalesce(array_to_string(kw, ' '), '') AS text_clean,
        CAST(len(wo) - len(kw) AS BIGINT) AS n_removed
 FROM kept"""
+
+
+def dup_span_intervals(docs: DataFrame, k: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       keeper_exempt: bool = False) -> DataFrame:
+    """MAXIMAL duplicated-span inventory — the exact-substring
+    extension of :func:`dup_span_stats` / :func:`remove_dup_spans`
+    (Lee et al. 2022 byte-span semantics, suffix-array-faithful at
+    word granularity): adjacent/overlapping duplicated k-gram covers
+    are merged into maximal word intervals, so each output row is one
+    maximal region of text shared (as a substring of ≥ k words) with
+    at least one other document.  Parity with a quadratic
+    all-pairs-common-substring reference is pinned by test
+    (``tests/test_decontam_lm.py``) — a word position lies inside a
+    maximal shared substring of length ≥ k iff some duplicated k-gram
+    covers it, so the merged k-gram cover IS the union of the paper's
+    maximal spans.
+
+    ``keeper_exempt=True`` drops the canonical occurrences (the
+    min-``id_col`` document per shingle keeps its copy) — exactly the
+    regions :func:`remove_dup_spans` excises, which makes interval
+    deletion and word-cover surgery provably identical (also pinned by
+    test).
+
+    Output: ``(id_col, span_start, span_end, span_words)`` with
+    1-based inclusive word positions, ``span_end`` clamped to the
+    document's word count.  ``span_words >= k`` except for one
+    documented degenerate case: a document SHORTER than ``k`` words
+    produces a single padded shingle (the rolling lane stops at the
+    text's end), so whole-document exact duplicates of sub-k docs are
+    still reported, as ``(1, n_words, n_words)`` — the same
+    exact-duplicate-collapse convention :func:`remove_dup_spans`
+    deliberately applies (the paper's suffix-array formulation would
+    skip them; exact dedup owns them either way).
+
+    Scale shape: identical to :func:`remove_dup_spans` up to the
+    per-doc sorted start positions (one positional-ids checkpoint, one
+    partial-agg shingle groupBy, one ids-only equi-join, one doc-keyed
+    agg); the merge itself is ONE extra partition-local pass over the
+    sorted starts — an O(m) zip-with-neighbour on the start array, no
+    new shuffle (r4 VERDICT #6's prescription).  Fixed k-gram width
+    means two sorted starts s_i, s_{i+1} merge iff
+    ``s_{i+1} <= s_i + k`` (their covers overlap or touch), so maximal
+    intervals fall out of a neighbour comparison — no position scan.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    arrs = shingle_id_pos_arrays(docs, k=k, text_col=text_col,
+                                 keep=[id_col]).localCheckpoint(eager=False)
+    rows_d = arrs.select(F.col(id_col),
+                         F.explode(F.array_distinct("_ids")).alias("shingle"))
+    dup = (rows_d.groupBy("shingle")
+                 .agg(F.count("*").alias("_df"), F.min(id_col).alias("_keeper"))
+                 .filter(F.col("_df") >= 2)
+                 .select("shingle", "_keeper"))
+    rows_p = arrs.select(F.col(id_col),
+                         F.posexplode("_ids").alias("_p0", "shingle"))
+    hits = rows_p.join(dup, "shingle")
+    if keeper_exempt:
+        hits = hits.filter(F.col(id_col) != F.col("_keeper"))
+    starts = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.col("_p0") + 1)).alias("_s"))
+    # clamp span ends to the real word count (sub-k docs' padded
+    # shingle would otherwise report an end past the text) — one
+    # doc-keyed equi-join against the narrow (id, word-count) side,
+    # the same join-back shape remove_dup_spans already pays
+    nw = F.size(F.split(nz(F.col(text_col)), " ")).alias("_nw")
+    starts = starts.join(docs.select(F.col(id_col), nw), id_col)
+    s = F.col("_s")
+    # neighbour tests are 1-based element_at; the i==0 / i==n-1 edge
+    # branches guard the out-of-range lookups (CASE WHEN evaluates
+    # lazily, so element_at(_s, 0) is never reached)
+    st = F.filter(
+        F.transform(s, lambda v, i: F.struct(v.alias("v"), i.alias("i"))),
+        lambda t: F.when(t["i"] == 0, F.lit(True))
+                   .otherwise(t["v"] > F.element_at(s, t["i"]) + k))
+    en = F.filter(
+        F.transform(s, lambda v, i: F.struct(v.alias("v"), i.alias("i"))),
+        lambda t: F.when(t["i"] == F.size(s) - 1, F.lit(True))
+                   .otherwise(F.element_at(s, t["i"] + 2) > t["v"] + k))
+    ivs = F.zip_with(st, en, lambda a, b: F.struct(
+        a["v"].cast("int").alias("st"),
+        F.least(b["v"] + (k - 1), F.col("_nw")).cast("int").alias("en")))
+    return (starts.select(F.col(id_col), F.explode(ivs).alias("_iv"))
+                  .select(F.col(id_col),
+                          F.col("_iv.st").alias("span_start"),
+                          F.col("_iv.en").alias("span_end"),
+                          (F.col("_iv.en") - F.col("_iv.st") + 1)
+                          .cast("long").alias("span_words")))
+
+
+def dup_span_intervals_sql(source: str = "documents", k: int = 5,
+                           text_expr: str = "text",
+                           id_expr: str = "doc_id",
+                           keeper_exempt: bool = False) -> str:
+    """DuckDB rendering of :func:`dup_span_intervals` (lockstep lanes,
+    same neighbour-merge rule over the sorted start positions)."""
+    h1, h2 = shingle_id_lanes_sql(text_expr)
+    ids = shingle_ids_pos_over_sql("h1", "h2", k)
+    keeper_pred = "AND doc_id <> keeper" if keeper_exempt else ""
+    return f"""
+WITH dl AS (
+  SELECT {id_expr} AS doc_id, {h1} AS h1, {h2} AS h2 FROM {source}),
+ida AS (
+  SELECT doc_id, {ids} AS ids FROM dl),
+pos AS (
+  SELECT doc_id, unnest(ids) AS shingle,
+         unnest(range(1, len(ids) + 1)) AS pos
+  FROM ida),
+dup AS (
+  SELECT shingle, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT shingle, doc_id FROM pos)
+  GROUP BY shingle HAVING count(*) >= 2),
+st AS (
+  SELECT doc_id, list_sort(list(pos)) AS s
+  FROM pos JOIN dup USING (shingle)
+  WHERE TRUE {keeper_pred} GROUP BY doc_id),
+nw AS (
+  SELECT {id_expr} AS doc_id,
+         len(string_split(coalesce({text_expr}, ''), ' ')) AS n_words
+  FROM {source}),
+iv AS (
+  SELECT doc_id,
+         list_zip(
+           [s[i] for i in range(1, len(s) + 1)
+            if i = 1 OR s[i] > s[i-1] + {k}],
+           [least(s[i] + {k - 1}, n_words) for i in range(1, len(s) + 1)
+            if i = len(s) OR s[i+1] > s[i] + {k}]) AS z
+  FROM st JOIN nw USING (doc_id))
+SELECT doc_id,
+       CAST(u.z[1] AS INT) AS span_start,
+       CAST(u.z[2] AS INT) AS span_end,
+       CAST(u.z[2] - u.z[1] + 1 AS BIGINT) AS span_words
+FROM (SELECT doc_id, unnest(z) AS z FROM iv) u(doc_id, z)"""

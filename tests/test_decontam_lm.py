@@ -376,3 +376,105 @@ def test_remove_dup_spans_parity_and_invariance(spark):
     con.register("documents", pdf)
     want = sorted(tuple(r) for r in con.execute(remove_dup_spans_sql(k=5)).fetchall())
     assert [tuple(map(str, a)) for a in got] == [tuple(map(str, b)) for b in want]
+
+
+_SPAN_FIXTURE = [
+    # overlapping + adjacent shared spans (spans merge across the
+    # shared1/shared2 boundary in doc 2), a unique doc, NULL/empty
+    # docs, and a sub-k whole-doc duplicate pair — every edge the
+    # maximal-span merge has to handle
+    (1, "alpha beta gamma delta epsilon zeta unique1a one two three four five"),
+    (2, "prefix2 alpha beta gamma delta epsilon zeta one two three four five tail2"),
+    (3, "one two three four five middle3 words3 here3 alpha beta gamma delta epsilon zeta"),
+    (4, "totally unique text with no duplicated spans at all"),
+    (5, None),
+    (6, ""),
+    (7, "tiny pair"),
+    (8, "tiny pair"),
+]
+
+
+def test_dup_span_intervals_quadratic_reference(spark):
+    """Paper-semantics parity (r4 verdict #6): the merged k-gram cover
+    equals the per-doc union of ALL maximal common substrings of
+    >= k words found by a quadratic all-pairs scan, plus the
+    documented degenerate rule (whole-doc exact duplicates of sub-k
+    docs report (1, n_words))."""
+    from pandarus_spark.operators.dedup import dup_span_intervals
+    k = 3
+    docs = spark.createDataFrame(_SPAN_FIXTURE, "doc_id long, text string")
+    low = {d: (t if t is not None else "").lower().split(" ")
+           for d, t in _SPAN_FIXTURE}
+    cov = {d: set() for d, _ in _SPAN_FIXTURE}
+    ds = [d for d, _ in _SPAN_FIXTURE]
+    for a in ds:
+        for b in ds:
+            if a == b:
+                continue
+            wa, wb = low[a], low[b]
+            for i in range(len(wa)):
+                for j in range(len(wb)):
+                    n = 0
+                    while (i + n < len(wa) and j + n < len(wb)
+                           and wa[i + n] == wb[j + n]):
+                        n += 1
+                    if n >= k:
+                        cov[a].update(range(i + 1, i + n + 1))
+            if len(wa) < k and wa == wb:
+                cov[a].update(range(1, len(wa) + 1))
+    exp = {}
+    for d in ds:
+        runs = []
+        for p in sorted(cov[d]):
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        exp[d] = [(st, en) for st, en in runs]
+    got = {}
+    for r in dup_span_intervals(docs, k=k).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for d in ds:
+        assert sorted(got.get(d, [])) == exp[d], d
+
+
+def test_dup_span_intervals_removal_equivalence(spark):
+    """keeper_exempt=True intervals are EXACTLY what remove_dup_spans
+    excises: deleting the reported intervals from the original words
+    reproduces text_clean and n_removed for every doc."""
+    from pandarus_spark.operators.dedup import dup_span_intervals, remove_dup_spans
+    k = 3
+    docs = spark.createDataFrame(_SPAN_FIXTURE, "doc_id long, text string")
+    byd = {}
+    for r in dup_span_intervals(docs, k=k, keeper_exempt=True).collect():
+        byd.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    rem = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in remove_dup_spans(docs, k=k).collect()}
+    for d, text in _SPAN_FIXTURE:
+        words = (text if text is not None else "").split(" ")
+        dels = set()
+        for st, en in byd.get(d, []):
+            dels.update(range(st, en + 1))
+        kept = [w for j, w in enumerate(words, 1) if j not in dels]
+        assert rem[d][0] == " ".join(kept), d
+        assert rem[d][1] == len(words) - len(kept), d
+
+
+def test_dup_span_intervals_duckdb_parity_and_invariance(spark):
+    from pandarus_spark.operators.dedup import (dup_span_intervals,
+                                                dup_span_intervals_sql)
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]].head(200)
+    docs = spark.createDataFrame(pdf)
+    for exempt in (False, True):
+        got = sorted(tuple(r) for r in
+                     dup_span_intervals(docs, k=5, keeper_exempt=exempt).collect())
+        got2 = sorted(tuple(r) for r in
+                      dup_span_intervals(docs.repartition(11), k=5,
+                                         keeper_exempt=exempt).collect())
+        assert got == got2
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(tuple(r) for r in con.execute(
+            dup_span_intervals_sql(k=5, keeper_exempt=exempt)).fetchall())
+        assert got == want
