@@ -128,7 +128,13 @@ def bloom_contaminated(docs: DataFrame, bloom, k: int = 8,
     (no false negatives); extra flags occur at the filter's documented
     false-positive rate.  The probe is one Arrow batch pass per row
     over the same stacked shingle-id projections as batch decontam —
-    zero joins, zero shuffles; works on streaming DataFrames too."""
+    zero joins, zero shuffles; works on streaming DataFrames too.
+
+    Broadcast lifetime: each call broadcasts the bitmap words once;
+    the returned frame's UDF closure holds the reference and Spark's
+    ContextCleaner reclaims it when the frame becomes unreachable —
+    drop returned frames you are done with in long-lived sessions
+    (r4 advice)."""
     from .dedup import shingle_id_arrays
     words, n_bits, n_hashes = bloom
     bc = docs.sparkSession.sparkContext.broadcast(words)

@@ -162,6 +162,12 @@ def distance_join(left: DataFrame, right: DataFrame, radius_m: float,
     lonr, latr = F.col(lon_col + suffixes[1]), F.col(lat_col + suffixes[1])
     d = haversine_m(lonl, latl, lonr, latr)
     if salt_buckets > 1:
+        # checkpoint the keyed left ONCE: the hot-cell scan and the
+        # join both consume it, and without the checkpoint the entire
+        # upstream plan would recompute for the scan — costly when the
+        # left is itself an expensive pipeline (r4 advice; same
+        # discipline as dup_span_stats' shared shingle table)
+        l2 = l2.localCheckpoint(eager=False)
         hot = (l2.groupBy("__cell").count()
                .filter(F.col("count") >= salt_threshold)
                .select("__cell").withColumn("__hot", F.lit(True)))

@@ -44,6 +44,21 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _empty_topk(embeddings: DataFrame, queries: DataFrame,
+                id_col: str, qid_col: str) -> DataFrame:
+    """Empty-but-well-typed (query_id, neighbor_id, cos, rank) frame
+    whose id types are DERIVED from the input schemas — a hardcoded
+    'long' would mismatch the non-empty output when callers use string
+    or int ids (r4 advice)."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+    return embeddings.sparkSession.createDataFrame([], StructType([
+        StructField("query_id", queries.schema[qid_col].dataType),
+        StructField("neighbor_id", embeddings.schema[id_col].dataType),
+        StructField("cos", DoubleType()),
+        StructField("rank", IntegerType())]))
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id", qvec_col: str = "qvec",
@@ -327,10 +342,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                                         id_col=id_col, vec_col=vec_col)
     n_centroids = len(centroids)
     if n_centroids == 0:
-        # empty corpus: empty-but-well-typed result, like cosine_topk
-        spark = embeddings.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank int")
+        # empty corpus: empty-but-well-typed result, id types from the
+        # input schemas
+        return _empty_topk(embeddings, queries, id_col, qid_col)
     nprobe = min(nprobe, n_centroids)
 
     e = embeddings.select(F.col(id_col).alias("neighbor_id"),
@@ -390,10 +404,11 @@ def ann_lsh_multiprobe_topk(embeddings: DataFrame, queries: DataFrame,
     Plan stays O(1) in dim×tables×planes through the same
     literal/broadcast-matmul split as every SRP path here."""
     if dim is None:
+        # dim probe costs one extra one-row Spark job per call — pass
+        # dim explicitly in hot loops to skip it (r4 advice)
         head = embeddings.select(vec_col).first()
         if head is None or head[0] is None:
-            return embeddings.sparkSession.createDataFrame(
-                [], "query_id long, neighbor_id long, cos double, rank int")
+            return _empty_topk(embeddings, queries, id_col, qid_col)
         dim = len(head[0])
     e = embeddings.select(F.col(id_col).alias("id"),
                           _as_double(F.col(vec_col)).alias("v"))

@@ -19,6 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _epoch_seconds(df: DataFrame, col_name: str):
+    """Seconds-as-double for gap/range arithmetic: genuine timestamp
+    and date columns go through the epoch cast (NTZ can't cast straight
+    to double; the identical zone shift cancels in differences), while
+    NUMERIC columns pass through EXACTLY — a blanket
+    double→timestamp→double round-trip would silently quantize them to
+    microseconds and flip gap/boundary decisions for sub-microsecond
+    differences (r4 advice; interval_join's docstring calls this out)."""
+    t = df.schema[col_name].dataType.typeName()
+    if t.startswith("timestamp") or t == "date":
+        return F.col(col_name).cast("timestamp").cast("double")
+    return F.col(col_name).cast("double")
+
+
 def hourly_rollup(events: DataFrame, ts_col: str = "ts",
                   key_col: str = "event_type", value_col: str = "value",
                   window: str = "1 hour") -> DataFrame:
@@ -113,15 +127,9 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     if clash:
         raise ValueError(f"points/intervals column names collide: {clash}")
 
-    def _seconds(df: DataFrame, col: str):
-        t = df.schema[col].dataType.typeName()
-        if t.startswith("timestamp") or t == "date":
-            return F.col(col).cast("timestamp").cast("double")
-        return F.col(col).cast("double")
-
-    p = _seconds(points, point_col)
-    s = _seconds(intervals, start_col)
-    e = _seconds(intervals, end_col)
+    p = _epoch_seconds(points, point_col)
+    s = _epoch_seconds(intervals, start_col)
+    e = _epoch_seconds(intervals, end_col)
     pb = F.floor(p / bucket_seconds).cast("long")
     # bucket cover is a SUPERSET (an interval ending exactly on a bucket
     # boundary claims one extra bucket); the residual range predicate
@@ -133,6 +141,10 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     iv = intervals.select("*", F.explode(F.sequence(lo, hi)).alias("__bucket"))
     pt = points.select("*", pb.alias("__bucket"), p.alias("__p"))
     if salt_buckets > 1:
+        # checkpoint the bucketed point side ONCE: the hot-bucket scan
+        # and the join both consume it (r4 advice — otherwise the whole
+        # upstream plan recomputes for the scan)
+        pt = pt.localCheckpoint(eager=False)
         hot = (pt.groupBy("__bucket").count()
                .filter(F.col("count") >= salt_threshold)
                .select("__bucket").withColumn("__hot", F.lit(True)))
@@ -166,12 +178,9 @@ def sessionize(events: DataFrame, gap_seconds: float = 1800.0,
     The order key breaks timestamp ties deterministically so the result
     is engine-independent (the oracle orders identically)."""
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
-    prev = F.lag(F.col(ts_col)).over(w)
-    # NTZ can't cast straight to double; via timestamp the (identical)
-    # zone shift cancels in the difference
-    secs = F.col(ts_col).cast("timestamp").cast("double")
-    prev_secs = prev.cast("timestamp").cast("double")
-    new_session = F.when(prev.isNull() | ((secs - prev_secs) > gap_seconds),
+    secs = _epoch_seconds(events, ts_col)
+    prev_secs = F.lag(secs).over(w)
+    new_session = F.when(prev_secs.isNull() | ((secs - prev_secs) > gap_seconds),
                          1).otherwise(0)
     return (events
             .select(key_col, new_session.alias("new_session"))
@@ -193,8 +202,8 @@ def session_rows(events: DataFrame, gap_seconds: float = 1800.0,
     gap 0 and always share a session, so the break column is invariant
     to their relative order."""
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
-    secs = F.col(ts_col).cast("timestamp").cast("double")
-    prev = F.lag(F.col(ts_col)).over(w).cast("timestamp").cast("double")
+    secs = _epoch_seconds(events, ts_col)
+    prev = F.lag(secs).over(w)
     brk = F.when(prev.isNull() | ((secs - prev) > gap_seconds), 1).otherwise(0)
     sid = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (events

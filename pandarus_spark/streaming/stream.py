@@ -458,6 +458,14 @@ def stream_decontaminate(docs_stream: DataFrame, bench: DataFrame,
     stream-static LEFT ANTI join would express the same thing, but
     Structured Streaming does not support anti joins with a static
     right side — the broadcast set probe is the supported shape.)
+
+    Broadcast lifetime: each call creates ONE broadcast of the eval
+    shingle-id set, referenced by the returned DataFrame's UDF
+    closure.  Spark's ContextCleaner reclaims it automatically once
+    the returned frame (and every query started from it) becomes
+    unreachable in the driver — so in a long-lived session, drop the
+    reference after the query stops rather than caching many returned
+    frames (r4 advice).
     """
     from ..operators.decontam import benchmark_shingles
     from ..operators.dedup import shingle_id_arrays

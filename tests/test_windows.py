@@ -330,3 +330,23 @@ def test_asof_join_matches_duckdb_asof_randomized(spark):
         "SELECT l.lid, r.v FROM l ASOF LEFT JOIN r "
         "ON l.k = r.k AND l.ts >= r.ts").fetchall()}
     assert got == want and len(got) == 250
+
+
+def test_session_numeric_ts_submicrosecond_exact(spark):
+    """Numeric epoch ts columns pass through EXACTLY (r4 advice): a gap
+    a fraction of a microsecond above/below gap_seconds must break /
+    not break the session — the old blanket timestamp round-trip
+    quantized to microseconds and flipped the decision."""
+    from pandarus_spark.operators.windows import session_rows, sessionize
+    rows = [
+        (1, 0.0, 10), (1, 1800.0000004, 11),   # gap > 1800 -> break
+        (2, 0.0, 20), (2, 1799.9999996, 21),   # gap < 1800 -> no break
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts double, event_id long")
+    ns = {r["user_id"]: r["n_sessions"] for r in
+          sessionize(ev, gap_seconds=1800.0).collect()}
+    assert ns == {1: 2, 2: 1}
+    sr = {}
+    for r in session_rows(ev, gap_seconds=1800.0).collect():
+        sr.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(sr[1]) == [1, 1] and sr[2] == [2]
