@@ -378,7 +378,7 @@ def read_vector(spark, path: str, identifying_field: str = "name",
     sniffing, utils/conversion.py:31-51): ``.gpkg`` → GeoPackage,
     ``.shp`` → shapefile, anything else → GeoJSON."""
     low = path.lower()
-    if low.endswith(".gpkg"):
+    if low.endswith(".gpkg") or low.endswith(".gpkg.bz2"):
         from .gpkg import read_gpkg
         return read_gpkg(spark, path, identifying_field,
                          validate_unique=validate_unique, crs=crs,

@@ -70,6 +70,26 @@ def _feature_tables(con: sqlite3.Connection) -> list[tuple[str, str, int]]:
     return [(r[0], r[1], int(r[2])) for r in rows]
 
 
+def _maybe_decompress_bz2(path: str) -> tuple[str, str | None]:
+    """``.bz2`` GPKG support — the same compressed-ingest symmetry the
+    GeoJSON path has had since round 1 (reference ``export_json``
+    compresses its JSON sinks, ``utils/io.py:22-35``; sqlite can't be
+    opened through a stream, so the payload is inflated to a temp file
+    first).  Returns (openable_path, temp_path_to_remove_or_None)."""
+    if not path.endswith(".bz2"):
+        return path, None
+    import bz2
+    import tempfile
+    fd, tmp = tempfile.mkstemp(suffix=".gpkg")
+    with os.fdopen(fd, "wb") as out, bz2.open(path, "rb") as src:
+        while True:
+            chunk = src.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    return tmp, tmp
+
+
 def read_gpkg(spark, path: str, identifying_field: str = "name",
               table: str | None = None, validate_unique: bool = True,
               crs: str | None = None, repair: bool = False):
@@ -79,10 +99,13 @@ def read_gpkg(spark, path: str, identifying_field: str = "name",
 
     ``table`` picks a layer (defaults to the only/first feature table);
     ``crs`` overrides the layer's declared SRS (else ``EPSG:{srs_id}``
-    from ``gpkg_geometry_columns``, with 4326/0/-1 treated as WGS84)."""
+    from ``gpkg_geometry_columns``, with 4326/0/-1 treated as WGS84).
+    A ``.gpkg.bz2`` path is inflated to a temp file first (compressed
+    round-trip symmetry with the GeoJSON file API, r4 verdict #8)."""
     from ..geometry.projection import is_geographic, to_wgs84
     from .pages import FEATURES_SCHEMA
 
+    path, _tmp = _maybe_decompress_bz2(path)
     con = sqlite3.connect(path)
     try:
         tables = _feature_tables(con)
@@ -126,6 +149,8 @@ def read_gpkg(spark, path: str, identifying_field: str = "name",
                          mnx, mny, mxx, mxy, G.is_axis_rect(geometry)))
     finally:
         con.close()
+        if _tmp is not None:
+            os.remove(_tmp)
     return spark.createDataFrame(rows, FEATURES_SCHEMA)
 
 
@@ -169,14 +194,21 @@ _SQL_TYPE = {int: "INTEGER", float: "DOUBLE", str: "TEXT"}
 
 
 def write_gpkg(intersections, path: str, layer: str = "intersections",
-               when: str | None = None) -> str:
+               when: str | None = None, compress: bool = False) -> str:
     """Intersections DataFrame → GeoPackage feature table with the
     reference's fixed property schema {id, from_label, to_label,
     measure} (core.py:153-161) — the Spark analogue of the reference's
     ``driver="GPKG"`` output (core.py:71-72).  Geometry column ``geom``
-    holds GeoPackageBinary (WGS84)."""
+    holds GeoPackageBinary (WGS84).  ``compress=True`` bz2-compresses
+    the sink (same ``compress=`` contract as the GeoJSON sinks /
+    reference ``export_json``); ``read_gpkg`` inflates it back."""
     rows = intersections.select("id", "from_label", "to_label", "measure",
                                 "geom_wkb").collect()
+    final = path
+    if compress:
+        if not final.endswith(".bz2"):
+            final += ".bz2"
+        path = final[:-len(".bz2")] + ".tmp-uncompressed"
     if os.path.exists(path):
         os.remove(path)
     con = sqlite3.connect(path)
@@ -212,14 +244,32 @@ def write_gpkg(intersections, path: str, layer: str = "intersections",
         con.commit()
     finally:
         con.close()
-    return path
+    return _finish_bz2(path, final)
 
 
-def write_features_gpkg(features_df, path: str, layer: str = "features") -> str:
+def _finish_bz2(path: str, final: str) -> str:
+    if final == path:
+        return path
+    import bz2
+    with open(path, "rb") as src, bz2.open(final, "wb") as out:
+        out.write(src.read())
+    os.remove(path)
+    return final
+
+
+def write_features_gpkg(features_df, path: str, layer: str = "features",
+                        compress: bool = False) -> str:
     """Feature DataFrame → GPKG layer (label + geometry) — round-trip
     helper so a GPKG written here can be read back by read_gpkg and fed
-    to the engine."""
+    to the engine.  ``compress=True`` bz2-compresses the sink (path
+    gains ``.bz2`` if absent) — the same ``compress=`` contract the
+    GeoJSON sinks mirror from the reference's ``export_json``."""
     rows = features_df.select("feature_id", "label", "geom_wkb").orderBy("feature_id").collect()
+    final = path
+    if compress:
+        if not final.endswith(".bz2"):
+            final += ".bz2"
+        path = final[:-len(".bz2")] + ".tmp-uncompressed"
     if os.path.exists(path):
         os.remove(path)
     con = sqlite3.connect(path)
@@ -238,4 +288,4 @@ def write_features_gpkg(features_df, path: str, layer: str = "features") -> str:
         con.commit()
     finally:
         con.close()
-    return path
+    return _finish_bz2(path, final)

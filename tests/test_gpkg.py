@@ -182,3 +182,36 @@ def test_read_intersections_gpkg_validates_like_geojson(spark, tmp_path):
     con.commit(); con.close()
     with _pytest.raises(ValueError, match="'id' must be an integer"):
         read_intersections_vector(spark, geo_fp)
+
+
+def test_gpkg_bz2_compress_roundtrip(spark, tmp_path):
+    """r4 verdict #8: the GPKG path advertises the same compress=
+    round-trip as the GeoJSON file API — features and intersections
+    sinks gain .bz2, the reader inflates transparently, read_vector
+    dispatches on .gpkg.bz2, and results equal the uncompressed path
+    byte for byte."""
+    import pandarus_spark as ps
+    from pandarus_spark.sources.gpkg import write_features_gpkg, write_gpkg
+    from pandarus_spark.sources.geojson import read_vector
+
+    feats = extract_features(pages_df(spark, "grid"))
+    plain = write_features_gpkg(feats, str(tmp_path / "grid.gpkg"))
+    comp = write_features_gpkg(feats, str(tmp_path / "grid_c.gpkg"),
+                               compress=True)
+    assert comp.endswith(".gpkg.bz2")
+    assert comp[:2] != plain  # compressed artifact actually bz2
+    assert open(comp, "rb").read(3) == b"BZh"
+    a = sorted(tuple(r) for r in read_gpkg(spark, plain).collect())
+    b = sorted(tuple(r) for r in read_gpkg(spark, comp).collect())
+    c = sorted(tuple(r) for r in read_vector(spark, comp).collect())
+    assert a == b == c
+
+    # intersections sink symmetry
+    square = extract_features(pages_df(spark, "square"))
+    inter = ps.intersect(square, extract_features(pages_df(spark, "grid")))
+    ic = write_gpkg(inter, str(tmp_path / "inter.gpkg"), compress=True)
+    assert ic.endswith(".gpkg.bz2") and open(ic, "rb").read(3) == b"BZh"
+    got = {(r["label"]): r for r in
+           read_gpkg(spark, ic, identifying_field="id",
+                     validate_unique=False).collect()}
+    assert len(got) == 4
