@@ -66,58 +66,58 @@ def overlay_features(spark, sf_dir: str):
     return base, probe
 
 
-def job_overlay_intersect(spark, sf_dir: str) -> int:
+def job_overlay_intersect(spark, sf_dir: str):
     import pandarus_spark as ps
     base, probe = overlay_features(spark, sf_dir)
-    return ps.intersect(probe, base, broadcast_features=False).count()
+    return ps.intersect(probe, base, broadcast_features=False)
 
 
-def job_tile_assignments(spark, sf_dir: str) -> int:
+def job_tile_assignments(spark, sf_dir: str):
     import pandarus_spark as ps
     base, _ = overlay_features(spark, sf_dir)
-    return ps.cover_features(base, res=8, max_cells=64).count()
+    return ps.cover_features(base, res=8, max_cells=64)
 
 
-def job_exact_dedup(spark, sf_dir: str) -> int:
+def job_exact_dedup(spark, sf_dir: str):
     from pandarus_spark.operators import dedup as D
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.exact_dedup(docs).count()
+    return D.exact_dedup(docs)
 
 
-def job_minhash_lsh(spark, sf_dir: str) -> int:
+def job_minhash_lsh(spark, sf_dir: str):
     from pandarus_spark.operators import dedup as D
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.2).count()
+    return D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.2)
 
 
-def job_simhash(spark, sf_dir: str) -> int:
+def job_simhash(spark, sf_dir: str):
     from pandarus_spark.operators import dedup as D
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _force(D.simhash(docs))
+    return D.simhash(docs)
 
 
-def job_text_stats(spark, sf_dir: str) -> int:
+def job_text_stats(spark, sf_dir: str):
     from pandarus_spark.operators import textstats as T
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _force(T.text_stats(docs))
+    return T.text_stats(docs)
 
 
-def job_cosine_topk(spark, sf_dir: str) -> int:
+def job_cosine_topk(spark, sf_dir: str):
     from pandarus_spark.operators import similarity as S
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    return S.cosine_topk(emb, q, k=10).count()
+    return S.cosine_topk(emb, q, k=10)
 
 
-def job_round_raster(spark, sf_dir: str) -> int:
+def job_round_raster(spark, sf_dir: str):
     from pandarus_spark.operators.raster_transform import round_raster
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
         .select("l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("value"))
-    return _force(round_raster(li, sig_digits=3))
+    return round_raster(li, sig_digits=3)
 
 
-def job_knn(spark, sf_dir: str) -> int:
+def job_knn(spark, sf_dir: str):
     import pandarus_spark as ps
     from pandarus_spark.sources.pages import CELL_DEG, GRID_COLS, GRID_X0, GRID_Y0
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -128,7 +128,7 @@ def job_knn(spark, sf_dir: str) -> int:
         (F.lit(GRID_Y0) + (F.floor(F.col("doc_id") / GRID_COLS) + 0.75) * CELL_DEG).alias("qy"))
     # res 12 ≈ 0.09° cells vs 0.05° features: ~couple dozen candidates
     # per query from the ring join instead of a near-cross-join
-    return ps.knn_nearest_feature(q, base, k=3, res=12, ring=1).count()
+    return ps.knn_nearest_feature(q, base, k=3, res=12, ring=1)
 
 
 def _cpu_steal():
@@ -232,6 +232,131 @@ def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, i
     tile_rows = ps.cover_features(base, res=8, max_cells=64).count()
     mark("tiles", t)
     return inter_rows, tile_rows
+
+
+def zipf_corpus(spark, n: int, tokens_per_doc: int = 50,
+                vocab: int = 50_000, partitions: int = 64):
+    """Zipf-skewed synthetic corpus, pure Catalyst (no Python row path):
+    token rank for (doc, pos) is floor(10^6 / (u+1)) with u a uniform
+    64-bit hash residue — P(rank >= r) = 1/r, so token t1 lands in
+    ~half of all documents (a true stopword: its posting list is ~n/2
+    rows), t2 in ~17%, with a long 1/r^2 tail, capped at ``vocab``.
+    This is the adversarial doc_freq profile the verdict's skew leg
+    asks for (r4 verdict #7)."""
+    rank = F.least(
+        F.floor(F.lit(1_000_000) /
+                (F.pmod(F.xxhash64(F.col("id"), F.col("i")), F.lit(1_000_000))
+                 + 1)).cast("long") + 1,
+        F.lit(vocab))
+    toks = F.transform(F.sequence(F.lit(1), F.lit(tokens_per_doc)),
+                       lambda i: F.concat(F.lit("t"), F.least(
+                           F.floor(F.lit(1_000_000) /
+                                   (F.pmod(F.xxhash64(F.col("id"), i),
+                                           F.lit(1_000_000)) + 1))
+                           .cast("long") + 1, F.lit(vocab))))
+    _ = rank
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(toks, " ").alias("text"))
+
+
+def _max_stage_id(spark) -> int:
+    """Highest completed stage id so far (scopes _task_skew to the
+    stages a specific timed section submits)."""
+    import urllib.request
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return -1
+    app = spark.sparkContext.applicationId
+    try:
+        stages = json.loads(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages", timeout=10).read())
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:
+        return -1
+
+
+def _task_skew(spark, stage_min_tasks: int = 8, after_stage: int = -1,
+               min_median_ms: float = 200.0):
+    """Reducer balance evidence from the Spark UI REST API: for every
+    completed stage with >= stage_min_tasks tasks submitted AFTER
+    ``after_stage``, the max/median task DURATION ratio (taskSummary
+    quantiles).  Stages whose median is under ``min_median_ms`` are
+    skipped — at sub-100ms task sizes the ratio measures scheduling
+    jitter, not data skew.  Returns the worst stage's (ratio, max_ms,
+    median_ms, stage_id, n_tasks) — the number the skew legs pin
+    (<= 2x median means no reducer drags the wave).  None when the UI
+    is disabled or no stage qualifies."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        stages = json.loads(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10).read())
+    except Exception:
+        return None
+    worst = None
+    for st in stages:
+        if st.get("numCompleteTasks", 0) < stage_min_tasks:
+            continue
+        if st["stageId"] <= after_stage:
+            continue
+        sid, att = st["stageId"], st["attemptId"]
+        try:
+            q = json.loads(urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{sid}/{att}/"
+                f"taskSummary?quantiles=0.0,0.5,1.0", timeout=10).read())
+        except Exception:
+            continue
+        dur = q.get("duration") or []
+        if len(dur) != 3 or dur[1] < min_median_ms:
+            continue
+        ratio = dur[2] / dur[1]
+        if worst is None or ratio > worst[0]:
+            worst = (round(ratio, 2), dur[2], dur[1], sid,
+                     st["numCompleteTasks"])
+    return worst
+
+
+def job_postings_skew(spark, n: int, tokens_per_doc: int = 50) -> dict:
+    """r4 verdict #7: the postings build against a Zipf corpus whose
+    top token IS a stopword (posting list ~n/2 docs).  Times the salted
+    two-stage top-k (production shape) vs n_salts=1 (single window per
+    token — the shape that dies on stopwords), and pins reducer balance
+    via the max/median task-duration ratio across the salted run's
+    shuffle stages."""
+    from pandarus_spark.operators import textstats as T
+
+    docs = zipf_corpus(spark, n, tokens_per_doc)
+    docs = docs.persist()
+    docs.count()
+    # untimed warmup: codegen for the window/agg classes on a slice
+    _force(T.postings_sample(docs.limit(2000), p=3, n_salts=8))
+
+    mark = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    _force(T.postings_sample(docs, p=3, n_salts=8))
+    t_salted = time.perf_counter() - t0
+    skew = _task_skew(spark, after_stage=mark)
+
+    t0 = time.perf_counter()
+    _force(T.postings_sample(docs, p=3, n_salts=1))
+    t_unsalted = time.perf_counter() - t0
+
+    out = {"docs": n, "tokens": n * tokens_per_doc,
+           "salted_sec": round(t_salted, 3),
+           "unsalted_sec": round(t_unsalted, 3),
+           "salted_speedup": round(t_unsalted / t_salted, 2)}
+    if skew:
+        out.update({"max_over_median_task": skew[0],
+                    "max_task_ms": skew[1], "median_task_ms": skew[2],
+                    "skew_stage_id": skew[3], "skew_stage_tasks": skew[4]})
+    docs.unpersist()
+    return out
 
 
 def job_zonal_scale(spark, n_features: int, raster_side: int = 2000) -> dict:
@@ -862,9 +987,14 @@ def main() -> None:
                              "zonal_scale", "dedup_scale", "refine_shapes",
                              "curation_scale", "asof_scale",
                              "decontam_scale", "temporal_skew",
-                             "pipeline4_scale", "pipeline4c_scale"])
+                             "pipeline4_scale", "pipeline4c_scale",
+                             "postings_skew"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
+    ap.add_argument("--force", default="noop", choices=["noop", "count"],
+                    help="headline materialization: noop write (default; "
+                         "computes every column) or count (pre-round-5 "
+                         "behavior, kept for cross-round comparison)")
     ap.add_argument("--runs", type=int, default=3,
                     help="timed full passes over the headline suite; the "
                          "per-query MIN across passes is reported (steady-"
@@ -1049,6 +1179,18 @@ def main() -> None:
         spark.stop()
         return
 
+    if args.job == "postings_skew":
+        res = job_postings_skew(spark, args.n)
+        emit({
+            "metric": "postings_zipf_skew",
+            "value": res["salted_sec"], "unit": "sec",
+            "queries": {"postings_salted": res["salted_sec"],
+                        "postings_unsalted": res["unsalted_sec"]},
+            "sf": args.n, "cpus": cpus, **res,
+        })
+        spark.stop()
+        return
+
     if args.job == "overlay_skew":
         res = job_overlay_skew(spark, args.n, args.n_cluster)
         emit({
@@ -1091,14 +1233,26 @@ def main() -> None:
     # 4-6x inside one — one straggling core drags every barrier.  Two
     # consecutive runs share the window; two passes minutes apart
     # usually don't, so the per-query min recovers steady state.
+    # Headline forcing is a noop WRITE (r4 verdict #3): a bare count()
+    # lets Catalyst prune benchmarked columns for narrow plans, which
+    # understates materialization cost (the interval-join salting win
+    # was invisible under count() for exactly this reason, BASELINE.md).
+    # --force count reproduces the pre-round-5 numbers; the measured
+    # count-vs-noop delta is recorded in BASELINE.md "round-5 re-anchor".
+    forcer = _force if args.force == "noop" else (lambda df: df.count())
     st0 = _cpu_steal()
     for _ in range(max(1, args.runs)):
         for name, fn in HEADLINE.items():
             t0 = time.perf_counter()
-            rows[name] = fn(spark, sf_dir)
+            forcer(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             times[name] = dt if name not in times else min(times[name], dt)
     st1 = _cpu_steal()
+    # rows pass (UNTIMED): the driver JSON reports per-query row counts
+    # and the core-throughput denominator needs them; counting after the
+    # timed passes keeps pruning shortcuts out of the timings
+    for name, fn in HEADLINE.items():
+        rows[name] = fn(spark, sf_dir).count()
     steal_pct = (round(100.0 * (st1[1] - st0[1]) / max(1, st1[0] - st0[0]), 2)
                  if st0 and st1 else None)
 
