@@ -411,3 +411,25 @@ def test_quantize_int8_plan_map_only(spark):
     plan = plan_of(quantize_int8(emb))
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "Python" not in plan
+
+
+def test_dup_span_intervals_plan_shape(spark):
+    """Maximal-span merge stays on remove_dup_spans' scale shape: the
+    checkpointed positional ids feed ONE shuffle Exchange (the
+    partial-aggregated groupBy(shingle) duplicate decision — map-side
+    combine collapses hot boilerplate shingles); the dup join-back and
+    the word-count clamp join broadcast at fixture scale; the
+    neighbour-merge itself is row-local HOFs — no Python anywhere, no
+    extra shuffle for the merge (r4 verdict #6's 'one extra
+    partition-local pass' requirement, verified in the physical
+    plan)."""
+    from pandarus_spark.operators.dedup import dup_span_intervals
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" a b c d e f g h i")).alias("text"))
+    plan = plan_of(dup_span_intervals(docs, k=5))
+    # "- Exchange" (shuffle) vs "- BroadcastExchange": exactly one
+    # data shuffle; doc-keyed agg + joins coalesce/broadcast here
+    assert plan.count("- Exchange") == 1, plan
+    assert "InPandas" not in plan and "Python" not in plan
