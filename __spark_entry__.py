@@ -780,6 +780,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-p (exact, salt-count-invariant) + doc frequency
         return T.postings_sample(_docs(spark, sf_dir), p=3, n_salts=8)
 
+    def q_postings_hot_docs(spark, sf_dir):
+        # hot-only salting (r5, verdict #7): tokens whose sampled
+        # doc_freq clears the threshold split across salts, the long
+        # tail keeps one salt (stage-1 survivor budget stays p) —
+        # same oracle as postings_docs because salting is
+        # selection-invariant by construction
+        return T.postings_sample(_docs(spark, sf_dir), p=3, n_salts=8,
+                                 salt_threshold=20, sample_mod=5)
+
     def q_lm_dataset_docs(spark, sf_dir):
         # the composed end-to-end training-data prep pipeline in ONE
         # Catalyst plan: Gopher quality filter (map-side predicate,
@@ -1028,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "pages_table_roundtrip": q_pages_table_roundtrip,
+        "postings_hot_docs": q_postings_hot_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1656,6 +1666,7 @@ FROM documents WHERE doc_id < 200""",
         "pack_sequences_docs": C.pack_sequences_sql(128, 8),
         "gopher_quality_docs": T.gopher_rules_sql(),
         "postings_docs": T.postings_sample_sql(3),
+        "postings_hot_docs": T.postings_sample_sql(3),
         # composed pipeline oracle: prepend the filter+dedup CTEs to the
         # packing SQL (same lockstep kernels end to end)
         "lm_dataset_docs": C.pack_sequences_sql(64, 4, source="dd").replace(

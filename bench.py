@@ -234,27 +234,25 @@ def job_overlay_scale(spark, n: int, phases: dict | None = None) -> tuple[int, i
     return inter_rows, tile_rows
 
 
-def zipf_corpus(spark, n: int, tokens_per_doc: int = 50,
-                vocab: int = 50_000, partitions: int = 64):
-    """Zipf-skewed synthetic corpus, pure Catalyst (no Python row path):
-    token rank for (doc, pos) is floor(10^6 / (u+1)) with u a uniform
-    64-bit hash residue — P(rank >= r) = 1/r, so token t1 lands in
-    ~half of all documents (a true stopword: its posting list is ~n/2
-    rows), t2 in ~17%, with a long 1/r^2 tail, capped at ``vocab``.
-    This is the adversarial doc_freq profile the verdict's skew leg
-    asks for (r4 verdict #7)."""
-    rank = F.least(
-        F.floor(F.lit(1_000_000) /
-                (F.pmod(F.xxhash64(F.col("id"), F.col("i")), F.lit(1_000_000))
-                 + 1)).cast("long") + 1,
-        F.lit(vocab))
-    toks = F.transform(F.sequence(F.lit(1), F.lit(tokens_per_doc)),
-                       lambda i: F.concat(F.lit("t"), F.least(
-                           F.floor(F.lit(1_000_000) /
-                                   (F.pmod(F.xxhash64(F.col("id"), i),
-                                           F.lit(1_000_000)) + 1))
-                           .cast("long") + 1, F.lit(vocab))))
-    _ = rank
+def zipf_corpus(spark, n: int, tokens_per_doc: int = 20,
+                vocab: int = 500_000, partitions: int = 64):
+    """Stopword-skewed synthetic corpus, pure Catalyst (no Python row
+    path): each token slot is the stopword ``t1`` with probability 1/2,
+    else uniform over a ``vocab``-sized tail — the degenerate head of a
+    Zipf law isolated into ONE key.  Every document contains t1, so its
+    posting list is the whole corpus (n rows) while a tail token's is
+    ~n·tokens/vocab — the exact adversarial doc_freq profile the r4
+    verdict's skew leg asks for ("a 10^8-doc stopword"): under a
+    single token-keyed window, ONE reducer owns n rows; the salted
+    two-stage top-k splits it n_salts ways.  (A 1/r Zipf head was
+    tried first and self-balances: ranks 1-15 are all corpus-wide and
+    hash to DIFFERENT reducers — many hot keys even out; the single
+    dominant key is the shape that actually breaks a reducer.)"""
+    def slot(i):
+        u = F.pmod(F.xxhash64(F.col("id"), i), F.lit(2 * vocab))
+        return F.when(u < vocab, F.lit("t1")).otherwise(
+            F.concat(F.lit("t"), (u - vocab + 2).cast("string")))
+    toks = F.transform(F.sequence(F.lit(1), F.lit(tokens_per_doc)), slot)
     return spark.range(0, n, 1, partitions).select(
         F.col("id").alias("doc_id"),
         F.array_join(toks, " ").alias("text"))
@@ -277,7 +275,7 @@ def _max_stage_id(spark) -> int:
 
 
 def _task_skew(spark, stage_min_tasks: int = 8, after_stage: int = -1,
-               min_median_ms: float = 200.0):
+               min_median_ms: float = 200.0, reduce_only: bool = False):
     """Reducer balance evidence from the Spark UI REST API: for every
     completed stage with >= stage_min_tasks tasks submitted AFTER
     ``after_stage``, the max/median task DURATION ratio (taskSummary
@@ -305,6 +303,8 @@ def _task_skew(spark, stage_min_tasks: int = 8, after_stage: int = -1,
             continue
         if st["stageId"] <= after_stage:
             continue
+        if reduce_only and not st.get("shuffleReadBytes", 0):
+            continue  # map stages: task jitter, not key skew
         sid, att = st["stageId"], st["attemptId"]
         try:
             q = json.loads(urllib.request.urlopen(
@@ -322,39 +322,73 @@ def _task_skew(spark, stage_min_tasks: int = 8, after_stage: int = -1,
     return worst
 
 
-def job_postings_skew(spark, n: int, tokens_per_doc: int = 50) -> dict:
-    """r4 verdict #7: the postings build against a Zipf corpus whose
-    top token IS a stopword (posting list ~n/2 docs).  Times the salted
-    two-stage top-k (production shape) vs n_salts=1 (single window per
-    token — the shape that dies on stopwords), and pins reducer balance
-    via the max/median task-duration ratio across the salted run's
-    shuffle stages."""
+def job_postings_skew(spark, n: int, tokens_per_doc: int = 20,
+                      n_salts: int = 32) -> dict:
+    """r4 verdict #7: the postings build against a corpus whose top
+    token IS a corpus-wide stopword (posting list = n rows).  Times
+    the salted two-stage top-k vs n_salts=1 (single window per token)
+    and pins reducer balance via the max/median task-duration ratio
+    over each run's stages.
+
+    The timed section runs with AQE partition COALESCING DISABLED —
+    deliberately.  On local[8], parallelismFirst coalescing packs the
+    reduce side into ~one wave of fat tasks, and a 10^5-row stopword
+    list is then SMALLER than a healthy task's share (measured: the
+    hot key vanishes into the average and salting reads as pure
+    overhead).  At cluster width the opposite holds: 1000 executors ×
+    narrow tasks make the hot key many multiples of a healthy share —
+    which is what the verdict's "10^8-doc stopword" scenario means.
+    Keeping reducers at initialPartitionNum width is the sandbox
+    analogue of that regime.  ``n_salts`` is sized to the regime the
+    same way production would: n_salts >= hot_rows / healthy_task_rows
+    so the hot key's slices melt into the median."""
     from pandarus_spark.operators import textstats as T
 
     docs = zipf_corpus(spark, n, tokens_per_doc)
     docs = docs.persist()
     docs.count()
     # untimed warmup: codegen for the window/agg classes on a slice
-    _force(T.postings_sample(docs.limit(2000), p=3, n_salts=8))
+    _force(T.postings_sample(docs.limit(2000), p=3, n_salts=n_salts))
 
-    mark = _max_stage_id(spark)
-    t0 = time.perf_counter()
-    _force(T.postings_sample(docs, p=3, n_salts=8))
-    t_salted = time.perf_counter() - t0
-    skew = _task_skew(spark, after_stage=mark)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    width_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(coalesce_key, "true")
+    prev_w = spark.conf.get(width_key)
+    # 256 NARROW reducers, no coalescing: the 1000-executor analogue
+    # (healthy task share << hot key's posting list) — at local[8]'s
+    # native 8 fat reducers a 2M-row stopword is UNDER the 2.75M-row
+    # average share and nothing skews (measured; see BASELINE.md)
+    spark.conf.set(coalesce_key, "false")
+    spark.conf.set(width_key, "256")
+    def leg(label, **kw):
+        mark = _max_stage_id(spark)
+        t0 = time.perf_counter()
+        _force(T.postings_sample(docs, p=3, **kw))
+        dt = round(time.perf_counter() - t0, 3)
+        sk = _task_skew(spark, after_stage=mark, min_median_ms=40.0,
+                        reduce_only=True)
+        o = {f"{label}_sec": dt}
+        if sk:
+            o.update({f"{label}_max_over_median_task": sk[0],
+                      f"{label}_max_task_ms": sk[1],
+                      f"{label}_median_task_ms": sk[2]})
+        return dt, o
 
-    t0 = time.perf_counter()
-    _force(T.postings_sample(docs, p=3, n_salts=1))
-    t_unsalted = time.perf_counter() - t0
-
-    out = {"docs": n, "tokens": n * tokens_per_doc,
-           "salted_sec": round(t_salted, 3),
-           "unsalted_sec": round(t_unsalted, 3),
-           "salted_speedup": round(t_unsalted / t_salted, 2)}
-    if skew:
-        out.update({"max_over_median_task": skew[0],
-                    "max_task_ms": skew[1], "median_task_ms": skew[2],
-                    "skew_stage_id": skew[3], "skew_stage_tasks": skew[4]})
+    out = {"docs": n, "tokens": n * tokens_per_doc, "n_salts": n_salts}
+    try:
+        t_un, o = leg("unsalted", n_salts=1)
+        out.update(o)
+        t_uni, o = leg("uniform_salted", n_salts=n_salts)
+        out.update(o)
+        # hot-only: threshold at 4x the healthy per-reducer share
+        thresh = max(1000, (n * tokens_per_doc) // 64)
+        t_hot, o = leg("hot_salted", n_salts=n_salts,
+                       salt_threshold=thresh)
+        out.update(o)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+        spark.conf.set(width_key, prev_w)
+    out["hot_over_unsalted_speedup"] = round(t_un / t_hot, 2)
     docs.unpersist()
     return out
 
@@ -1183,8 +1217,9 @@ def main() -> None:
         res = job_postings_skew(spark, args.n)
         emit({
             "metric": "postings_zipf_skew",
-            "value": res["salted_sec"], "unit": "sec",
-            "queries": {"postings_salted": res["salted_sec"],
+            "value": res["hot_salted_sec"], "unit": "sec",
+            "queries": {"postings_hot_salted": res["hot_salted_sec"],
+                        "postings_uniform_salted": res["uniform_salted_sec"],
                         "postings_unsalted": res["unsalted_sec"]},
             "sf": args.n, "cpus": cpus, **res,
         })

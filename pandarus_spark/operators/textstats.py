@@ -468,7 +468,9 @@ FROM m"""
 
 
 def postings_sample(docs: DataFrame, p: int = 3, n_salts: int = 8,
-                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                    text_col: str = "text", id_col: str = "doc_id",
+                    salt_threshold: int | None = None,
+                    sample_mod: int = 100) -> DataFrame:
     """Inverted-index build: per token, the document frequency plus a
     deterministic postings sample — the ``p`` smallest doc ids that
     contain the token, rendered as a comma-joined string (graft
@@ -492,6 +494,15 @@ def postings_sample(docs: DataFrame, p: int = 3, n_salts: int = 8,
     total (the exploded pairs table is never scanned or shuffled a
     second time, and there is no join).  Integer/string ops only —
     engine-exact.
+
+    ``salt_threshold`` switches to HOT-ONLY salting: only tokens whose
+    doc_freq, estimated on a deterministic 1/``sample_mod`` document
+    sample, reaches the threshold are salted; the long tail keeps one
+    salt so its stage-1 survivor budget stays ``p`` (uniform salting
+    costs the tail p·n_salts survivors — measured blow-up in
+    BASELINE.md).  Results are identical in every mode (salting is
+    selection-invariant); adds one broadcast probe on the exploded
+    table plus one narrow sample aggregation.
     """
     from pyspark.sql import Window
 
@@ -503,6 +514,33 @@ def postings_sample(docs: DataFrame, p: int = 3, n_salts: int = 8,
     # the salt never reaches the output (result is salt-count-invariant),
     # so any deterministic hash does — xxhash64, not the md5 lanes
     salt = F.pmod(F.xxhash64(F.col("did")), F.lit(n_salts))
+    if salt_threshold is not None:
+        # HOT-ONLY salting (r4 verdict #7, measured in BASELINE.md
+        # "round-5 postings skew"): uniform salting multiplies the
+        # stage-1 survivor budget of EVERY token by n_salts (a cold
+        # token's p rows become up to p·n_salts), so on a long-tailed
+        # vocabulary the salted intermediate approaches the full
+        # exploded table (285 MB vs 24 MB measured at 40M tokens) —
+        # the tail pays for the head's disease.  Instead, estimate
+        # doc_freq on a deterministic 1/sample_mod document sample
+        # (hash-gated, no RNG), broadcast the tokens whose estimated
+        # df clears salt_threshold, and salt ONLY those: cold tokens
+        # keep one salt (stage-1 keeps p rows), hot tokens split
+        # n_salts ways.  The result is UNCHANGED for every token —
+        # selection is salt-invariant by construction (pinned by
+        # test) — only the partitioning moves; a borderline token the
+        # sample misses costs balance, never correctness.
+        hot = (docs.filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                  F.lit(sample_mod)) == 0)
+                   .select(F.explode(F.array_distinct(
+                       words(F.col(text_col)))).alias("token"))
+                   .groupBy("token")
+                   .agg((F.count("*") * sample_mod).alias("_est"))
+                   .filter(F.col("_est") >= salt_threshold)
+                   .select("token", F.lit(True).alias("__hot")))
+        td = td.join(F.broadcast(hot), "token", "left")
+        salt = F.when(F.col("__hot").isNotNull(), salt) \
+                .otherwise(F.lit(0).cast("long"))
     w1 = Window.partitionBy("token", "salt").orderBy("did")
     wc = Window.partitionBy("token", "salt")
     s1 = (td.withColumn("salt", salt)

@@ -164,6 +164,15 @@ def test_postings_sample_salt_invariant_and_exact(spark):
     b = sorted(tuple(r) for r in T.postings_sample(docs, p=3, n_salts=2).collect())
     c = sorted(tuple(r) for r in T.postings_sample(docs, p=3, n_salts=1).collect())
     assert a == b == c  # n_salts=1 IS the unsalted single-window plan
+    # hot-only salting (r5): any threshold/sample choice, same result —
+    # salting is selection-invariant, only the partitioning moves
+    d = sorted(tuple(r) for r in
+               T.postings_sample(docs, p=3, n_salts=8, salt_threshold=5,
+                                 sample_mod=3).collect())
+    e = sorted(tuple(r) for r in
+               T.postings_sample(docs, p=3, n_salts=16,
+                                 salt_threshold=10_000).collect())
+    assert a == d == e
 
 
 def test_postings_sample_duckdb_parity(spark):
