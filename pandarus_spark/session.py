@@ -9,6 +9,76 @@ import os
 from pyspark.sql import SparkSession
 
 
+def engine_sql_confs(cluster: bool, shuffle_partitions: int) -> dict:
+    """The engine's recommended runtime configuration, as a dict.
+
+    Every key is a ``spark.sql.*`` conf (runtime-settable), so a
+    spark-submit driver that did NOT create its session through
+    :func:`build_session` can still adopt the tuned plan shape after
+    ``getOrCreate()`` — see :func:`apply_engine_confs`.  The rationale
+    for each value lives in the :func:`build_session` comments; the two
+    functions share this dict so they can never drift."""
+    confs = {
+        # dim-sized tables (feature covers, label maps) should broadcast;
+        # local broadcasts are in-process references (free) -> generous 1g,
+        # cluster executors pay a network copy -> 64m
+        "spark.sql.autoBroadcastJoinThreshold":
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD",
+                           "64m" if cluster else "1g"),
+        # shuffled-HASH over sort-merge when the build side fits: the
+        # overlay's geometry join-backs skip sorting the candidate
+        # stream twice (83 s -> 62 s at 3.2M pages/side)
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # big exploded-token shuffles spill at one wave: start at 8 waves
+        # and let AQE coalesce back (postings 103.9 -> 34.6 s)
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS",
+                           str(shuffle_partitions * 8)),
+        "spark.sql.session.timeZone":
+            os.environ.get("SPARK_GRAFT_TIMEZONE", "UTC"),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }
+    if cluster:
+        # 64MB advisory reduce partitions are sized for JVM per-byte
+        # costs; Arrow/pandas refine stages cost several x more per
+        # byte, so cluster reduce stages need smaller partitions
+        # (overlay intersect phase 54.3 -> 20.4 s, BASELINE.md round-5
+        # standalone sweep).  Local mode never hits this: its feature
+        # tables broadcast, so the refine stays map-side.
+        confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = \
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m")
+    return confs
+
+
+def apply_engine_confs(spark: SparkSession,
+                       shuffle_partitions: int | None = None) -> dict:
+    """Set the engine's runtime confs on an EXISTING session.
+
+    For spark-submit drivers (``tools/submit_overlay_job.py``): the
+    master, executor sizing, and ``--py-files`` distribution belong to
+    the spark-submit command line, but the engine's plan-shape confs
+    (broadcast threshold, AQE widening, Arrow batching, the cluster
+    advisory-partition fix) are runtime-settable and should not depend
+    on which factory built the session.  Shuffle width defaults to the
+    cluster's ``defaultParallelism`` (total granted cores), matching
+    :func:`build_session`'s cores-derived default.  Returns the dict it
+    applied."""
+    cluster = spark.sparkContext.master.startswith("spark://")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                           spark.sparkContext.defaultParallelism))
+    confs = engine_sql_confs(cluster, shuffle_partitions)
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return confs
+
+
 def build_session(app: str = "pandarus-spark", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -52,51 +122,14 @@ def build_session(app: str = "pandarus-spark", master: str | None = None,
                    .config("spark.cores.max", str(ncpu))
                    .config("spark.executorEnv.PYTHONPATH",
                            os.environ.get("SPARK_GRAFT_PYTHONPATH", os.getcwd())))
-    return (
-        builder
-        # dim-sized tables (feature covers, label maps) should broadcast:
-        # the 10MB default forces sort-merge exchanges for tables that fit
-        # executor memory easily.  In local mode a broadcast is an
-        # in-process reference (no copy at all), so the threshold can be
-        # GENEROUS — 1g keeps multi-million-row cached feature tables on
-        # the broadcast plan the round-1 bench measured (3.2M/side ≈
-        # 480 MB: broadcast 77 s vs shuffled 132 s under identical load).
-        # On a real cluster each executor pays a network copy, so 64m.
-        .config("spark.sql.autoBroadcastJoinThreshold",
-                os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD",
-                               "64m" if cluster else "1g"))
-        # prefer shuffled-HASH joins over sort-merge when the planner's
-        # per-partition build-side bound allows: the overlay's geometry
-        # join-backs past the broadcast threshold then skip sorting the
-        # multi-10M-row candidate stream twice (measured 83 s → 62 s on
-        # the 3.2M-pages-per-side overlay, identical rows). AQE still
-        # re-plans and splits skewed partitions either way.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        # AQE: runtime re-plan, skew-join splitting, partition coalescing
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # big text shuffles (83M exploded token rows at 3.2M docs on 8
-        # cores) SPILL when the one-wave partition count is also the
-        # sort width: measured 103.9 s -> 34.6 s (postings) and 271.5 s
-        # -> 77.4 s (span removal) just by widening to 8 waves.  Let
-        # AQE own the tradeoff instead of the static knob: shuffles
-        # START at 8 waves and coalesce back toward one wave when
-        # partitions are small (parallelismFirst keeps reduce-side
-        # parallelism >= default parallelism for medium jobs, so the
-        # headline suite is unchanged — pinned-8 A/B in BASELINE.md)
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS",
-                               str(shuffle_partitions * 8)))
-        # one time basis everywhere: Arrow renders timestamps as naive
-        # wall times in this zone, and the stateful streaming operators
-        # convert them back to epoch through it — UTC makes that exact
-        # and keeps outputs byte-stable across differently-zoned hosts
-        .config("spark.sql.session.timeZone",
-                os.environ.get("SPARK_GRAFT_TIMEZONE", "UTC"))
-        # Arrow for every pandas UDF exchange
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .getOrCreate()
-    )
+    # Plan-shape confs (broadcast threshold: generous 1g local since a
+    # broadcast is an in-process reference, 64m on clusters where each
+    # executor pays a network copy; shuffled-hash over sort-merge for
+    # the overlay join-backs, 83 s -> 62 s; AQE with 8-wave initial
+    # shuffle width so big exploded-token shuffles don't spill at one
+    # wave, postings 103.9 -> 34.6 s; UTC so Arrow timestamp round-trips
+    # are byte-stable across hosts) — shared with spark-submit drivers
+    # via engine_sql_confs/apply_engine_confs.
+    for k, v in engine_sql_confs(cluster, shuffle_partitions).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -79,3 +79,24 @@ def test_pages_table_roundtrip_gate_without_iceberg(spark):
     assert all(r["lang"] == "en" for r in rows)
     assert {r["url"] for r in rows} == {
         f"https://example.test/base/{d}" for d in range(200)}
+
+
+def test_apply_engine_confs_matches_build_session(spark):
+    """The spark-submit path (bare getOrCreate + apply_engine_confs)
+    must land the same runtime plan-shape confs build_session sets, so
+    the packaged job and the library sessions plan identically."""
+    from pandarus_spark.session import apply_engine_confs, engine_sql_confs
+
+    applied = apply_engine_confs(spark, shuffle_partitions=16)
+    assert applied == engine_sql_confs(False, 16)
+    for k, v in applied.items():
+        assert spark.conf.get(k) == v
+    # local master: the cluster-only advisory override must NOT apply
+    assert "spark.sql.adaptive.advisoryPartitionSizeInBytes" not in applied
+    # cluster flavor carries the Arrow-refine advisory fix + 64m broadcast
+    cl = engine_sql_confs(True, 8)
+    assert cl["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "16m"
+    assert cl["spark.sql.autoBroadcastJoinThreshold"] == "64m"
+    assert cl["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] == "64"
+    # restore the conftest session's width (conftest.py pins 4)
+    apply_engine_confs(spark, shuffle_partitions=4)

@@ -43,9 +43,16 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from pandarus_spark.plans.checkpoint import CheckpointLedger, intersect_partitioned
+    from pandarus_spark.session import apply_engine_confs
     from pandarus_spark.sources.pages import extract_features, read_pages_table
 
+    # master / executor sizing / --py-files belong to the spark-submit
+    # command line; the engine's runtime plan-shape confs (broadcast
+    # threshold, AQE widening, cluster advisory-partition size, Arrow
+    # batching) are applied here so the packaged job runs the same
+    # physical plans as build_session sessions.
     spark = SparkSession.builder.appName("pandarus-overlay").getOrCreate()
+    apply_engine_confs(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     pages = read_pages_table(spark, args.pages)
