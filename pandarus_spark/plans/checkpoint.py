@@ -91,9 +91,22 @@ def intersect_partitioned(spark, pages, features2, ledger: CheckpointLedger,
         feats = extract_features(subset, validate_unique=False)
         out = intersect(feats, features2, **intersect_kwargs)
         if out_dir:
-            out.drop("geom_wkb").write.mode("overwrite").parquet(
+            # Collect the lineage metrics DURING the write pass via an
+            # Observation instead of a second agg job: the overlay's
+            # Arrow-refine stage is the expensive part of the plan, and
+            # a separate .agg() recomputes it end to end (measured 2x
+            # the whole job at 800k pages/side on a standalone cluster,
+            # BASELINE.md round-5 sweep).
+            from pyspark.sql import Observation
+            obs = Observation(f"lineage_{part}")
+            out.observe(obs, F.count(F.lit(1)).alias("rows"),
+                        F.sum("measure").alias("sum_measure")) \
+               .drop("geom_wkb").write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"{partition_col}={part}"))
-        agg = out.agg(F.count("*").alias("rows"), F.sum("measure").alias("sum_measure")).collect()[0]
+            agg = obs.get
+        else:
+            agg = out.agg(F.count("*").alias("rows"),
+                          F.sum("measure").alias("sum_measure")).collect()[0]
         return {"rows": int(agg["rows"]),
                 "sum_measure": float(agg["sum_measure"]) if agg["sum_measure"] is not None else 0.0,
                 "input_rows": subset.count()}

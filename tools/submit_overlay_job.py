@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 
 
 def main() -> None:
@@ -71,10 +72,18 @@ def main() -> None:
             f"|{args.out}".encode()).hexdigest()[:16]
 
     ledger = CheckpointLedger(args.ledger)
+    # Engine wall: session/JVM/zip-distribution spin-up excluded — on a
+    # real cluster that fixed cost amortizes over hours of partitions,
+    # so scaling numbers should not charge it to the parallel phase.
+    # The externally timed total wall is still what `time spark-submit`
+    # reports; both are recorded in BASELINE.md sweeps.
+    t0 = time.monotonic()
     metrics = intersect_partitioned(
         spark, pages, second, ledger, dataset_id=args.dataset_id,
         partition_col=args.partition_col, out_dir=args.out)
+    wall = time.monotonic() - t0
     print(json.dumps({"dataset_id": args.dataset_id,
+                      "engine_wall_s": round(wall, 2),
                       "partitions": metrics}, sort_keys=True))
     spark.stop()
 
