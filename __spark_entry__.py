@@ -1006,8 +1006,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "decontam_docs": q_decontam_docs,
-        "dup_clusters_docs": q_dup_clusters_docs,
+        # new this round (hot-only postings salting) -> must sit inside
+        # the driver's first-50 proof window; dup_clusters_docs (driver
+        # green r3+r4) moves past 50 to make room.
+        "postings_hot_docs": q_postings_hot_docs,
         # ---- position 51+: two rounds of driver evidence, unchanged
+        "dup_clusters_docs": q_dup_clusters_docs,
         "clean_raster_range": q_clean_raster_range,
         "intersect_outside_grid": q_intersect_outside_grid,
         "intersect_lines_grid": q_intersect_lines_grid,
@@ -1037,7 +1041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "pages_table_roundtrip": q_pages_table_roundtrip,
-        "postings_hot_docs": q_postings_hot_docs,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -1027,8 +1027,12 @@ def main() -> None:
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--force", default="noop", choices=["noop", "count"],
                     help="headline materialization: noop write (default; "
-                         "computes every column) or count (pre-round-5 "
-                         "behavior, kept for cross-round comparison)")
+                         "computes every column) or count. count "
+                         "approximates the pre-round-5 mix for cross-round "
+                         "comparison, but is NOT exact: simhash/text_stats/"
+                         "round_raster were already noop-forced pre-r5, so "
+                         "under count they read LOWER than any old round "
+                         "(column pruning) — compare those three via noop")
     ap.add_argument("--runs", type=int, default=3,
                     help="timed full passes over the headline suite; the "
                          "per-query MIN across passes is reported (steady-"

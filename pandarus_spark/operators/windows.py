@@ -28,7 +28,9 @@ def _epoch_seconds(df: DataFrame, col_name: str):
     microseconds and flip gap/boundary decisions for sub-microsecond
     differences (r4 advice; interval_join's docstring calls this out)."""
     t = df.schema[col_name].dataType.typeName()
-    if t.startswith("timestamp") or t == "date":
+    if t.startswith("timestamp") or t == "date" or t == "string":
+        # string columns hold ISO-8601 text: a direct double cast would
+        # NULL every row, so they must parse through timestamp too.
         return F.col(col_name).cast("timestamp").cast("double")
     return F.col(col_name).cast("double")
 

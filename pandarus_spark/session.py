@@ -99,21 +99,11 @@ def build_session(app: str = "pandarus-spark", master: str | None = None,
         .config("spark.driver.maxResultSize", "4g"))
     if cluster:
         builder = (builder
-                   # AQE's size-based coalescing targets 64MB reduce
-                   # partitions — sized for JVM-only stages.  The
-                   # engine's refine stages run Arrow/pandas kernels
-                   # whose per-byte cost is several times higher, and
-                   # on a real cluster the overlay's 646MB candidate
-                   # shuffle coalesced to 12 tasks: 1.5 ragged waves on
-                   # 8 cores, intersect phase 54.3 s.  16MB advisory →
-                   # ~40 tasks → 20.4 s (measured, BASELINE.md round-5
-                   # standalone sweep; whole job 77.7 → 42.6 s).  Local
-                   # mode keeps the stock advisory: its feature tables
-                   # broadcast (1g threshold), so the refine stays
-                   # map-side at scan width and never hits this.
-                   .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                           os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION",
-                                          "16m"))
+                   # cluster-only deploy-time sizing; the cluster
+                   # advisory-partition fix for Arrow-refine stages
+                   # (54.3 -> 20.4 s, BASELINE.md round-5 sweep) lives
+                   # in engine_sql_confs so the spark-submit path gets
+                   # the identical value — not duplicated here.
                    .config("spark.executor.cores",
                            os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
                    .config("spark.executor.memory",

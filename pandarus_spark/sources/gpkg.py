@@ -76,17 +76,24 @@ def _maybe_decompress_bz2(path: str) -> tuple[str, str | None]:
     compresses its JSON sinks, ``utils/io.py:22-35``; sqlite can't be
     opened through a stream, so the payload is inflated to a temp file
     first).  Returns (openable_path, temp_path_to_remove_or_None)."""
-    if not path.endswith(".bz2"):
+    # case-insensitive, matching read_vector's lowercased dispatch
+    if not path.lower().endswith(".bz2"):
         return path, None
     import bz2
     import tempfile
     fd, tmp = tempfile.mkstemp(suffix=".gpkg")
-    with os.fdopen(fd, "wb") as out, bz2.open(path, "rb") as src:
-        while True:
-            chunk = src.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
+    try:
+        with os.fdopen(fd, "wb") as out, bz2.open(path, "rb") as src:
+            while True:
+                chunk = src.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+    except BaseException:
+        # a truncated/corrupt archive must not leave a full-size temp
+        # file behind (the caller's cleanup only runs after open succeeds)
+        os.unlink(tmp)
+        raise
     return tmp, tmp
 
 
@@ -251,8 +258,14 @@ def _finish_bz2(path: str, final: str) -> str:
     if final == path:
         return path
     import bz2
+    # chunked, like the read path: a multi-GB sink must not be staged
+    # as one driver-side bytes object
     with open(path, "rb") as src, bz2.open(final, "wb") as out:
-        out.write(src.read())
+        while True:
+            chunk = src.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
     os.remove(path)
     return final
 

@@ -199,12 +199,19 @@ def test_gpkg_bz2_compress_roundtrip(spark, tmp_path):
     comp = write_features_gpkg(feats, str(tmp_path / "grid_c.gpkg"),
                                compress=True)
     assert comp.endswith(".gpkg.bz2")
-    assert comp[:2] != plain  # compressed artifact actually bz2
+    # compressed artifact actually bz2 (and differs from the plain file)
     assert open(comp, "rb").read(3) == b"BZh"
+    assert open(plain, "rb").read(3) != b"BZh"
+    # uppercase suffix must inflate too (read_vector lowercases before
+    # dispatch; the decompressor must agree)
+    import shutil
+    upper = str(tmp_path / "GRID_C.GPKG.BZ2")
+    shutil.copy(comp, upper)
+    d = sorted(tuple(r) for r in read_vector(spark, upper).collect())
     a = sorted(tuple(r) for r in read_gpkg(spark, plain).collect())
     b = sorted(tuple(r) for r in read_gpkg(spark, comp).collect())
     c = sorted(tuple(r) for r in read_vector(spark, comp).collect())
-    assert a == b == c
+    assert a == b == c == d
 
     # intersections sink symmetry
     square = extract_features(pages_df(spark, "square"))

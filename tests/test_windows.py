@@ -350,3 +350,16 @@ def test_session_numeric_ts_submicrosecond_exact(spark):
     for r in session_rows(ev, gap_seconds=1800.0).collect():
         sr.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(sr[1]) == [1, 1] and sr[2] == [2]
+
+
+def test_sessionize_string_ts_parses_not_nulls(spark):
+    """ISO-8601 string ts columns must go through the timestamp parse:
+    a direct double cast NULLs every row and silently makes every
+    event its own session (round-5 review regression)."""
+    from pandarus_spark.operators.windows import session_rows
+    ev = _events(spark).withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    out = {r["user_id"]: (r["n_events"], r["n_sessions"])
+           for r in sessionize(ev, gap_seconds=1800.0).collect()}
+    assert out == {1: (3, 2), 2: (3, 1)}
+    assert session_rows(ev, gap_seconds=1800.0).count() == 3
