@@ -484,3 +484,156 @@ SELECT doc_id, shard, CAST(seq AS BIGINT) AS seq,
        CAST(least(off + n_tokens, (seq + 1) * {seq_len})
             - greatest(off, seq * {seq_len}) AS BIGINT) AS n_fill
 FROM sl"""
+
+# ---------------------------------------------------------------------------
+# Corpus mixing: power-weighted source allocation + exact deterministic draw
+# ---------------------------------------------------------------------------
+
+
+def mix_allocation(docs: DataFrame, n_total: int, alpha: int = 2,
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-mixture allocation across sources — the "sampling
+    temperature" recipe (p_s proportional to count^alpha) every
+    multi-source LM dataset card documents, made INTEGER-EXACT so two
+    engines can never disagree (graft addition).
+
+    Largest-remainder method: base_s = (n*w_s) div W, the
+    ``n - sum(base)`` leftovers go to the largest remainders
+    ``(n*w_s) mod W`` (ties to the lexicographically first source),
+    and each allocation is capped at the source's own count (the cap
+    can make the total undershoot ``n_total`` — emitted as-is rather
+    than papering over with a float renormalization).  ``alpha`` is an
+    integer power (alpha=2 sharpens toward big sources; 1 = exact
+    proportionality); intermediates are int64, so alpha=2 needs
+    per-source counts < 3e9 and ``n_total * w_s`` < 2^63 — beyond
+    that, move the arithmetic to DECIMAL(38,0)/HUGEINT (both engines
+    support it; the formula is unchanged).
+
+    Output: (source, n_docs, weight, alloc).  Plan: ONE partial-agg
+    shuffle to the source-level table, then window arithmetic over
+    |sources| rows — nothing else moves."""
+    from pyspark.sql import Window
+
+    if alpha < 1:
+        raise ValueError("alpha must be a positive integer")
+    counts = docs.groupBy(F.col(source_col).alias("source")) \
+                 .agg(F.count("*").alias("n_docs"))
+    w = F.col("n_docs")
+    for _ in range(alpha - 1):
+        w = w * F.col("n_docs")
+    t = counts.withColumn("weight", w.cast("long"))
+    every = Window.partitionBy()
+    rem_rank = Window.partitionBy().orderBy(
+        F.desc("rem"), F.asc("source"))
+    t = (t.withColumn("W", F.sum("weight").over(every))
+          .withColumn("base", F.expr(f"({n_total} * weight) DIV W"))
+          .withColumn("rem", F.expr(f"({n_total} * weight) % W"))
+          .withColumn("extras", F.lit(n_total) - F.sum("base").over(every))
+          .withColumn("rr", F.row_number().over(rem_rank)))
+    return (t.select("source", "n_docs", "weight",
+                     F.least(F.col("base")
+                             + (F.col("rr") <= F.col("extras")).cast("long"),
+                             F.col("n_docs")).alias("alloc")))
+
+
+def mix_allocation_sql(n_total: int, alpha: int = 2,
+                       source: str = "documents",
+                       source_col: str = "source") -> str:
+    """DuckDB rendering of :func:`mix_allocation`."""
+    w = " * ".join(["n_docs"] * alpha)
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, count(*) AS n_docs
+  FROM {source} GROUP BY {source_col}),
+t AS (
+  SELECT source, n_docs, CAST({w} AS BIGINT) AS weight FROM counts),
+a AS (
+  SELECT source, n_docs, weight,
+         ({n_total} * weight) // sum(weight) OVER () AS base,
+         ({n_total} * weight) % sum(weight) OVER () AS rem
+  FROM t),
+b AS (
+  SELECT source, n_docs, weight, base,
+         {n_total} - sum(base) OVER () AS extras,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+  FROM a)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, weight,
+       CAST(least(base + CASE WHEN rr <= extras THEN 1 ELSE 0 END,
+                  n_docs) AS BIGINT) AS alloc
+FROM b"""
+
+
+def mix_select(docs: DataFrame, n_total: int, alpha: int = 2,
+               source_col: str = "source", id_col: str = "doc_id",
+               salt: str = "mix", n_buckets: int = 1024) -> DataFrame:
+    """Draw the :func:`mix_allocation` quota from each source — the
+    alloc_s documents with the SMALLEST md5-rank (deterministic
+    "random" — same draw on every run, engine, partitioning).
+
+    The scale problem is exact per-source k-smallest selection when
+    both the source and its quota are billions of rows: a rank window
+    per source sorts an entire source in one task.  Histogram
+    selection instead: bucket the 60-bit hash space into ``n_buckets``
+    ORDER-ALIGNED slices (bucket = h div 2^60/B), build the tiny
+    per-(source, bucket) histogram (one partial-agg shuffle, |S|xB
+    rows), find each source's boundary bucket by running-sum, then
+    keep every row below the boundary outright and rank ONLY inside
+    the boundary bucket (~1/B of the source, and B scales freely) for
+    the exact top-up.  Selection is identical to the naive rank by
+    construction: both compute the alloc_s smallest (h, id) pairs.
+    Two scans of the narrow (source, h, id) projection; the text
+    never moves.
+
+    Output: (doc_id, source)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 60 - n_buckets.bit_length() + 1
+    alloc = mix_allocation(docs, n_total, alpha, source_col, id_col) \
+        .select("source", "alloc")
+    keyed = docs.select(
+        F.col(source_col).alias("source"), F.col(id_col),
+        hash60(F.concat(F.lit(salt), F.lit(":"),
+                        F.col(id_col).cast("string"))).alias("h"))
+    keyed = keyed.withColumn("bucket", F.shiftright(F.col("h"), shift))
+    hist = keyed.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    cum = Window.partitionBy("source").orderBy("bucket") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist = (hist.join(F.broadcast(alloc), "source")
+                .withColumn("cum", F.sum("c").over(cum))
+                .withColumn("below", F.col("cum") - F.col("c")))
+    # boundary bucket: the first whose running count reaches the quota
+    bound = (hist.filter((F.col("cum") >= F.col("alloc"))
+                         & (F.col("below") < F.col("alloc")))
+                 .select("source", F.col("bucket").alias("b_star"),
+                         "below", "alloc"))
+    keyed = keyed.join(F.broadcast(bound), "source", "left")
+    full = keyed.filter(F.col("b_star").isNotNull()
+                        & (F.col("bucket") < F.col("b_star")))
+    w = Window.partitionBy("source").orderBy("h", id_col)
+    edge = (keyed.filter(F.col("bucket") == F.col("b_star"))
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= F.col("alloc") - F.col("below")))
+    return (full.select(id_col, "source")
+                .unionByName(edge.select(id_col, "source")))
+
+
+def mix_select_sql(n_total: int, alpha: int = 2, source: str = "documents",
+                   source_col: str = "source", id_expr: str = "doc_id",
+                   salt: str = "mix") -> str:
+    """DuckDB rendering of :func:`mix_select` via the naive per-source
+    rank — result-identical to the histogram plan by construction."""
+    h = hash60_sql(f"'{salt}:' || CAST({id_expr} AS VARCHAR)")
+    alloc = mix_allocation_sql(n_total, alpha, source, source_col)
+    return f"""
+WITH alloc AS ({alloc}),
+r AS (
+  SELECT {id_expr} AS doc_id, {source_col} AS source,
+         row_number() OVER (PARTITION BY {source_col}
+                            ORDER BY {h}, {id_expr}) AS rn
+  FROM {source})
+SELECT r.doc_id, r.source
+FROM r JOIN alloc ON r.source = alloc.source
+WHERE r.rn <= alloc.alloc"""

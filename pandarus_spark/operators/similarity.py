@@ -733,3 +733,107 @@ FROM (SELECT query_id, neighbor_id, cos,
                                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM exact)
 WHERE rank <= {k}"""
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(embeddings: DataFrame, n_clusters: int = 8,
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    mark near-duplicates WITHIN each cluster — semantic dedup at a cost
+    of within-cluster pairs instead of all-pairs (graft addition; no
+    reference counterpart — pandarus has no embedding layer).
+
+    Output: one row per vector — (vec_id, cluster BIGINT, is_dup
+    BOOLEAN, dup_of BIGINT) — where ``is_dup`` means a lower-id vector
+    in the same cluster has cosine >= ``threshold`` and ``dup_of`` is
+    the smallest such id (NULL for keepers).  Keeping the lowest id per
+    duplicate group is the deterministic stand-in for the paper's
+    random-keeper choice.
+
+    ``centroids`` defaults to the vectors with the ``n_clusters``
+    smallest ids — a deterministic seed codebook that the DuckDB twin
+    can reproduce relationally (production swaps in
+    :func:`train_ivf_centroids`; assignment/semantics are identical).
+    Assignment is argmax cosine with ties to the smallest centroid id,
+    computed as a single ``max_by`` partial aggregation: the map side
+    collapses the |C| candidate scores of each vector before the ONE
+    vector-keyed shuffle, so the shuffle moves N rows, never N x |C|
+    (and at production |C| the map-side scoring swaps to the IVF
+    pandas-UDF assigner with zero semantic change).  The within-cluster
+    pass shuffles ids+vectors once on the cluster key; cluster count
+    grows with N (SemDeDup uses sqrt-ish k), so bucket sizes stay
+    bounded — the same never-all-pairs contract as the LSH/SRP dedup
+    family.  Cosines are the fold-ordered ``dot`` everywhere — the
+    exact expression the DuckDB oracle mirrors (bit-identical)."""
+    e = embeddings.select(F.col(id_col).alias("vid"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("nv", norm(F.col("v")))
+    if centroids is None:
+        cents = (e.orderBy("vid").limit(n_clusters)
+                  .select(F.col("vid").alias("cid"), F.col("v").alias("cv"),
+                          F.col("nv").alias("ncv")))
+    else:
+        cents = (centroids.select(F.col(id_col).alias("cid"),
+                                  _as_double(F.col(vec_col)).alias("cv"))
+                          .withColumn("ncv", norm(F.col("cv"))))
+    scored = (e.crossJoin(F.broadcast(cents))
+               .select("vid", "v", "nv", "cid",
+                       _cos_prenorm(F.col("v"), F.col("cv"),
+                                    F.col("nv"), F.col("ncv")).alias("cos")))
+    # argmax(cos) tie-broken to the SMALLEST cid: max_by over the
+    # lexicographic struct (cos, -cid) — partial-aggregable, one shuffle
+    assign = (scored.groupBy("vid")
+              .agg(F.max_by(F.struct(F.col("v"), F.col("nv"), F.col("cid")),
+                            F.struct(F.col("cos"), (-F.col("cid")).alias("nc")))
+                    .alias("best"))
+              .select("vid", F.col("best.v").alias("v"),
+                      F.col("best.nv").alias("nv"),
+                      F.col("best.cid").alias("cluster")))
+    lhs = assign.select("cluster", F.col("vid").alias("a"),
+                        F.col("v").alias("va"), F.col("nv").alias("na"))
+    rhs = assign.select("cluster", F.col("vid").alias("b"),
+                        F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    dup = (lhs.join(rhs, "cluster")
+              .filter(F.col("a") > F.col("b"))
+              .filter(_cos_prenorm(F.col("va"), F.col("vb"),
+                                   F.col("na"), F.col("nb"))
+                      >= F.lit(threshold))
+              .groupBy("a").agg(F.min("b").alias("dup_of")))
+    return (assign.join(dup, assign["vid"] == dup["a"], "left")
+            .select(F.col("vid").alias(id_col), "cluster",
+                    F.col("dup_of").isNotNull().alias("is_dup"), "dup_of"))
+
+
+def semantic_dedup_sql(n_clusters: int = 8, threshold: float = 0.9,
+                       source: str = "embeddings", id_expr: str = "vec_id",
+                       vec_expr: str = "embedding") -> str:
+    """DuckDB rendering of :func:`semantic_dedup` with the default
+    smallest-id seed codebook (assignment via window rank — plan
+    differs, selected rows identical by construction)."""
+    cos = ("list_dot_product({a}, {b}) / GREATEST(sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})), 1e-24)")
+    return f"""
+WITH e AS (SELECT {id_expr} AS vid, CAST({vec_expr} AS DOUBLE[]) AS v
+           FROM {source}),
+c AS (SELECT vid AS cid, v AS cv FROM e ORDER BY vid LIMIT {n_clusters}),
+s AS (SELECT e.vid, e.v, c.cid,
+             {cos.format(a='e.v', b='c.cv')} AS cos
+      FROM e, c),
+a AS (SELECT vid, v, cid,
+             row_number() OVER (PARTITION BY vid
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM s),
+asg AS (SELECT vid, v, cid AS cluster FROM a WHERE rn = 1),
+dup AS (
+  SELECT x.vid AS a, min(y.vid) AS dup_of
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vid > y.vid
+  WHERE {cos.format(a='x.v', b='y.v')} >= {threshold}
+  GROUP BY x.vid)
+SELECT asg.vid AS {id_expr}, CAST(cluster AS BIGINT) AS cluster,
+       (dup.a IS NOT NULL) AS is_dup, dup.dup_of
+FROM asg LEFT JOIN dup ON asg.vid = dup.a"""

@@ -43,15 +43,16 @@ def engine_sql_confs(cluster: bool, shuffle_partitions: int) -> dict:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     }
-    if cluster:
-        # 64MB advisory reduce partitions are sized for JVM per-byte
-        # costs; Arrow/pandas refine stages cost several x more per
-        # byte, so cluster reduce stages need smaller partitions
-        # (overlay intersect phase 54.3 -> 20.4 s, BASELINE.md round-5
-        # standalone sweep).  Local mode never hits this: its feature
-        # tables broadcast, so the refine stays map-side.
-        confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = \
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m")
+    # 64MB advisory reduce partitions are sized for JVM per-byte
+    # costs; Arrow/pandas refine stages cost several x more per
+    # byte, so reduce stages feeding them need smaller partitions
+    # (overlay intersect phase 54.3 -> 20.4 s, BASELINE.md round-5
+    # standalone sweep).  Local mode usually broadcasts its feature
+    # tables (refine stays map-side), but keeps the same knob for
+    # broadcast-disabled runs and beyond-threshold inputs.
+    default_advisory = "16m" if cluster else "64m"
+    confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = \
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", default_advisory)
     return confs
 
 

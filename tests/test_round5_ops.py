@@ -1,0 +1,228 @@
+"""Round-5 training-pipeline operators: DSIR importance weights,
+Gopher repetition stats, corpus mixing, SemDeDup.
+
+Value parity with the DuckDB twins is gated end-to-end by
+tools/check_oracles.py (gates dsir_weights_docs,
+repetition_stats_docs, mix_allocation_docs, mix_select_docs,
+semantic_dedup_embeddings); these tests pin the semantics on hand
+fixtures and the edge cases the sf tables don't exercise.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pandarus_spark.operators import curation as C
+from pandarus_spark.operators import similarity as S
+from pandarus_spark.operators import textstats as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_target_likeness_orders_weights(spark):
+    # target talks about cats; a cat-doc must outweigh a dog-doc
+    rows = [(0, "cat cat feline cat", "tgt"),
+            (1, "cat feline cat cat", "tgt"),
+            (2, "dog dog canine dog", "raw"),
+            (3, "cat feline cat dog", "raw")]
+    out = T.dsir_weights(_docs(spark, rows), F.col("source") == "tgt",
+                         n_buckets=32).collect()
+    w = {r.doc_id: r.dsir_micro for r in out}
+    assert len(w) == 4
+    assert w[3] > w[2]          # more cat-like => more target-like
+    assert w[0] > w[2]
+    assert all(r.n_tokens == 4 for r in out)
+
+
+def test_dsir_empty_target_is_uniform_smoothing(spark):
+    # no doc matches the predicate: target dist is pure add-one
+    # smoothing; weights still computed, no error, exact vs DuckDB
+    rows = [(0, "a b", "x"), (1, "a a", "x")]
+    out = (T.dsir_weights(_docs(spark, rows), F.lit(False), n_buckets=8)
+           .orderBy("doc_id").collect())
+    assert [r.n_tokens for r in out] == [2, 2]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(0, 'a b', 'x'), (1, 'a a', 'x')) t(doc_id, text, source)")
+    orows = con.execute(T.dsir_weights_sql("FALSE", n_buckets=8)
+                        + " ORDER BY doc_id").fetchall()
+    assert [(r.doc_id, r.n_tokens, r.dsir_micro) for r in out] == orows
+
+
+def test_dsir_single_bucket_weights_are_zero(spark):
+    # one bucket: target and raw distributions are both the point mass,
+    # so ln p_t(b) - ln p_r(b) = 0 for every token
+    rows = [(0, "x y z", "t"), (1, "w w w w", "r")]
+    out = T.dsir_weights(_docs(spark, rows), F.col("source") == "t",
+                         n_buckets=1).collect()
+    assert all(r.dsir_micro == 0 for r in out)
+
+
+def test_dsir_rejects_bad_buckets(spark):
+    with pytest.raises(ValueError):
+        T.dsir_weights(_docs(spark, [(0, "a", "s")]), F.lit(True), n_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_line_counts_by_hand(spark):
+    text = "aa bb\ncc dd\naa bb\naa bb"      # 'aa bb' x3, 'cc dd' x1
+    out = T.repetition_stats(_docs(spark, [(0, text, "s")])).collect()[0]
+    assert out.n_lines == 4
+    assert out.dup_lines == 2                 # two beyond-first occurrences
+    assert out.dup_line_chars == 2 * len("aa bb")
+    assert out.total_chars == len(text)
+
+
+def test_repetition_top_gram_by_hand(spark):
+    # words() is the suite's space split (newlines stay inside tokens),
+    # so the gram fixture is single-line
+    out = T.repetition_stats(
+        _docs(spark, [(0, "aa bb cc aa bb dd aa bb", "s")])).collect()[0]
+    assert out.top_2gram == "aa bb"
+    assert out.top_2gram_count == 3
+
+
+def test_repetition_no_newline_single_line(spark):
+    out = T.repetition_stats(_docs(spark, [(0, "x y x y x", "s")])).collect()[0]
+    assert out.n_lines == 1 and out.dup_lines == 0 and out.dup_line_chars == 0
+    assert out.top_2gram == "x y" and out.top_2gram_count == 2
+
+
+def test_repetition_short_and_empty_docs(spark):
+    # clamped shingling: a 1-word doc yields one truncated gram; an
+    # empty text tokenizes to [''] and still emits a row
+    out = {r.doc_id: r for r in
+           T.repetition_stats(_docs(spark, [(0, "solo", "s"),
+                                            (1, "", "s")])).collect()}
+    assert out[0].top_2gram == "solo" and out[0].top_2gram_count == 1
+    assert out[1].n_lines == 1 and out[1].total_chars == 0
+    assert out[1].top_2gram == "" and out[1].top_2gram_count == 1
+
+
+def test_repetition_tie_breaks_to_smallest_gram(spark):
+    out = T.repetition_stats(_docs(spark, [(0, "b a b a", "s")])).collect()[0]
+    # grams: 'b a' x2, 'a b' x1 -> no tie; now force one:
+    out2 = T.repetition_stats(_docs(spark, [(0, "b a b", "s")])).collect()[0]
+    # grams: 'b a' x1, 'a b' x1 -> lexicographically smallest wins
+    assert out.top_2gram == "b a" and out.top_2gram_count == 2
+    assert out2.top_2gram == "a b" and out2.top_2gram_count == 1
+
+
+# ---------------------------------------------------------------------------
+# mix_allocation / mix_select
+# ---------------------------------------------------------------------------
+
+def _mix_docs(spark, counts):
+    rows = []
+    i = 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((i, f"doc {i}", src))
+            i += 1
+    return _docs(spark, rows)
+
+
+def test_mix_allocation_largest_remainder_by_hand(spark):
+    # counts 3 / 1, alpha=2: weights 9 / 1, W=10, n=5:
+    # base = 4 / 0, rem = 5 / 5 (tie -> source 'a' first), extras = 1
+    docs = _mix_docs(spark, {"a": 3, "b": 1})
+    out = {r.source: r for r in C.mix_allocation(docs, 5, alpha=2).collect()}
+    assert out["a"].weight == 9 and out["b"].weight == 1
+    # a: base 4 + extra 1 = 5, capped at n_docs 3; b: base 0
+    assert out["a"].alloc == 3 and out["b"].alloc == 0
+
+
+def test_mix_allocation_alpha1_proportional(spark):
+    docs = _mix_docs(spark, {"a": 6, "b": 2})
+    out = {r.source: r.alloc for r in
+           C.mix_allocation(docs, 4, alpha=1).collect()}
+    assert out == {"a": 3, "b": 1}
+
+
+def test_mix_allocation_rejects_bad_alpha(spark):
+    with pytest.raises(ValueError):
+        C.mix_allocation(_mix_docs(spark, {"a": 1}), 1, alpha=0)
+
+
+def test_mix_select_equals_naive_rank_and_bucket_invariant(spark):
+    import hashlib
+
+    docs = _mix_docs(spark, {"a": 40, "b": 25, "c": 5})
+    sel64 = sorted((r.doc_id, r.source) for r in
+                   C.mix_select(docs, 30, alpha=2, n_buckets=64).collect())
+    sel256 = sorted((r.doc_id, r.source) for r in
+                    C.mix_select(docs, 30, alpha=2, n_buckets=256).collect())
+    assert sel64 == sel256                     # histogram width is invisible
+    # python reference: alloc per source, then k-smallest md5 ranks
+    alloc = {r.source: r.alloc for r in
+             C.mix_allocation(docs, 30, alpha=2).collect()}
+    assert sum(alloc.values()) == len(sel64)
+    rows = docs.select("doc_id", "source").collect()
+    def h(doc_id):
+        return int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:15], 16)
+    ref = []
+    for src in alloc:
+        members = sorted(((h(r.doc_id), r.doc_id) for r in rows
+                          if r.source == src))
+        ref += [(d, src) for _, d in members[:alloc[src]]]
+    assert sel64 == sorted(ref)
+
+
+def test_mix_select_rejects_non_power_of_two(spark):
+    with pytest.raises(ValueError):
+        C.mix_select(_mix_docs(spark, {"a": 2}), 1, n_buckets=100)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_marks_within_cluster_duplicates(spark):
+    # two tight groups on orthogonal axes; ids 0/1 are the seed
+    # centroids for n_clusters=2
+    vecs = [[1.0, 0.0], [0.0, 1.0],
+            [0.9, 0.01], [0.91, 0.008],      # near-dups of each other & 0
+            [0.01, 0.8]]                     # near-dup of 1
+    out = {r.vec_id: r for r in
+           S.semantic_dedup(_emb_df(spark, vecs), n_clusters=2,
+                            threshold=0.95).collect()}
+    assert len(out) == 5                      # one row per vector
+    assert out[0].cluster == 0 and out[1].cluster == 1
+    assert out[2].cluster == 0 and out[4].cluster == 1
+    assert not out[0].is_dup and out[0].dup_of is None
+    assert out[2].is_dup and out[2].dup_of == 0   # smallest qualifying id
+    assert out[3].is_dup and out[3].dup_of == 0
+    assert out[4].is_dup and out[4].dup_of == 1
+
+
+def test_semdedup_threshold_1_requires_parallel_vectors(spark):
+    vecs = [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0], [0.6, 0.1]]
+    out = {r.vec_id: r for r in
+           S.semantic_dedup(_emb_df(spark, vecs), n_clusters=2,
+                            threshold=1.0).collect()}
+    assert out[2].is_dup and out[2].dup_of == 0   # scaled copy: cos == 1
+    assert not out[3].is_dup
+
+
+def test_semdedup_explicit_centroids(spark):
+    vecs = [[0.5, 0.5], [0.9, 0.1], [0.1, 0.9]]
+    cents = _emb_df(spark, [[1.0, 0.0], [0.0, 1.0]])
+    out = {r.vec_id: r.cluster for r in
+           S.semantic_dedup(_emb_df(spark, vecs), threshold=0.99,
+                            centroids=cents).collect()}
+    # 0 ties both centroids at cos=0.7071.. -> smallest centroid id (0)
+    assert out[0] == 0 and out[1] == 0 and out[2] == 1
