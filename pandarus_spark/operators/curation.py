@@ -513,12 +513,20 @@ def mix_allocation(docs: DataFrame, n_total: int, alpha: int = 2,
     Output: (source, n_docs, weight, alloc).  Plan: ONE partial-agg
     shuffle to the source-level table, then window arithmetic over
     |sources| rows — nothing else moves."""
-    from pyspark.sql import Window
-
     if alpha < 1:
         raise ValueError("alpha must be a positive integer")
     counts = docs.groupBy(F.col(source_col).alias("source")) \
                  .agg(F.count("*").alias("n_docs"))
+    return _allocation_from_counts(counts, n_total, alpha)
+
+
+def _allocation_from_counts(counts: DataFrame, n_total: int,
+                            alpha: int) -> DataFrame:
+    """Largest-remainder arithmetic over a (source, n_docs) table —
+    shared by :func:`mix_allocation` and :func:`mix_select` so the
+    selection path can derive the quota from ITS OWN single scan."""
+    from pyspark.sql import Window
+
     w = F.col("n_docs")
     for _ in range(alpha - 1):
         w = w * F.col("n_docs")
@@ -582,23 +590,31 @@ def mix_select(docs: DataFrame, n_total: int, alpha: int = 2,
     the boundary bucket (~1/B of the source, and B scales freely) for
     the exact top-up.  Selection is identical to the naive rank by
     construction: both compute the alloc_s smallest (h, id) pairs.
-    Two scans of the narrow (source, h, id) projection; the text
-    never moves.
+    ONE scan of the narrow (source, h, id) projection, which is
+    ``localCheckpoint``ed (it feeds the histogram and both filter
+    branches — pruning defeats exchange reuse); the quota itself
+    derives from the histogram, so the corpus is never re-read.  The
+    text never moves.
 
     Output: (doc_id, source)."""
     from pyspark.sql import Window
 
+    if alpha < 1:
+        raise ValueError("alpha must be a positive integer")
     if n_buckets < 1 or (n_buckets & (n_buckets - 1)):
         raise ValueError("n_buckets must be a power of two")
     shift = 60 - n_buckets.bit_length() + 1
-    alloc = mix_allocation(docs, n_total, alpha, source_col, id_col) \
-        .select("source", "alloc")
     keyed = docs.select(
         F.col(source_col).alias("source"), F.col(id_col),
         hash60(F.concat(F.lit(salt), F.lit(":"),
                         F.col(id_col).cast("string"))).alias("h"))
-    keyed = keyed.withColumn("bucket", F.shiftright(F.col("h"), shift))
-    hist = keyed.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    keyed = (keyed.withColumn("bucket", F.shiftright(F.col("h"), shift))
+                  .localCheckpoint(eager=False))
+    hist = (keyed.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+                 .localCheckpoint(eager=False))
+    counts = hist.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    alloc = _allocation_from_counts(counts, n_total, alpha) \
+        .select("source", "alloc")
     cum = Window.partitionBy("source").orderBy("bucket") \
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist = (hist.join(F.broadcast(alloc), "source")

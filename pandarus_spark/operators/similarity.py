@@ -786,14 +786,19 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 8,
                        _cos_prenorm(F.col("v"), F.col("cv"),
                                     F.col("nv"), F.col("ncv")).alias("cos")))
     # argmax(cos) tie-broken to the SMALLEST cid: max_by over the
-    # lexicographic struct (cos, -cid) — partial-aggregable, one shuffle
+    # lexicographic struct (cos, -cid) — partial-aggregable, one shuffle.
+    # The assignment feeds three consumers (both pair sides + the output
+    # join), so it is localCheckpointed once: pruning makes the subtrees
+    # non-identical, defeating exchange reuse — without it the scoring
+    # crossJoin recomputes per consumer (the dup_span_stats pattern).
     assign = (scored.groupBy("vid")
               .agg(F.max_by(F.struct(F.col("v"), F.col("nv"), F.col("cid")),
                             F.struct(F.col("cos"), (-F.col("cid")).alias("nc")))
                     .alias("best"))
               .select("vid", F.col("best.v").alias("v"),
                       F.col("best.nv").alias("nv"),
-                      F.col("best.cid").alias("cluster")))
+                      F.col("best.cid").alias("cluster"))
+              .localCheckpoint(eager=False))
     lhs = assign.select("cluster", F.col("vid").alias("a"),
                         F.col("v").alias("va"), F.col("nv").alias("na"))
     rhs = assign.select("cluster", F.col("vid").alias("b"),

@@ -612,7 +612,14 @@ def dsir_weights(docs: DataFrame, target_pred: Column, n_buckets: int = 64,
     table (bucket-keyed aggs over <= B rows per partition), the scored
     bucket table is <= B rows and broadcast back, and the final
     doc-keyed agg moves one row per (doc, distinct bucket) <= B.  The
-    corpus text itself is never shuffled."""
+    corpus text itself is never shuffled.  The (doc, bucket) table
+    feeds three consumers (raw dist, target dist, final scoring), so
+    it is ``localCheckpoint``ed once — column pruning makes the three
+    subtrees non-identical, which defeats Spark's exchange reuse and
+    would re-tokenize the corpus per consumer (the dup_span_stats
+    pattern, dedup.py).  Its storage is <= B integers per doc; where
+    even that exceeds budget, dropping the checkpoint stays correct
+    and recomputes."""
     from ..functions.detmath import det_ln_micro_col
     from .dedup import hash60, words
 
@@ -624,7 +631,8 @@ def dsir_weights(docs: DataFrame, target_pred: Column, n_buckets: int = 64,
     db = (toks.select(id_col, "__is_t",
                       F.pmod(hash60(F.col("token")), b).alias("bucket"))
               .groupBy(id_col, "__is_t", "bucket")
-              .agg(F.count("*").alias("k")))
+              .agg(F.count("*").alias("k"))
+              .localCheckpoint(eager=False))
     raw = db.groupBy("bucket").agg(F.sum("k").alias("cr"))
     tgt = (db.filter(F.col("__is_t")).groupBy("bucket")
              .agg(F.sum("k").alias("ct")))
