@@ -1010,6 +1010,51 @@ def job_temporal_skew(spark, n_uniform: int, n_cluster: int) -> dict:
     return out
 
 
+def job_round5_scale(spark, n: int) -> dict:
+    """Round-5 operator throughput at scale over the synthetic corpus
+    (+ a deterministic source column) and synthetic embeddings: DSIR
+    importance weights (one corpus shuffle + bucket-table broadcast),
+    Gopher repetition stats (two partial-agg shuffles + doc window),
+    corpus-mix selection (one narrow scan, histogram threshold), and
+    SemDeDup (map-side scoring + one vector shuffle + cluster-keyed
+    pairs).  Each phase forced with the noop write; inputs persist
+    before timing (same rules as decontam_scale)."""
+    from pandarus_spark.operators import curation as Cu
+    from pandarus_spark.operators import similarity as Si
+    from pandarus_spark.operators import textstats as Tx
+
+    docs = synthetic_corpus(spark, n).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 8).cast("string")))
+    docs.persist().count()
+    out: dict = {"docs": n}
+
+    t0 = time.perf_counter()
+    dw = Tx.dsir_weights(docs, F.col("source") == "src0", n_buckets=4096)
+    _force(dw)
+    out["dsir_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    rep = Tx.repetition_stats(docs)
+    _force(rep)
+    out["repetition_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    sel = Cu.mix_select(docs, n // 10, alpha=2, n_buckets=1024)
+    _force(sel)
+    out["mix_sec"] = round(time.perf_counter() - t0, 3)
+    out["mix_rows"] = sel.count()
+
+    emb = synthetic_embeddings(spark, n // 2)
+    emb.persist().count()
+    t0 = time.perf_counter()
+    sd = Si.semantic_dedup(emb, n_clusters=512, threshold=0.9)
+    _force(sd)
+    out["semdedup_sec"] = round(time.perf_counter() - t0, 3)
+    out["semdedup_dups"] = sd.filter("is_dup").count()
+    docs.unpersist(); emb.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -1022,7 +1067,7 @@ def main() -> None:
                              "curation_scale", "asof_scale",
                              "decontam_scale", "temporal_skew",
                              "pipeline4_scale", "pipeline4c_scale",
-                             "postings_skew"])
+                             "postings_skew", "round5_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--force", default="noop", choices=["noop", "count"],
@@ -1142,6 +1187,25 @@ def main() -> None:
             "gopher_kept": res["gopher_kept"],
             "postings_tokens": res["postings_tokens"],
             "docs_touched": res["docs_touched"],
+            "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "round5_scale":
+        res = job_round5_scale(spark, args.n)
+        total = (res["dsir_sec"] + res["repetition_sec"] + res["mix_sec"]
+                 + res["semdedup_sec"])
+        emit({
+            "metric": "round5_ops_scale",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"dsir_weights": res["dsir_sec"],
+                        "repetition_stats": res["repetition_sec"],
+                        "mix_select": res["mix_sec"],
+                        "semantic_dedup": res["semdedup_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "mix_rows": res["mix_rows"],
+            "semdedup_dups": res["semdedup_dups"],
             "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()

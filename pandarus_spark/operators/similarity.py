@@ -742,7 +742,8 @@ WHERE rank <= {k}"""
 def semantic_dedup(embeddings: DataFrame, n_clusters: int = 8,
                    threshold: float = 0.9, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   centroids: DataFrame | None = None) -> DataFrame:
+                   centroids: DataFrame | None = None,
+                   assign_strategy: str = "auto") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     mark near-duplicates WITHIN each cluster — semantic dedup at a cost
     of within-cluster pairs instead of all-pairs (graft addition; no
@@ -760,45 +761,85 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 8,
     can reproduce relationally (production swaps in
     :func:`train_ivf_centroids`; assignment/semantics are identical).
     Assignment is argmax cosine with ties to the smallest centroid id,
-    computed as a single ``max_by`` partial aggregation: the map side
-    collapses the |C| candidate scores of each vector before the ONE
-    vector-keyed shuffle, so the shuffle moves N rows, never N x |C|
-    (and at production |C| the map-side scoring swaps to the IVF
-    pandas-UDF assigner with zero semantic change).  The within-cluster
-    pass shuffles ids+vectors once on the cluster key; cluster count
-    grows with N (SemDeDup uses sqrt-ish k), so bucket sizes stay
-    bounded — the same never-all-pairs contract as the LSH/SRP dedup
-    family.  Cosines are the fold-ordered ``dot`` everywhere — the
-    exact expression the DuckDB oracle mirrors (bit-identical)."""
+    evaluated MAP-SIDE against the collected codebook as literal
+    expressions (the IVF ``_centroid_sims`` pattern): the codebook is
+    bounded by definition, so collecting it is the same contract as
+    training it, and assignment costs ZERO joins and ZERO shuffles —
+    an earlier crossJoin+max_by draft materialized N x |C| rows
+    carrying two vectors each.  Past ~64 centroids the literal plan
+    degrades (per-centroid literal-array folds stop constant-folding —
+    the IVF round-1 finding), so ``assign_strategy="auto"`` switches
+    to an Arrow-batched matmul against the broadcast codebook: one
+    BLAS call per batch, argmax ties to the smallest centroid id like
+    the literal path, but numpy summation order is not bit-pinned —
+    which is why the value gates stay at literal scale (pass
+    ``assign_strategy="literal"`` to force it).  The within-cluster pass
+    shuffles ids+vectors once on the cluster key; cluster count grows
+    with N (SemDeDup uses sqrt-ish k), so bucket sizes stay bounded —
+    the same never-all-pairs contract as the LSH/SRP dedup family.
+    Cosines are the fold-ordered ``dot`` everywhere — the exact
+    expression the DuckDB oracle mirrors (bit-identical)."""
     e = embeddings.select(F.col(id_col).alias("vid"),
                           _as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("nv", norm(F.col("v")))
     if centroids is None:
-        cents = (e.orderBy("vid").limit(n_clusters)
-                  .select(F.col("vid").alias("cid"), F.col("v").alias("cv"),
-                          F.col("nv").alias("ncv")))
+        cent_rows = (e.orderBy("vid").limit(n_clusters)
+                      .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+                      .collect())
     else:
-        cents = (centroids.select(F.col(id_col).alias("cid"),
-                                  _as_double(F.col(vec_col)).alias("cv"))
-                          .withColumn("ncv", norm(F.col("cv"))))
-    scored = (e.crossJoin(F.broadcast(cents))
-               .select("vid", "v", "nv", "cid",
-                       _cos_prenorm(F.col("v"), F.col("cv"),
-                                    F.col("nv"), F.col("ncv")).alias("cos")))
-    # argmax(cos) tie-broken to the SMALLEST cid: max_by over the
-    # lexicographic struct (cos, -cid) — partial-aggregable, one shuffle.
-    # The assignment feeds three consumers (both pair sides + the output
-    # join), so it is localCheckpointed once: pruning makes the subtrees
-    # non-identical, defeating exchange reuse — without it the scoring
-    # crossJoin recomputes per consumer (the dup_span_stats pattern).
-    assign = (scored.groupBy("vid")
-              .agg(F.max_by(F.struct(F.col("v"), F.col("nv"), F.col("cid")),
-                            F.struct(F.col("cos"), (-F.col("cid")).alias("nc")))
-                    .alias("best"))
-              .select("vid", F.col("best.v").alias("v"),
-                      F.col("best.nv").alias("nv"),
-                      F.col("best.cid").alias("cluster"))
-              .localCheckpoint(eager=False))
+        cent_rows = (centroids
+                     .select(F.col(id_col).alias("cid"),
+                             _as_double(F.col(vec_col)).alias("cv"))
+                     .orderBy("cid").collect())
+    if not cent_rows:
+        from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                       StructType)
+        id_type = embeddings.schema[id_col].dataType
+        return embeddings.sparkSession.createDataFrame([], StructType([
+            StructField(id_col, id_type), StructField("cluster", id_type),
+            StructField("is_dup", BooleanType()),
+            StructField("dup_of", id_type)]))
+    cid_arr = F.array(*[F.lit(r.cid) for r in cent_rows])
+    if assign_strategy not in ("auto", "literal", "udf"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
+    use_udf = (assign_strategy == "udf"
+               or (assign_strategy == "auto" and len(cent_rows) > 64))
+    if use_udf:
+        import numpy as np
+        import pandas as pd
+        C = np.array([r.cv for r in cent_rows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-24)
+        bc = embeddings.sparkSession.sparkContext.broadcast(
+            np.ascontiguousarray(Cn))
+
+        @F.pandas_udf("int")
+        def _assign_udf(v: pd.Series) -> pd.Series:
+            Cb = bc.value
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            # row norm never changes a per-row argmax; np.argmax takes
+            # the FIRST max = smallest centroid id (ascending cid order)
+            j = np.argmax(X @ Cb.T, axis=1)
+            return pd.Series(j.astype("int32"))
+
+        idx1 = (_assign_udf(F.col("v")) + F.lit(1)).alias("_i")
+    else:
+        # ascending cid order => the FIRST max in the sims array is the
+        # smallest qualifying centroid id (the tie-break contract)
+        cos_arr = F.array(*[
+            (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in r.cv]))
+             / F.greatest(F.col("nv")
+                          * norm(F.array(*[F.lit(float(x)) for x in r.cv])),
+                          F.lit(1e-24)))
+            for r in cent_rows])
+        idx1 = F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
+    # the assignment feeds three consumers (both pair sides + the
+    # output join); checkpoint so the scoring runs once (pruning
+    # defeats exchange reuse — the dup_span_stats pattern)
+    assign = (e.withColumn("cluster", F.element_at(cid_arr, idx1))
+               .select("vid", "v", "nv", "cluster")
+               .localCheckpoint(eager=False))
     lhs = assign.select("cluster", F.col("vid").alias("a"),
                         F.col("v").alias("va"), F.col("nv").alias("na"))
     rhs = assign.select("cluster", F.col("vid").alias("b"),
