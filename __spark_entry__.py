@@ -77,6 +77,10 @@ _MESSY_URL_SQL = (
     "|| (doc_id % 50) || '/?utm_source=feed&q=' || (doc_id % 10) "
     "|| '&gclid=g' || doc_id || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END")
 
+# multi-domain variant for the blocklist gate (35 registrable domains)
+_MESSY2_URL_SQL = ("'https://WWW.host' || (doc_id % 7) || '.tld' "
+                   "|| (doc_id % 5) || '/p/' || doc_id")
+
 
 def _pii_laced_col():
     return F.concat(
@@ -963,6 +967,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return C.mix_select(_docs(spark, sf_dir), 100, alpha=2,
                             n_buckets=64)
 
+    def q_spatial_clusters_points(spark, sf_dir):
+        # eps-connectivity clustering over the deterministic global
+        # point cloud (distance_join eps-graph -> connected components)
+        from pandarus_spark.operators.distance import spatial_clusters
+        return spatial_clusters(_points_from_docs(spark, sf_dir),
+                                _DIST_RADIUS_M)
+
+    def q_bigram_logprob_docs(spark, sf_dir):
+        # conditional perplexity proxy: add-one-smoothed bigram LM,
+        # integer micro-nat output (no float anywhere)
+        return T.bigram_logprob(_docs(spark, sf_dir))
+
+    def q_blocklist_filter_docs(spark, sf_dir):
+        # domain blocklist pass over a deterministic multi-domain URL
+        # column (35 distinct registrable domains; 3 blocked)
+        url = F.concat(F.lit("https://WWW.host"),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(".tld"), (F.col("doc_id") % 5).cast("string"),
+                       F.lit("/p/"), F.col("doc_id").cast("string"))
+        pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+        blocked = spark.createDataFrame(
+            [("host0.tld0",), ("host1.tld2",), ("host3.tld4",)],
+            "domain string")
+        return C.blocklist_filter(pages, blocked).select("doc_id", "domain")
+
     def q_semantic_dedup_embeddings(spark, sf_dir):
         # SemDeDup: smallest-id seed codebook, within-cluster cosine
         # near-dup marking (lowest-id keeper)
@@ -1076,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_allocation_docs": q_mix_allocation_docs,
         "mix_select_docs": q_mix_select_docs,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "bigram_logprob_docs": q_bigram_logprob_docs,
+        "blocklist_filter_docs": q_blocklist_filter_docs,
+        "spatial_clusters_points": q_spatial_clusters_points,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1726,6 +1758,23 @@ FROM documents WHERE doc_id < 200""",
         "mix_select_docs": C.mix_select_sql(100, alpha=2),
         "semantic_dedup_embeddings": S.semantic_dedup_sql(n_clusters=8,
                                                           threshold=0.4),
+        "bigram_logprob_docs": T.bigram_logprob_sql(),
+        # eps-graph pairs (brute haversine) -> recursive-CTE closure;
+        # same oracle machinery as dup_clusters_docs
+        "spatial_clusters_points": D.duplicate_clusters_sql(
+            f"SELECT a.pid AS doc_a, b.pid AS doc_b "
+            f"FROM {_PTS_SQL} a, {_PTS_SQL} b "
+            f"WHERE a.pid < b.pid AND "
+            + haversine_m_sql("a.lon", "a.lat", "b.lon", "b.lat")
+            + f" <= {_DIST_RADIUS_M!r}",
+            f"SELECT pid FROM {_PTS_SQL}",
+            id_col="pid"),
+        "blocklist_filter_docs": f"""
+WITH u AS (SELECT doc_id,
+                  {C.url_domain_sql(_MESSY2_URL_SQL)} AS domain
+           FROM documents)
+SELECT doc_id, domain FROM u
+WHERE domain NOT IN ('host0.tld0', 'host1.tld2', 'host3.tld4')""",
         # every queries() entry has a value oracle as of round 4 (the
         # formerly rows-only LSH/ANN gates gained lockstep banded SQL)
     }

@@ -87,7 +87,10 @@ def normalize_url_sql(u: str) -> str:
     query = f"regexp_extract({u}, '^[^#?]*\\?([^#]*)', 1)"
     kept = (f"list_sort(list_filter(string_split({query}, '&'), "
             f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')))")
-    qs = f"array_to_string({kept}, '&')"
+    # DuckDB array_to_string([]) is NULL, Spark array_join([]) is '' —
+    # without the coalesce every no-query URL (or one whose params are
+    # all trackers) normalizes to NULL in the oracle (r5 finding)
+    qs = f"coalesce(array_to_string({kept}, '&'), '')"
     norm = (f"{scheme} || '://' || {host} || {path} || "
             f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END")
     return f"CASE WHEN {scheme} = '' THEN lower(trim({u})) ELSE {norm} END"
@@ -653,3 +656,26 @@ r AS (
 SELECT r.doc_id, r.source
 FROM r JOIN alloc ON r.source = alloc.source
 WHERE r.rn <= alloc.alloc"""
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filter
+# ---------------------------------------------------------------------------
+
+
+def blocklist_filter(pages: DataFrame, blocked: DataFrame,
+                     url_col: str = "url",
+                     domain_col: str = "domain") -> DataFrame:
+    """Drop every page whose registrable domain appears in a blocklist
+    — the URL-level exclusion pass (spam/adult/SEO lists) every crawl
+    pipeline runs before content filters (graft addition).
+
+    Matching is EQUALITY on the registrable domain (``url_domain``
+    collapses subdomains to their last two labels, so ``a.b.spam.test``
+    blocks via ``spam.test`` — swap in a public-suffix broadcast table
+    for exact PSL semantics; the join shape is identical).  The
+    blocklist is list-sized → broadcast LEFT ANTI join: a narrow
+    map-side filter at 100 TB, the corpus never shuffles.  Rows keep
+    their input columns plus the extracted ``domain``."""
+    keyed = pages.withColumn(domain_col, url_domain(F.col(url_col)))
+    b = blocked.select(F.col(blocked.columns[0]).alias(domain_col)).distinct()
+    return keyed.join(F.broadcast(b), domain_col, "left_anti")

@@ -795,3 +795,99 @@ SELECT l.doc_id,
        CAST(t.top_2gram_count AS BIGINT) AS top_2gram_count
 FROM lines l JOIN (SELECT * FROM top WHERE rn = 1) t
   ON l.doc_id = t.doc_id"""
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality score (conditional perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-probability of each adjacent
+    word pair under the corpus's own add-one-smoothed bigram LM — the
+    conditional upgrade of :func:`unigram_logprob` (CCNet proxies
+    perplexity with a KenLM n-gram model; this is the n=2 member of
+    that family, built engine-exact).
+
+        nll(w1 w2) = -ln P(w2 | w1) = ln( (c(w1) + V) / (c(w1 w2) + 1) )
+
+    with c(.) corpus counts and V the vocabulary size (distinct
+    unigrams).  The ratio is >= 1 BY CONSTRUCTION — c(w1 w2) <= c(w1)
+    counts the same left-word occurrences, and 1 <= V — so the term is
+    a single non-negative ``det_ln_micro`` (correctly-rounded
+    arithmetic only, functions/detmath.py): no sign split, no libm,
+    no overflow-prone product.  Per-document output is the exact
+    order-free int64 micro-nat mean with the explicit round-half-up
+    integer tie-break (the unigram pattern): (doc_id, n_bigrams,
+    nll2_micro).  Documents with fewer than 2 words score the single
+    truncated gram (the suite's clamped shingle convention), so every
+    doc appears.
+
+    Plan shape (100 TB test): ONE full-data shuffle — the per-(doc,
+    bigram) partial agg, localCheckpointed for its two consumers (the
+    bigram frequency table derives from it; pruning defeats exchange
+    reuse).  The unigram count table needs ONE more pass over the
+    corpus (cheap narrow explode); both frequency tables are
+    vocabulary-sized, joined on the bigram's left word and broadcast
+    back.  The ln runs per distinct BIGRAM, never per occurrence."""
+    from ..functions.detmath import det_ln_micro_col
+    from .dedup import words
+
+    w = words(F.col(text_col))
+    m = F.greatest(F.size(w) - 1, F.lit(1))
+    grams = F.zip_with(F.slice(w, 1, m), F.slice(w, 2, m),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    tf2 = (docs.select(F.col(id_col), F.explode(grams).alias("g"))
+               .groupBy(id_col, "g").agg(F.count("*").alias("tf"))
+               .localCheckpoint(eager=False))
+    freq2 = tf2.groupBy("g").agg(F.sum("tf").alias("c2"))
+    toks = docs.select(F.explode(w).alias("token"))
+    freq1 = toks.groupBy("token").agg(F.count("*").alias("c1"))
+    vocab = freq1.agg(F.count("*").alias("__v"))       # 1-row scalar
+    scored_g = (freq2
+                .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+                .join(freq1, F.col("w1") == F.col("token"))
+                .crossJoin(F.broadcast(vocab))
+                .select("g", det_ln_micro_col("c1 + __v", "c2 + 1")
+                        .alias("__nll_m1")))
+    scored = (tf2.join(scored_g, "g")
+              .select(id_col, "tf",
+                      (F.col("tf") * F.col("__nll_m1")).alias("nll_m")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_bigrams"),
+                 F.expr("(2 * sum(nll_m) + sum(tf)) DIV (2 * sum(tf))")
+                  .alias("nll2_micro")))
+
+
+def bigram_logprob_sql(source: str = "documents", text_expr: str = "text",
+                       id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`bigram_logprob` (same clamped
+    2-gram shingling, the same detmath ln, the same integer
+    round-half-up mean — bit-identical by construction)."""
+    from ..functions.detmath import det_ln_micro_sql
+
+    w = WORDS_SQL.format(t=text_expr)
+    nll_m1 = det_ln_micro_sql("f1.c1 + v.v", "freq2.c2 + 1", "duckdb")
+    return f"""
+WITH g2 AS (
+  SELECT doc_id, g, count(*) AS tf FROM (
+    SELECT {id_expr} AS doc_id,
+           unnest([array_to_string(({w})[i:i+1], ' ')
+                   for i in range(1, greatest(len({w}), 2))]) AS g
+    FROM {source})
+  GROUP BY doc_id, g),
+freq2 AS (SELECT g, sum(tf) AS c2 FROM g2 GROUP BY g),
+freq1 AS (SELECT unnest({w}) AS token FROM {source}),
+f1 AS (SELECT token, count(*) AS c1 FROM freq1 GROUP BY token),
+v AS (SELECT count(*) AS v FROM f1),
+sg AS (
+  SELECT freq2.g, {nll_m1} AS nll_m1
+  FROM freq2
+  JOIN f1 ON string_split(freq2.g, ' ')[1] = f1.token, v),
+scored AS (
+  SELECT g2.doc_id, g2.tf, g2.tf * sg.nll_m1 AS nll_m
+  FROM g2 JOIN sg ON g2.g = sg.g)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST((2 * sum(nll_m) + sum(tf)) // (2 * sum(tf)) AS BIGINT)
+         AS nll2_micro
+FROM scored GROUP BY doc_id"""

@@ -226,3 +226,97 @@ def test_semdedup_explicit_centroids(spark):
                             centroids=cents).collect()}
     # 0 ties both centroids at cos=0.7071.. -> smallest centroid id (0)
     assert out[0] == 0 and out[1] == 0 and out[2] == 1
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+def test_bigram_logprob_by_hand(spark):
+    import math
+    docs = _docs(spark, [(0, "a b a b", "s"), (1, "c c", "s")])
+    out = {r.doc_id: r for r in T.bigram_logprob(docs).collect()}
+    # counts: c2('a b')=2, c2('b a')=1, c2('c c')=1; c1: a=2,b=2,c=2; V=3
+    nll_ab = round(math.log(5 / 3) * 1e6)          # ln((2+3)/(2+1))
+    nll_ba = round(math.log(5 / 2) * 1e6)
+    nll_cc = round(math.log(5 / 2) * 1e6)          # ln((2+3)/(1+1))
+    assert out[0].n_bigrams == 3
+    assert out[0].nll2_micro == (2 * (2 * nll_ab + nll_ba) + 3) // 6
+    assert out[1].n_bigrams == 1
+    assert out[1].nll2_micro == nll_cc
+
+
+def test_bigram_logprob_single_word_doc_scores_zero(spark):
+    # one 1-word doc: truncated gram 'solo', c2=1, c1=1, V=1 -> ln(1)=0
+    out = T.bigram_logprob(_docs(spark, [(0, "solo", "s")])).collect()[0]
+    assert out.n_bigrams == 1 and out.nll2_micro == 0
+
+
+def test_bigram_logprob_duckdb_parity(spark):
+    docs = _docs(spark, [(0, "a b a b c", "s"), (1, "b a b", "s"),
+                         (2, "", "s"), (3, None, "s"), (4, "solo", "s")])
+    srows = sorted(tuple(r) for r in T.bigram_logprob(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'a b a b c'), (1, 'b a b'), (2, ''), (3, NULL), (4, 'solo')"
+        ") t(doc_id, text)")
+    orows = sorted(tuple(r) for r in
+                   con.execute(T.bigram_logprob_sql()).fetchall())
+    assert srows == orows
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter
+# ---------------------------------------------------------------------------
+
+def test_blocklist_blocks_subdomains_via_registrable_domain(spark):
+    pages = spark.createDataFrame(
+        [(0, "https://a.b.spam.test/x"),
+         (1, "https://WWW.spam.test:443/y"),
+         (2, "https://ok.test/z"),
+         (3, "http://keep.me/w")],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame([("spam.test",), ("spam.test",)],
+                                    "domain string")
+    out = C.blocklist_filter(pages, blocked).collect()
+    assert sorted(r.doc_id for r in out) == [2, 3]
+    assert {r.domain for r in out} == {"ok.test", "keep.me"}
+    # input columns survive
+    assert {"doc_id", "url", "domain"} <= set(out[0].asDict())
+
+# ---------------------------------------------------------------------------
+# spatial_clusters
+# ---------------------------------------------------------------------------
+
+def test_spatial_clusters_chain_and_singletons(spark):
+    from pandarus_spark.operators.distance import spatial_clusters
+    # ~111 km between adjacent equator points: a 200 km eps links the
+    # chain 0-1-2 transitively (0 and 2 are ~222 km apart — only
+    # connectivity, not pairwise proximity, puts them together)
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 2.0, 0.0), (3, 10.0, 10.0)],
+        "pid long, lon double, lat double")
+    out = {r.pid: r.cluster_id for r in
+           spatial_clusters(pts, 200_000.0).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_normalize_url_sql_no_query_parity(spark):
+    # r5 regression: DuckDB array_to_string([]) is NULL — without the
+    # coalesce in normalize_url_sql, no-query URLs (or all-tracker
+    # query strings) normalized to NULL in the oracle while Spark
+    # produced the URL
+    urls = ["https://WWW.Host.Example/p/x",
+            "https://a.b/p?utm_source=x&gclid=1",   # all params tracked
+            "http://plain.test"]
+    pages = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                  "i long, url string")
+    srows = sorted((r.i, r.n) for r in pages.select(
+        "i", C.normalize_url(F.col("url")).alias("n")).collect())
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(i, url)")
+    orows = sorted(tuple(r) for r in con.execute(
+        f"SELECT i, {C.normalize_url_sql('url')} AS n FROM t").fetchall())
+    assert srows == orows
+    assert all(n is not None for _, n in srows)
