@@ -144,6 +144,44 @@ def _cpu_steal():
         return None
 
 
+def _burn_worker(deadline: float) -> int:
+    x = 1
+    while time.monotonic() < deadline:
+        x = (x * 1103515245 + 12345) % (1 << 62)
+    return x
+
+
+def _burn_steal_calibration(n_procs: int, seconds: float = 1.5):
+    """Steal% while THIS process saturates ``n_procs`` CPUs with pure
+    Python arithmetic — distinguishes ambient co-tenant noise (steal
+    present at idle) from LOAD-INDUCED throttling (steal appears only
+    under one's own wide load; this session's host shows 4-6% under a
+    16-32-wide burn at 0% idle steal — a CPU quota, not a neighbor).
+    A bench whose host_steal_pct ≈ this calibration is seeing the
+    machine, not the code."""
+    import multiprocessing as mp
+
+    st0 = _cpu_steal()
+    deadline = time.monotonic() + seconds
+    try:
+        # fork + Process: the target is inherited, never pickled (a
+        # Pool would pickle _burn_worker by qualified name, which
+        # breaks when bench.py is importlib-loaded under another name)
+        ctx = mp.get_context("fork")
+        procs = [ctx.Process(target=_burn_worker, args=(deadline,))
+                 for _ in range(n_procs)]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+    except Exception:
+        return None
+    st1 = _cpu_steal()
+    if not (st0 and st1 and st1[0] > st0[0]):
+        return None
+    return round(100.0 * (st1[1] - st0[1]) / (st1[0] - st0[0]), 2)
+
+
 def _warmup(spark) -> None:
     """Steady-state warmup (untimed): spin up the Python worker pool,
     JIT the md5/conv/higher-order-function codegen paths, and trigger
@@ -1358,6 +1396,7 @@ def main() -> None:
         rows[name] = fn(spark, sf_dir).count()
     steal_pct = (round(100.0 * (st1[1] - st0[1]) / max(1, st1[0] - st0[0]), 2)
                  if st0 and st1 else None)
+    burn_steal = _burn_steal_calibration(cpus)
 
     total = round(sum(times.values()), 3)
     core_rows = rows["overlay_intersect"] + rows["tile_assignments"]
@@ -1370,6 +1409,7 @@ def main() -> None:
         "rows": rows,
         "throughput_rows_per_sec": round(core_rows / core_sec, 1) if core_sec else None,
         "host_steal_pct": steal_pct,
+        "host_steal_under_burn_pct": burn_steal,
     }))
     spark.stop()
 
