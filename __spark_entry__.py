@@ -82,6 +82,18 @@ _MESSY2_URL_SQL = ("'https://WWW.host' || (doc_id % 7) || '.tld' "
                    "|| (doc_id % 5) || '/p/' || doc_id")
 
 
+def _sketch_registers_sql() -> str:
+    from pandarus_spark.operators import sketch as K
+    return K.hll_registers_sql("doc_id", 8)
+
+
+def _sketch_estimate_sql() -> str:
+    from pandarus_spark.operators import sketch as K
+    toks = ("(SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) "
+            "AS t FROM documents)")
+    return K.hll_estimate_sql("t", 10, source=toks)
+
+
 def _pii_laced_col():
     return F.concat(
         F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -974,6 +986,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_clusters(_points_from_docs(spark, sf_dir),
                                 _DIST_RADIUS_M)
 
+    def q_hll_registers_docs(spark, sf_dir):
+        # integer-exact HyperLogLog register table over doc ids
+        from pandarus_spark.operators import sketch as K
+        return K.hll_registers(_docs(spark, sf_dir), "doc_id", p=8)
+
+    def q_hll_estimate_docs(spark, sf_dir):
+        # cardinality estimate over the exploded token stream
+        # (rational-alpha raw branch or detmath linear counting —
+        # both integer-exact)
+        from pandarus_spark.operators import sketch as K
+        toks = _docs(spark, sf_dir).select(
+            F.explode(D.words(F.col("text"))).alias("t"))
+        return K.hll_estimate(toks, "t", p=10)
+
     def q_bigram_logprob_docs(spark, sf_dir):
         # conditional perplexity proxy: add-one-smoothed bigram LM,
         # integer micro-nat output (no float anywhere)
@@ -1108,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "blocklist_filter_docs": q_blocklist_filter_docs,
         "spatial_clusters_points": q_spatial_clusters_points,
+        "hll_registers_docs": q_hll_registers_docs,
+        "hll_estimate_docs": q_hll_estimate_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1759,6 +1787,8 @@ FROM documents WHERE doc_id < 200""",
         "semantic_dedup_embeddings": S.semantic_dedup_sql(n_clusters=8,
                                                           threshold=0.4),
         "bigram_logprob_docs": T.bigram_logprob_sql(),
+        "hll_registers_docs": _sketch_registers_sql(),
+        "hll_estimate_docs": _sketch_estimate_sql(),
         # eps-graph pairs (brute haversine) -> recursive-CTE closure;
         # same oracle machinery as dup_clusters_docs
         "spatial_clusters_points": D.duplicate_clusters_sql(

@@ -320,3 +320,46 @@ def test_normalize_url_sql_no_query_parity(spark):
         f"SELECT i, {C.normalize_url_sql('url')} AS n FROM t").fetchall())
     assert srows == orows
     assert all(n is not None for _, n in srows)
+
+# ---------------------------------------------------------------------------
+# HLL sketch
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_merge_by_max(spark):
+    from pandarus_spark.operators import sketch as K
+    a = _docs(spark, [(i, f"d{i}", "s") for i in range(200)])
+    b = _docs(spark, [(i, f"d{i}", "s") for i in range(150, 400)])
+    ra = {r.bucket: r.reg for r in K.hll_registers(a, "doc_id").collect()}
+    rb = {r.bucket: r.reg for r in K.hll_registers(b, "doc_id").collect()}
+    u = {r.bucket: r.reg for r in
+         K.hll_registers(a.unionByName(b), "doc_id").collect()}
+    assert u == {k: max(ra[k], rb[k]) for k in ra}   # mergeable sketch
+
+
+def test_hll_estimate_accuracy_and_linear_branch(spark):
+    from pandarus_spark.operators import sketch as K
+    import duckdb as dd
+    # 2000 distinct keys at p=8: ~6.5% standard error
+    big = _docs(spark, [(i, f"k{i}", "s") for i in range(2000)])
+    est = K.hll_estimate(big, "doc_id", p=8).collect()[0]
+    assert abs(est.estimate_micro / 1e6 - 2000) / 2000 < 0.2
+    # 3 distinct keys: zeros > 0 and E small -> detmath linear counting
+    small = _docs(spark, [(0, "a", "s"), (1, "b", "s"), (2, "c", "s"),
+                          (3, None, "s")])
+    est2 = K.hll_estimate(small, "text", p=8).collect()[0]
+    assert est2.n_zero >= 250                       # NULL key skipped
+    assert abs(est2.estimate_micro / 1e6 - 3) < 0.1
+    con = dd.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(0,'a'),(1,'b'),(2,'c'),(3,NULL)) t(doc_id, text)")
+    orow = con.execute(K.hll_estimate_sql("text", 8)).fetchall()[0]
+    assert tuple(est2) == orow
+
+
+def test_hll_p_bounds(spark):
+    from pandarus_spark.operators import sketch as K
+    docs = _docs(spark, [(0, "a", "s")])
+    with pytest.raises(ValueError):
+        K.hll_registers(docs, "doc_id", p=3)
+    with pytest.raises(ValueError):
+        K.hll_estimate(docs, "doc_id", p=16)
