@@ -82,6 +82,18 @@ _MESSY2_URL_SQL = ("'https://WWW.host' || (doc_id % 7) || '.tld' "
                    "|| (doc_id % 5) || '/p/' || doc_id")
 
 
+def _pagerank_oracle_sql() -> str:
+    from pandarus_spark.operators.graph import pagerank_sql
+    edges = ("SELECT doc_id AS src, "
+             "(doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst "
+             "FROM documents "
+             "UNION ALL "
+             "SELECT doc_id, "
+             "(doc_id * 13 + 2) % (SELECT count(*) FROM documents) "
+             "FROM documents")
+    return pagerank_sql(edges, n_iters=5)
+
+
 def _sketch_registers_sql() -> str:
     from pandarus_spark.operators import sketch as K
     return K.hll_registers_sql("doc_id", 8)
@@ -986,6 +998,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_clusters(_points_from_docs(spark, sf_dir),
                                 _DIST_RADIUS_M)
 
+    def q_pagerank_docs(spark, sf_dir):
+        # integer-exact PageRank over a deterministic synthetic link
+        # graph (two modular out-links per page)
+        from pandarus_spark.operators.graph import pagerank
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        e1 = d.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
+        e2 = d.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
+        return pagerank(e1.unionByName(e2), n_iters=5)
+
     def q_hll_registers_docs(spark, sf_dir):
         # integer-exact HyperLogLog register table over doc ids
         from pandarus_spark.operators import sketch as K
@@ -1136,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_clusters_points": q_spatial_clusters_points,
         "hll_registers_docs": q_hll_registers_docs,
         "hll_estimate_docs": q_hll_estimate_docs,
+        "pagerank_docs": q_pagerank_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1789,6 +1814,7 @@ FROM documents WHERE doc_id < 200""",
         "bigram_logprob_docs": T.bigram_logprob_sql(),
         "hll_registers_docs": _sketch_registers_sql(),
         "hll_estimate_docs": _sketch_estimate_sql(),
+        "pagerank_docs": _pagerank_oracle_sql(),
         # eps-graph pairs (brute haversine) -> recursive-CTE closure;
         # same oracle machinery as dup_clusters_docs
         "spatial_clusters_points": D.duplicate_clusters_sql(

@@ -1,0 +1,102 @@
+"""Link-graph operators over web-page edges (graft addition).
+
+PageRank is THE canonical derived signal of a Common-Crawl-style
+corpus (URL-level quality priors for training-data selection), but
+the textbook formulation is float-iterative — per-node in-neighbor
+sums whose float addition order differs run to run, engine to engine.
+This variant is INTEGER-EXACT and therefore bit-identical everywhere:
+
+* rank mass is carried in integer MICRO-units (total mass
+  ``n_nodes * 1_000_000``);
+* the damping factor is the exact rational 17/20 (0.85), applied as
+  ``floor(r_u * 17 / (20 * deg_u))`` per out-edge — int64 throughout
+  (mass <= n * 1e6, * 17 stays far inside int64);
+* per-node aggregation is an integer SUM — order-free under any
+  partitioning;
+* floors leak a deterministic dust of mass per iteration (documented
+  trade: exactness over mass conservation — ranks remain a valid
+  ORDERING, which is what selection pipelines consume);
+* dangling nodes (no out-edges) keep only their teleport share — the
+  early-MapReduce convention, chosen over mass-redistribution to keep
+  each iteration a single join + partial agg.
+
+A fixed iteration count (default 10) keeps the computation a finite
+arithmetic circuit, so the DuckDB twin is the same circuit as chained
+CTEs — no convergence test, no float epsilon.
+
+No reference counterpart: pandarus has no graph layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank(edges: DataFrame, n_iters: int = 10,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer-exact PageRank over an edge list.  Output:
+    (node, rank_micro BIGINT) for every node appearing as src or dst.
+
+    Plan shape (100 TB test): out-degrees are ONE partial-agg shuffle
+    computed once; each iteration is one src-keyed join (rank table —
+    node-sized — joins the edge list; broadcast while it fits, SHJ
+    beyond) plus one dst-keyed partial-agg shuffle, with the rank
+    table ``localCheckpoint``ed per round so plans stay O(1) in the
+    iteration count (the duplicate_clusters hygiene).  Parallel edges
+    are honored (two links A->B transfer twice), matching the SQL
+    twin."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be positive")
+    e = edges.select(F.col(src_col).cast("long").alias("u"),
+                     F.col(dst_col).cast("long").alias("v"))
+    nodes = (e.select(F.col("u").alias("node"))
+              .unionByName(e.select(F.col("v").alias("node")))
+              .distinct()
+              .localCheckpoint(eager=False))
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "u").localCheckpoint(eager=False)
+    # per-node teleport share: (1-d) * MICRO = 3/20 of each unit mass
+    base = (3 * MICRO) // 20
+    r = nodes.select("node", F.lit(MICRO).cast("long").alias("r"))
+    for _ in range(n_iters):
+        contrib = (ed.join(r.withColumnRenamed("node", "u"), "u")
+                     .select(F.col("v").alias("node"),
+                             F.expr("(r * 17) DIV (20 * deg)").alias("c"))
+                     .groupBy("node").agg(F.sum("c").alias("inflow")))
+        r = (nodes.join(contrib, "node", "left")
+                  .na.fill({"inflow": 0})
+                  .select("node",
+                          (F.lit(base).cast("long") + F.col("inflow"))
+                          .alias("r"))
+                  .localCheckpoint(eager=False))
+    return r.select(F.col("node"), F.col("r").alias("rank_micro"))
+
+
+def pagerank_sql(edges_sql: str, n_iters: int = 10,
+                 src_col: str = "src", dst_col: str = "dst") -> str:
+    """DuckDB rendering of :func:`pagerank`: the identical arithmetic
+    circuit as chained CTEs (one pair per iteration)."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be positive")
+    parts = [f"""e AS (SELECT CAST({src_col} AS BIGINT) AS u,
+                            CAST({dst_col} AS BIGINT) AS v
+                     FROM ({edges_sql})),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg ON e.u = deg.u),
+base AS (SELECT (3 * {MICRO}) // 20 AS b),
+r0 AS (SELECT node, CAST({MICRO} AS BIGINT) AS r FROM nodes)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""c{i} AS (
+  SELECT ed.v AS node, sum((r{i - 1}.r * 17) // (20 * ed.deg)) AS inflow
+  FROM ed JOIN r{i - 1} ON ed.u = r{i - 1}.node
+  GROUP BY ed.v),
+r{i} AS (
+  SELECT nodes.node,
+         CAST((SELECT b FROM base) + coalesce(c{i}.inflow, 0) AS BIGINT) AS r
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    body = ",\n".join(parts)
+    return (f"WITH {body}\n"
+            f"SELECT node, r AS rank_micro FROM r{n_iters}")

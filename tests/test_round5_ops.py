@@ -363,3 +363,37 @@ def test_hll_p_bounds(spark):
         K.hll_registers(docs, "doc_id", p=3)
     with pytest.raises(ValueError):
         K.hll_estimate(docs, "doc_id", p=16)
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_matches_python_circuit(spark):
+    from collections import defaultdict
+    from pandarus_spark.operators.graph import MICRO, pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (0, 1)]   # parallel edge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srows = sorted(tuple(r) for r in pagerank(e, n_iters=4).collect())
+    deg = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    r = {n: MICRO for n in nodes}
+    for _ in range(4):
+        inflow = defaultdict(int)
+        for a, b in edges:
+            inflow[b] += (r[a] * 17) // (20 * deg[a])
+        r = {n: 150000 + inflow[n] for n in nodes}
+    assert srows == sorted((n, r[n]) for n in nodes)
+    # dangling node 3 (no out-edges... it has one; node 2->0; the sink
+    # check: a node with only outflow ends at teleport + nothing extra)
+    out = dict(srows)
+    assert out[3] == 150000                      # nobody links to 3
+
+
+def test_pagerank_rejects_bad_iters(spark):
+    from pandarus_spark.operators.graph import pagerank
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(e, n_iters=0)
