@@ -998,6 +998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_clusters(_points_from_docs(spark, sf_dir),
                                 _DIST_RADIUS_M)
 
+    def q_ccnet_split_docs(spark, sf_dir):
+        # CCNet head/middle/tail: per-language LM-score quantile split
+        # (bucketed rank == naive per-language window by construction)
+        return T.ccnet_split(_docs(spark, sf_dir))
+
     def q_pagerank_docs(spark, sf_dir):
         # integer-exact PageRank over a deterministic synthetic link
         # graph (two modular out-links per page)
@@ -1161,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers_docs": q_hll_registers_docs,
         "hll_estimate_docs": q_hll_estimate_docs,
         "pagerank_docs": q_pagerank_docs,
+        "ccnet_split_docs": q_ccnet_split_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1815,6 +1821,7 @@ FROM documents WHERE doc_id < 200""",
         "hll_registers_docs": _sketch_registers_sql(),
         "hll_estimate_docs": _sketch_estimate_sql(),
         "pagerank_docs": _pagerank_oracle_sql(),
+        "ccnet_split_docs": T.ccnet_split_sql(),
         # eps-graph pairs (brute haversine) -> recursive-CTE closure;
         # same oracle machinery as dup_clusters_docs
         "spatial_clusters_points": D.duplicate_clusters_sql(

@@ -891,3 +891,88 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        CAST((2 * sum(nll_m) + sum(tf)) // (2 * sum(tf)) AS BIGINT)
          AS nll2_micro
 FROM scored GROUP BY doc_id"""
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality split (per-language perplexity quantiles)
+# ---------------------------------------------------------------------------
+
+
+def ccnet_split(docs: DataFrame, head: int = 3, middle: int = 3,
+                out_of: int = 10, lang_col: str = "lang",
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
+    rank every document WITHIN ITS LANGUAGE by LM score (lower mean
+    NLL = more fluent) and label the best ``head/out_of`` fraction
+    "head", the next ``middle/out_of`` "middle", the rest "tail" —
+    the standard quality tiering a pretraining mixture samples from
+    (graft addition; composes :func:`unigram_logprob`).
+
+    Quantile boundaries are INTEGER: k_head = (n_lang*head) div
+    out_of, k_mid likewise — no float fraction can round differently
+    across engines.  Output: (doc_id, lang, nll_micro, split).
+
+    The scale problem is the per-language rank: a window over ``lang``
+    sorts half the corpus in one task.  Instead the micro-nat score is
+    bucketed on its high bits (``nll_micro div 2^16`` — mean-NLL lives
+    in [0, ~30e6] micro-nats, so a few hundred ORDER-ALIGNED buckets),
+    the per-(lang, bucket) histogram (tiny) yields each row's
+    rank-offset by running sum, and a window ranks only WITHIN each
+    (lang, bucket) — partitions bounded by bucket occupancy, never a
+    whole language.  global_rank = offset + within-bucket rank,
+    identical to the naive per-language window by construction (the
+    bucketing is order-aligned), which is exactly what the DuckDB twin
+    computes."""
+    from pyspark.sql import Window
+
+    if not (0 < head and 0 < middle and head + middle <= out_of):
+        raise ValueError("need 0 < head, 0 < middle, head+middle <= out_of")
+    lm = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    scored = (lm.join(docs.select(id_col, lang_col), id_col)
+                .select(id_col, lang_col, "nll_micro",
+                        F.shiftright(F.col("nll_micro"), 16).alias("__b"))
+                .localCheckpoint(eager=False))
+    hist = (scored.groupBy(lang_col, "__b").agg(F.count("*").alias("c")))
+    cum = Window.partitionBy(lang_col).orderBy("__b") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy(lang_col)
+    hist = hist.select(
+        lang_col, "__b",
+        (F.sum("c").over(cum) - F.col("c")).alias("__offset"),
+        F.sum("c").over(tot).alias("__n"))
+    wb = Window.partitionBy(lang_col, "__b").orderBy("nll_micro", id_col)
+    ranked = (scored.join(F.broadcast(hist), [lang_col, "__b"])
+              .withColumn("__rank",
+                          F.col("__offset") + F.row_number().over(wb)))
+    k1 = F.expr(f"(__n * {head}) DIV {out_of}")
+    k2 = F.expr(f"(__n * {head + middle}) DIV {out_of}")
+    return ranked.select(
+        id_col, lang_col, "nll_micro",
+        F.when(F.col("__rank") <= k1, F.lit("head"))
+         .when(F.col("__rank") <= k2, F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("split"))
+
+
+def ccnet_split_sql(head: int = 3, middle: int = 3, out_of: int = 10,
+                    source: str = "documents", lang_col: str = "lang",
+                    text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`ccnet_split` via the naive
+    per-language rank — result-identical to the bucketed plan by
+    construction."""
+    lm = unigram_logprob_sql(source=source, text_expr=text_expr,
+                             id_expr=id_expr)
+    return f"""
+WITH lm AS ({lm}),
+scored AS (
+  SELECT lm.doc_id, d.{lang_col} AS lang, lm.nll_micro
+  FROM lm JOIN {source} d ON lm.doc_id = d.{id_expr}),
+ranked AS (
+  SELECT doc_id, lang, nll_micro,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY nll_micro, doc_id) AS rank,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored)
+SELECT doc_id, lang, nll_micro,
+       CASE WHEN rank <= (n * {head}) // {out_of} THEN 'head'
+            WHEN rank <= (n * {head + middle}) // {out_of} THEN 'middle'
+            ELSE 'tail' END AS split
+FROM ranked"""

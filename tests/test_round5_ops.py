@@ -397,3 +397,47 @@ def test_pagerank_rejects_bad_iters(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(e, n_iters=0)
+
+# ---------------------------------------------------------------------------
+# ccnet_split
+# ---------------------------------------------------------------------------
+
+def test_ccnet_split_fractions_and_ordering(spark):
+    # 10 docs in one language: fluent docs repeat common tokens (low
+    # mean NLL), noisy docs are all-hapax (high) — head must be the
+    # 3 most fluent, tail the worst 4
+    common = "the cat sat on the mat the end"
+    rows = [(i, common, "en") for i in range(3)]            # fluent
+    rows += [(i, common + f" extra{i}", "en") for i in range(3, 6)]
+    rows += [(i, f"zz{i} qq{i} ww{i} vv{i}", "en") for i in range(6, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.split for r in T.ccnet_split(df).collect()}
+    assert len(out) == 10
+    assert sum(1 for s in out.values() if s == "head") == 3
+    assert sum(1 for s in out.values() if s == "middle") == 3
+    assert sum(1 for s in out.values() if s == "tail") == 4
+    assert all(out[i] == "head" for i in range(3))
+    assert all(out[i] == "tail" for i in range(6, 10))
+
+
+def test_ccnet_split_duckdb_parity_multilang(spark):
+    rows = ([(i, f"a b c d{i % 3}", "en") for i in range(7)]
+            + [(10 + i, f"x y z w{i % 2}", "de") for i in range(5)]
+            + [(20, "", "de"), (21, None, "en")])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    srows = sorted(tuple(r) for r in T.ccnet_split(df).collect())
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, %s, '%s')" % (i, "NULL" if t is None else f"'{t}'", l)
+        for i, t, l in rows)
+    con.execute(f"CREATE TABLE documents AS SELECT * FROM (VALUES {vals}) "
+                "t(doc_id, text, lang)")
+    orows = sorted(tuple(r) for r in con.execute(T.ccnet_split_sql()).fetchall())
+    assert srows == orows
+
+
+def test_ccnet_split_rejects_bad_fractions(spark):
+    df = spark.createDataFrame([(0, "a", "en")],
+                               "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        T.ccnet_split(df, head=6, middle=5)
