@@ -91,8 +91,9 @@ def test_apply_engine_confs_matches_build_session(spark):
     assert applied == engine_sql_confs(False, 16)
     for k, v in applied.items():
         assert spark.conf.get(k) == v
-    # local master: the cluster-only advisory override must NOT apply
-    assert "spark.sql.adaptive.advisoryPartitionSizeInBytes" not in applied
+    # local master keeps the stock 64m advisory (env-overridable for
+    # broadcast-disabled runs — r5 continuation); cluster tightens it
+    assert applied["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "64m"
     # cluster flavor carries the Arrow-refine advisory fix + 64m broadcast
     cl = engine_sql_confs(True, 8)
     assert cl["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "16m"
