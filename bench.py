@@ -1084,10 +1084,17 @@ def job_round5_scale(spark, n: int) -> dict:
 
     emb = synthetic_embeddings(spark, n // 2)
     emb.persist().count()
+    # SemDeDup's scale contract: cluster count grows WITH the corpus
+    # (~200 vectors/cluster), so within-cluster pairs stay O(n) — a
+    # fixed K makes the pair stage quadratic (measured 4.05x for 2x
+    # input at K=512, BASELINE.md); the O(n*K) assignment matmul is
+    # the accepted price (BLAS-shaped, one broadcast codebook)
+    k_c = max(256, (n // 2) // 200)
     t0 = time.perf_counter()
-    sd = Si.semantic_dedup(emb, n_clusters=512, threshold=0.9)
+    sd = Si.semantic_dedup(emb, n_clusters=k_c, threshold=0.9)
     _force(sd)
     out["semdedup_sec"] = round(time.perf_counter() - t0, 3)
+    out["semdedup_clusters"] = k_c
     out["semdedup_dups"] = sd.filter("is_dup").count()
     docs.unpersist(); emb.unpersist()
     return out
