@@ -998,6 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_clusters(_points_from_docs(spark, sf_dir),
                                 _DIST_RADIUS_M)
 
+    def q_pmi_collocations_docs(spark, sf_dir):
+        # top-20 adjacent-word collocations by integer micro-nat PMI
+        return T.pmi_collocations(_docs(spark, sf_dir), k=20, min_count=3)
+
     def q_ccnet_split_docs(spark, sf_dir):
         # CCNet head/middle/tail: per-language LM-score quantile split
         # (bucketed rank == naive per-language window by construction)
@@ -1167,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate_docs": q_hll_estimate_docs,
         "pagerank_docs": q_pagerank_docs,
         "ccnet_split_docs": q_ccnet_split_docs,
+        "pmi_collocations_docs": q_pmi_collocations_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1822,6 +1827,7 @@ FROM documents WHERE doc_id < 200""",
         "hll_estimate_docs": _sketch_estimate_sql(),
         "pagerank_docs": _pagerank_oracle_sql(),
         "ccnet_split_docs": T.ccnet_split_sql(),
+        "pmi_collocations_docs": T.pmi_collocations_sql(k=20, min_count=3),
         # eps-graph pairs (brute haversine) -> recursive-CTE closure;
         # same oracle machinery as dup_clusters_docs
         "spatial_clusters_points": D.duplicate_clusters_sql(

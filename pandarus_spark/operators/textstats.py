@@ -976,3 +976,102 @@ SELECT doc_id, lang, nll_micro,
             WHEN rank <= (n * {head + middle}) // {out_of} THEN 'middle'
             ELSE 'tail' END AS split
 FROM ranked"""
+
+# ---------------------------------------------------------------------------
+# PMI collocations (word-association mining)
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual
+    information — the classic phrase-mining signal (word2vec's phrase
+    pass, quality auditing of n-gram stats) over the same clamped
+    2-gram stream as :func:`bigram_logprob` (graft addition).
+
+        PMI(w1 w2) = ln( c12 * N / (c1 * c2) )
+
+    computed OVERFLOW-FREE and engine-exact as the four-term detmath
+    decomposition ``ln(c12) + ln(N) - ln(c1) - ln(c2)`` — each term a
+    non-negative ``det_ln_micro(x, 1)`` on int64 counts (no
+    ``c1 * c2`` product that would overflow at 10^12 tokens), summed
+    in integer micro-nats so no float ever appears.  N is the total
+    token count (single-word docs contribute their truncated gram to
+    the bigram stream but PMI is only ranked for true pairs —
+    ``min_count`` filters the degenerate tail anyway).
+
+    Output: (gram, c12, pmi_micro BIGINT, rank) — ranked by
+    (pmi_micro DESC, gram ASC), exact global top-k via the same
+    TakeOrderedAndProject shape as :func:`top_tokens` (each partition
+    forwards its local top-k; the vocabulary never sorts in one
+    task).  Plan: two partial-agg shuffles (bigram tf, unigram tf);
+    the micro-nat lns run per SURVIVING distinct bigram (after the
+    min_count filter), never per occurrence."""
+    from pyspark.sql import Window
+    from ..functions.detmath import det_ln_micro_col
+
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be positive")
+    w = words(F.col(text_col))
+    m = F.greatest(F.size(w) - 1, F.lit(1))
+    sh = F.zip_with(F.slice(w, 1, m), F.slice(w, 2, m),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    g2 = (docs.select(F.explode(sh).alias("gram"))
+              .groupBy("gram").agg(F.count("*").alias("c12"))
+              .filter(F.col("c12") >= min_count)
+              .filter(F.col("gram").contains(" ")))
+    toks = docs.select(F.explode(w).alias("token"))
+    f1 = toks.groupBy("token").agg(F.count("*").alias("c1"))
+    n_tot = toks.agg(F.count("*").alias("__n"))
+    scored = (g2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+                .withColumn("w2", F.split(F.col("gram"), " ").getItem(1))
+                .join(f1.select(F.col("token").alias("w1"),
+                                F.col("c1").alias("ca")), "w1")
+                .join(f1.select(F.col("token").alias("w2"),
+                                F.col("c1").alias("cb")), "w2")
+                .crossJoin(F.broadcast(n_tot))
+                .select("gram", "c12",
+                        (det_ln_micro_col("c12", "1")
+                         + det_ln_micro_col("__n", "1")
+                         - det_ln_micro_col("ca", "1")
+                         - det_ln_micro_col("cb", "1")).alias("pmi_micro")))
+    rk = Window.orderBy(F.desc("pmi_micro"), F.asc("gram"))
+    return (scored.withColumn("rank", F.row_number().over(rk))
+                  .filter(F.col("rank") <= k)
+                  .select("gram", "c12", "pmi_micro", "rank"))
+
+
+def pmi_collocations_sql(k: int = 20, min_count: int = 5,
+                         source: str = "documents", text_expr: str = "text",
+                         id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`pmi_collocations` (same clamped
+    2-gram stream, the same four detmath lns)."""
+    from ..functions.detmath import det_ln_micro_sql
+
+    w = WORDS_SQL.format(t=text_expr)
+    pmi = (f"({det_ln_micro_sql('c12', '1', 'duckdb')}"
+           f" + {det_ln_micro_sql('(SELECT n FROM nt)', '1', 'duckdb')}"
+           f" - {det_ln_micro_sql('ca.c1', '1', 'duckdb')}"
+           f" - {det_ln_micro_sql('cb.c1', '1', 'duckdb')})")
+    return f"""
+WITH g2 AS (
+  SELECT gram, count(*) AS c12 FROM (
+    SELECT unnest([array_to_string(({w})[i:i+1], ' ')
+                   for i in range(1, greatest(len({w}), 2))]) AS gram
+    FROM {source})
+  GROUP BY gram
+  HAVING count(*) >= {min_count} AND contains(gram, ' ')),
+toks AS (SELECT unnest({w}) AS token FROM {source}),
+f1 AS (SELECT token, count(*) AS c1 FROM toks GROUP BY token),
+nt AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT g2.gram, g2.c12, {pmi} AS pmi_micro
+  FROM g2
+  JOIN f1 ca ON string_split(g2.gram, ' ')[1] = ca.token
+  JOIN f1 cb ON string_split(g2.gram, ' ')[2] = cb.token),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, gram) AS rank
+      FROM scored)
+SELECT gram, CAST(c12 AS BIGINT) AS c12, CAST(pmi_micro AS BIGINT) AS pmi_micro,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""

@@ -441,3 +441,43 @@ def test_ccnet_split_rejects_bad_fractions(spark):
                                "doc_id long, text string, lang string")
     with pytest.raises(ValueError):
         T.ccnet_split(df, head=6, middle=5)
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_ranks_true_collocations_first(spark):
+    import math
+    # 'new york' always co-occurs; 'the cat'/'the dog' share 'the'
+    rows = [(i, "new york is big and the cat saw the dog", "s")
+            for i in range(5)]
+    out = T.pmi_collocations(_docs(spark, rows), k=10, min_count=5).collect()
+    # every singleton-unigram adjacent pair ties at PMI = ln(5*50/25)
+    # = ln(10); ties break lexicographically, and 'new york' is one of
+    # them with the exact detmath value
+    expect = (round(math.log(5) * 1e6) + round(math.log(50) * 1e6)
+              - 2 * round(math.log(5) * 1e6))
+    by_gram = {r.gram: r for r in out}
+    assert by_gram["new york"].pmi_micro == expect
+    assert out[0].pmi_micro == expect and out[0].gram == "big and"
+    # 'the cat' (ca = c('the') = 10) scores ln(5) lower and ranks after
+    # every full-PMI pair
+    assert by_gram["the cat"].pmi_micro == expect - round(math.log(2) * 1e6)
+    assert by_gram["the cat"].rank > by_gram["new york"].rank
+
+
+def test_pmi_duckdb_parity_and_min_count(spark):
+    rows = [(0, "a b a b c d", "s"), (1, "a b x y", "s"),
+            (2, "", "s"), (3, "solo", "s")]
+    srows = sorted(tuple(r) for r in
+                   T.pmi_collocations(_docs(spark, rows), k=10,
+                                      min_count=2).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(0,'a b a b c d'),(1,'a b x y'),(2,''),(3,'solo')"
+                ") t(doc_id, text)")
+    orows = sorted(tuple(r) for r in con.execute(
+        T.pmi_collocations_sql(k=10, min_count=2)).fetchall())
+    assert srows == orows
+    # truncated single-word grams never rank (contains ' ' filter)
+    assert all(" " in g for g, *_ in srows)
