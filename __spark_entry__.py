@@ -998,6 +998,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_clusters(_points_from_docs(spark, sf_dir),
                                 _DIST_RADIUS_M)
 
+    def q_stream_tiles_docs(spark, sf_dir):
+        # streaming tiling replay gate: synthetic pages streamed
+        # availableNow through the stateless extract+tile operator;
+        # doc boxes are uniform 0.05 degrees so pick_resolution lands
+        # at the target res 12 for every feature, and the oracle is
+        # the shared integer cell-cover SQL over the doc_box formula
+        import os
+        import shutil
+        import tempfile
+
+        from pandarus_spark.sources.pages import pages_from_documents
+        from pandarus_spark.streaming.stream import stream_tile_assignments
+        pages = pages_from_documents(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 300), "base")
+        src = tempfile.mkdtemp(prefix="ps_stream_pages_")
+        try:
+            pages.coalesce(2).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = stream_tile_assignments(stream, res=12, max_cells=64)
+            rows = _run_available_now(out, [])
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        df = spark.createDataFrame(
+            rows, "feature_id long, label string, warc_ts timestamp, "
+                  "cell long")
+        return df.select("label", "cell")
+
     def q_pmi_collocations_docs(spark, sf_dir):
         # top-20 adjacent-word collocations by integer micro-nat PMI
         return T.pmi_collocations(_docs(spark, sf_dir), k=20, min_count=3)
@@ -1172,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "ccnet_split_docs": q_ccnet_split_docs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
+        "stream_tiles_docs": q_stream_tiles_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1828,6 +1857,15 @@ FROM documents WHERE doc_id < 200""",
         "pagerank_docs": _pagerank_oracle_sql(),
         "ccnet_split_docs": T.ccnet_split_sql(),
         "pmi_collocations_docs": T.pmi_collocations_sql(k=20, min_count=3),
+        # doc_box formula inlined (same double-op order as
+        # sources/pages.py:doc_box), covered by the shared cell SQL
+        "stream_tiles_docs": cell_cover_sql(
+            "(SELECT 'base ' || doc_id AS label, "
+            "-60.0 + (doc_id % 1024) * 0.05 AS minx, "
+            "-30.0 + (doc_id // 1024) * 0.05 AS miny, "
+            "(-60.0 + (doc_id % 1024) * 0.05) + 0.05 AS maxx, "
+            "(-30.0 + (doc_id // 1024) * 0.05) + 0.05 AS maxy "
+            "FROM documents WHERE doc_id < 300) AS d", res=12),
         # eps-graph pairs (brute haversine) -> recursive-CTE closure;
         # same oracle machinery as dup_clusters_docs
         "spatial_clusters_points": D.duplicate_clusters_sql(
