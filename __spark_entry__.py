@@ -106,6 +106,23 @@ def _sketch_estimate_sql() -> str:
     return K.hll_estimate_sql("t", 10, source=toks)
 
 
+def _sketch_by_lang_sql() -> str:
+    from pandarus_spark.operators import sketch as K
+    toks = ("(SELECT lang, unnest(string_split(lower(coalesce(text, '')), "
+            "' ')) AS t FROM documents)")
+    sql = K.hll_estimate_by_sql("t", "lang", p=8, source=toks)
+    return f"SELECT grp AS lang, m, n_zero, int_sum, estimate_micro FROM ({sql})"
+
+
+def _cms_counts_sql() -> str:
+    from pandarus_spark.operators import sketch as K
+    toks = ("(SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), "
+            "' ')) AS t FROM documents)")
+    probe = f"SELECT t AS k FROM {toks} p WHERE doc_id < 8"
+    sql = K.cms_lookup_sql("t", probe, d=4, w=512, source=toks)
+    return f"SELECT k AS t, est FROM ({sql})"
+
+
 def _pii_laced_col():
     return F.concat(
         F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -1061,6 +1078,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.explode(D.words(F.col("text"))).alias("t"))
         return K.hll_estimate(toks, "t", p=10)
 
+    def q_hll_by_lang_docs(spark, sf_dir):
+        # per-group cardinality accounting (vocabulary per language) —
+        # grouped HLL with algebraic empty buckets, never a per-group grid
+        from pandarus_spark.operators import sketch as K
+        d = _docs(spark, sf_dir)
+        toks = d.select("lang", F.explode(D.words(F.col("text"))).alias("t"))
+        return (K.hll_estimate_by(toks, "t", "lang", p=8)
+                .withColumnRenamed("grp", "lang"))
+
+    def q_cms_counts_docs(spark, sf_dir):
+        # count-min sketch build + probe: bounded-memory token
+        # frequencies; probes are the (deterministic) tokens of the 8
+        # lowest doc ids, so the gate exercises both halves
+        from pandarus_spark.operators import sketch as K
+        d = _docs(spark, sf_dir)
+        toks = d.select(F.col("doc_id"),
+                        F.explode(D.words(F.col("text"))).alias("t"))
+        grid = K.cms_counters(toks, "t", d=4, w=512)
+        probes = toks.filter(F.col("doc_id") < 8).select("t")
+        return K.cms_lookup(grid, probes, "t", d=4, w=512)
+
     def q_bigram_logprob_docs(spark, sf_dir):
         # conditional perplexity proxy: add-one-smoothed bigram LM,
         # integer micro-nat output (no float anywhere)
@@ -1131,9 +1169,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "lsh_recall_docs": q_lsh_recall_docs,
         "ann_recall_embeddings": q_ann_recall_embeddings,
-        # (d) sentinels + diverse proven core
+        # (d) sentinels: one spatial golden, one zonal golden, one dedup —
+        # each family keeps a driver-proven representative in the window
         "intersect_grid_square": q_intersect_grid_square,
         "zonal_coverage": q_zonal_coverage,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        # (e) round-5 continuation gates — never driver-proven, so they
+        # take the window slots; the 14 displaced sentinels below were all
+        # driver-green in r4 (and most in r3) with unchanged output.
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "repetition_stats_docs": q_repetition_stats_docs,
+        "mix_allocation_docs": q_mix_allocation_docs,
+        "mix_select_docs": q_mix_select_docs,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "bigram_logprob_docs": q_bigram_logprob_docs,
+        "blocklist_filter_docs": q_blocklist_filter_docs,
+        "spatial_clusters_points": q_spatial_clusters_points,
+        "hll_registers_docs": q_hll_registers_docs,
+        "hll_estimate_docs": q_hll_estimate_docs,
+        "pagerank_docs": q_pagerank_docs,
+        "ccnet_split_docs": q_ccnet_split_docs,
+        "pmi_collocations_docs": q_pmi_collocations_docs,
+        "stream_tiles_docs": q_stream_tiles_docs,
+        # new in the first half of round 5 (hot-only postings salting) ->
+        # must sit inside the driver's first-50 proof window.
+        "postings_hot_docs": q_postings_hot_docs,
+        # ---- position 51+: one-to-two rounds of driver evidence, unchanged
         "remaining_outside": q_remaining_outside,
         "ifi_projections": q_ifi_projections,
         "tile_assignments": q_tile_assignments,
@@ -1143,17 +1204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted": q_zonal_weighted,
         "vectorize_range": q_vectorize_range,
         "round_raster_lineitem": q_round_raster_lineitem,
-        "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_sigs_docs": q_minhash_sigs_docs,
         "lsh_pairs_docs": q_lsh_pairs_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "decontam_docs": q_decontam_docs,
-        # new this round (hot-only postings salting) -> must sit inside
-        # the driver's first-50 proof window; dup_clusters_docs (driver
-        # green r3+r4) moves past 50 to make room.
-        "postings_hot_docs": q_postings_hot_docs,
-        # ---- position 51+: two rounds of driver evidence, unchanged
         "dup_clusters_docs": q_dup_clusters_docs,
         "clean_raster_range": q_clean_raster_range,
         "intersect_outside_grid": q_intersect_outside_grid,
@@ -1184,23 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "pages_table_roundtrip": q_pages_table_roundtrip,
-        # ---- round-5 additions (past the 50-slot driver window so the
-        # 26-gate proof set above keeps its rows; judge-checked via
-        # tools/check_oracles.py like everything else)
-        "dsir_weights_docs": q_dsir_weights_docs,
-        "repetition_stats_docs": q_repetition_stats_docs,
-        "mix_allocation_docs": q_mix_allocation_docs,
-        "mix_select_docs": q_mix_select_docs,
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-        "bigram_logprob_docs": q_bigram_logprob_docs,
-        "blocklist_filter_docs": q_blocklist_filter_docs,
-        "spatial_clusters_points": q_spatial_clusters_points,
-        "hll_registers_docs": q_hll_registers_docs,
-        "hll_estimate_docs": q_hll_estimate_docs,
-        "pagerank_docs": q_pagerank_docs,
-        "ccnet_split_docs": q_ccnet_split_docs,
-        "pmi_collocations_docs": q_pmi_collocations_docs,
-        "stream_tiles_docs": q_stream_tiles_docs,
+        "hll_by_lang_docs": q_hll_by_lang_docs,
+        "cms_counts_docs": q_cms_counts_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1854,6 +1894,8 @@ FROM documents WHERE doc_id < 200""",
         "bigram_logprob_docs": T.bigram_logprob_sql(),
         "hll_registers_docs": _sketch_registers_sql(),
         "hll_estimate_docs": _sketch_estimate_sql(),
+        "hll_by_lang_docs": _sketch_by_lang_sql(),
+        "cms_counts_docs": _cms_counts_sql(),
         "pagerank_docs": _pagerank_oracle_sql(),
         "ccnet_split_docs": T.ccnet_split_sql(),
         "pmi_collocations_docs": T.pmi_collocations_sql(k=20, min_count=3),

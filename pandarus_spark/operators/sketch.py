@@ -151,3 +151,199 @@ SELECT CAST({m} AS BIGINT) AS m, CAST(n_zero AS BIGINT) AS n_zero,
        CAST(CASE WHEN {cond} THEN {lin} ELSE {raw} END AS BIGINT)
          AS estimate_micro
 FROM s"""
+
+
+def hll_estimate_by(df: DataFrame, key, group, p: int = 8) -> DataFrame:
+    """Per-group HLL cardinality estimate: one row per ``group`` value
+    with the same (m, n_zero, int_sum, estimate_micro) contract as
+    :func:`hll_estimate` — the "distinct URLs per domain / vocabulary
+    per language" shape of corpus accounting.
+
+    Scale: registers never materialize a per-group 2^p grid.  The
+    partial agg collapses each task to <= groups * 2^p (group, bucket,
+    max-rho) rows; empty buckets are algebra, not rows —
+    ``n_zero = m - count(buckets present)`` and each absent bucket
+    contributes exactly ``2^(w1)`` to the harmonic integer sum, so
+    ``int_sum = present_sum + n_zero * 2^w1``.  Two narrow shuffles
+    (group+bucket, then group), both on integer keys."""
+    if p > 15:
+        raise ValueError("hll_estimate_by supports p <= 15 "
+                         "(DECIMAL(38,0) intermediate bound)")
+    m = 1 << p
+    w_bits = 60 - p
+    w1 = w_bits + 1
+    kcol = F.col(key) if isinstance(key, str) else key
+    gcol = F.col(group) if isinstance(group, str) else group
+    h = hash60(kcol.cast("string"))
+    bucket = F.shiftright(h, w_bits)
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1).cast("long"))
+    rho = (F.when(w == 0, F.lit(w1))
+            .otherwise(F.lit(w1) - F.length(F.bin(w)))).cast("int")
+    regs = (df.filter(kcol.isNotNull())
+              .select(gcol.alias("grp"), bucket.alias("bucket"),
+                      rho.alias("rho"))
+              .groupBy("grp", "bucket").agg(F.max("rho").alias("reg")))
+    s = regs.groupBy("grp").agg(
+        (F.lit(m) - F.count("*")).cast("long").alias("n_zero"),
+        (F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w1} - reg)"))
+         + (F.lit(m) - F.count("*")) * F.lit(1 << w1)).alias("int_sum"))
+    num_c = 7213 * (m ** 3) * (1 << w1)
+    den_c = 10000 * m + 10790
+    from ..functions.detmath import det_ln_micro_sql
+    lin = f"{m} * {det_ln_micro_sql(str(m), 'n_zero', 'spark')}"
+    raw = (f"(2 * CAST({num_c} AS {_DEC}) * 1000000 "
+           f"+ CAST({den_c} AS {_DEC}) * int_sum) "
+           f"DIV (2 * CAST({den_c} AS {_DEC}) * int_sum)")
+    cond = (f"n_zero > 0 AND 2 * CAST({num_c} AS {_DEC}) "
+            f"<= 5 * {m} * CAST({den_c} AS {_DEC}) * int_sum")
+    return s.select(
+        F.col("grp"), F.lit(m).cast("long").alias("m"), "n_zero", "int_sum",
+        F.expr(f"CASE WHEN {cond} THEN {lin} ELSE {raw} END")
+         .cast("long").alias("estimate_micro"))
+
+
+def hll_estimate_by_sql(key_expr: str, group_expr: str, p: int = 8,
+                        source: str = "documents") -> str:
+    """DuckDB rendering of :func:`hll_estimate_by`."""
+    from ..functions.detmath import det_ln_micro_sql
+    m = 1 << p
+    w_bits = 60 - p
+    w1 = w_bits + 1
+    num_c = 7213 * (m ** 3) * (1 << w1)
+    den_c = 10000 * m + 10790
+    h = hash60_sql(f"CAST({key_expr} AS VARCHAR)")
+    lin = f"{m} * {det_ln_micro_sql(str(m), 'n_zero', 'duckdb')}"
+    raw = (f"(2 * CAST({num_c} AS HUGEINT) * 1000000 "
+           f"+ CAST({den_c} AS HUGEINT) * int_sum) "
+           f"// (2 * CAST({den_c} AS HUGEINT) * int_sum)")
+    cond = (f"n_zero > 0 AND 2 * CAST({num_c} AS HUGEINT) "
+            f"<= 5 * {m} * CAST({den_c} AS HUGEINT) * int_sum")
+    return f"""
+WITH h AS (SELECT {group_expr} AS grp, {h} AS h FROM {source}
+           WHERE {key_expr} IS NOT NULL),
+r AS (
+  SELECT grp, h >> {w_bits} AS bucket,
+         CASE WHEN (h & {(1 << w_bits) - 1}) = 0 THEN {w1}
+              ELSE {w1} - length(bin(h & {(1 << w_bits) - 1}))
+         END AS rho
+  FROM h),
+regs AS (SELECT grp, bucket, max(rho) AS reg FROM r GROUP BY grp, bucket),
+s AS (
+  SELECT grp, {m} - count(*) AS n_zero,
+         sum(CAST(1 AS BIGINT) << ({w1} - reg))
+           + ({m} - count(*)) * (CAST(1 AS BIGINT) << {w1}) AS int_sum
+  FROM regs GROUP BY grp)
+SELECT grp, CAST({m} AS BIGINT) AS m, CAST(n_zero AS BIGINT) AS n_zero,
+       CAST(int_sum AS BIGINT) AS int_sum,
+       CAST(CASE WHEN {cond} THEN {lin} ELSE {raw} END AS BIGINT)
+         AS estimate_micro
+FROM s"""
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: heavy-hitter frequency estimation in bounded memory
+# --------------------------------------------------------------------------
+
+def cms_counters(df: DataFrame, key, d: int = 4, w: int = 1024,
+                 weight=None) -> DataFrame:
+    """Count-min sketch counter grid over ``key``: d hash rows x w
+    columns of int64 counters as (row, col, cnt), all d*w cells
+    materialized (zero-filled) so sketches merge by plain SUM — the
+    bounded-memory token-frequency structure for a 10^12-row corpus
+    where the exact vocabulary count table itself is too hot to keep.
+
+    Engine-exact: row r's hash is the shared md5 lane over
+    ``key || '|' || r`` mod w — integer ops only, identical in DuckDB.
+    Scale: the explode is d narrow integer rows per input row and the
+    partial agg collapses each task to <= d*w cells before the ONE
+    shuffle, so shuffle volume is tasks * d * w regardless of input
+    size (same contract as the HLL registers).  ``weight`` (optional
+    integer Column) turns it into a weighted-frequency sketch."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 hash rows and w >= 2 columns")
+    kcol = F.col(key) if isinstance(key, str) else key
+    wcol = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    e = (df.filter(kcol.isNotNull())
+           .select(kcol.cast("string").alias("k"), wcol.alias("wt"))
+           .select("k", "wt",
+                   F.explode(F.array(*[F.lit(i) for i in range(d)]))
+                    .alias("row")))
+    col_idx = F.pmod(hash60(F.concat_ws("|", F.col("k"),
+                                        F.col("row").cast("string"))),
+                     F.lit(w)).cast("int")
+    cells = (e.select("row", col_idx.alias("col"), "wt")
+              .groupBy("row", "col").agg(F.sum("wt").alias("cnt")))
+    spark = df.sparkSession
+    grid = (spark.range(d * w)
+            .select((F.col("id") / w).cast("int").alias("row"),
+                    F.pmod(F.col("id"), F.lit(w)).cast("int").alias("col")))
+    return (grid.join(cells, ["row", "col"], "left")
+                .na.fill({"cnt": 0})
+                .select("row", "col", F.col("cnt").cast("long").alias("cnt")))
+
+
+def cms_lookup(counters: DataFrame, probes: DataFrame, key,
+               d: int = 4, w: int = 1024) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_counters` grid:
+    one row per probe key with ``est = min over rows of
+    cnt[r][h_r(key)]`` — the classic CMS upper bound (est >= true
+    count always; overestimate probability bounded by the grid size).
+
+    The counter grid is d*w rows — broadcast by construction — so the
+    probe side never shuffles for the join; the only exchange is the
+    per-key min over d rows."""
+    kcol = F.col(key) if isinstance(key, str) else key
+    e = (probes.select(kcol.cast("string").alias("k"))
+               .distinct()
+               .select("k",
+                       F.explode(F.array(*[F.lit(i) for i in range(d)]))
+                        .alias("row")))
+    col_idx = F.pmod(hash60(F.concat_ws("|", F.col("k"),
+                                        F.col("row").cast("string"))),
+                     F.lit(w)).cast("int")
+    probed = e.select("k", "row", col_idx.alias("col"))
+    return (probed.join(F.broadcast(counters), ["row", "col"], "left")
+                  .na.fill({"cnt": 0})
+                  .groupBy("k").agg(F.min("cnt").alias("est"))
+                  .select(F.col("k").alias(key if isinstance(key, str)
+                                           else "key"), "est"))
+
+
+def _cms_cells_sql(key_expr: str, d: int, w: int, source: str,
+                   weight_expr: str = "1") -> str:
+    h = hash60_sql("k || '|' || CAST(r.range AS VARCHAR)")
+    return f"""
+  SELECT r.range AS row, {h} % {w} AS col, sum(wt) AS cnt
+  FROM (SELECT CAST({key_expr} AS VARCHAR) AS k,
+               CAST({weight_expr} AS BIGINT) AS wt
+        FROM {source} WHERE {key_expr} IS NOT NULL) t
+  CROSS JOIN range({d}) r
+  GROUP BY 1, 2"""
+
+
+def cms_counters_sql(key_expr: str, d: int = 4, w: int = 1024,
+                     source: str = "documents",
+                     weight_expr: str = "1") -> str:
+    """DuckDB rendering of :func:`cms_counters`."""
+    return f"""
+WITH cells AS ({_cms_cells_sql(key_expr, d, w, source, weight_expr)})
+SELECT CAST(g.range // {w} AS INT) AS row,
+       CAST(g.range % {w} AS INT) AS col,
+       CAST(coalesce(cells.cnt, 0) AS BIGINT) AS cnt
+FROM range({d * w}) g
+LEFT JOIN cells ON g.range // {w} = cells.row AND g.range % {w} = cells.col"""
+
+
+def cms_lookup_sql(key_expr: str, probe_sql: str, d: int = 4,
+                   w: int = 1024, source: str = "documents",
+                   weight_expr: str = "1") -> str:
+    """DuckDB rendering of the build+probe pipeline: ``probe_sql``
+    must yield one column ``k`` of probe keys."""
+    h = hash60_sql("p.k || '|' || CAST(r.range AS VARCHAR)")
+    return f"""
+WITH cells AS ({_cms_cells_sql(key_expr, d, w, source, weight_expr)}),
+probes AS (SELECT DISTINCT k, r.range AS row, {h} % {w} AS col
+           FROM ({probe_sql}) p CROSS JOIN range({d}) r)
+SELECT probes.k, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+FROM probes LEFT JOIN cells ON probes.row = cells.row AND probes.col = cells.col
+GROUP BY probes.k"""

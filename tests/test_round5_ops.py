@@ -364,6 +364,63 @@ def test_hll_p_bounds(spark):
     with pytest.raises(ValueError):
         K.hll_estimate(docs, "doc_id", p=16)
 
+
+def test_hll_estimate_by_matches_global_per_group(spark):
+    # grouped estimate == the global estimate run on each group alone
+    # (the algebraic empty-bucket sums must reproduce the grid path)
+    from pandarus_spark.operators import sketch as K
+    rows = ([(i, f"k{i % 37}", "a") for i in range(300)]
+            + [(i + 1000, f"q{i % 211}", "b") for i in range(600)])
+    docs = _docs(spark, rows)
+    by = {r.grp: (r.m, r.n_zero, r.int_sum, r.estimate_micro)
+          for r in K.hll_estimate_by(docs, "text", "source", p=8).collect()}
+    for g in ("a", "b"):
+        solo = K.hll_estimate(docs.filter(F.col("source") == g),
+                              "text", p=8).collect()[0]
+        assert by[g] == tuple(solo)
+
+
+def test_cms_upper_bound_and_merge(spark):
+    # est >= true count for every key, even at w=8 where collisions are
+    # guaranteed; grids merge by SUM (sketch of union == sum of sketches)
+    from pandarus_spark.operators import sketch as K
+    rows = [(i, f"k{i % 13}", "s") for i in range(400)]
+    docs = _docs(spark, rows)
+    grid = K.cms_counters(docs, "text", d=3, w=8)
+    probes = docs.select("text").distinct()
+    est = {r.text: r.est for r in
+           K.cms_lookup(grid, probes, "text", d=3, w=8).collect()}
+    true = {r.text: r["count"] for r in
+            docs.groupBy("text").count().collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    # mergeability
+    a, b = docs.filter(F.col("doc_id") < 200), docs.filter(F.col("doc_id") >= 200)
+    ga = {(r.row, r.col): r.cnt for r in K.cms_counters(a, "text", d=3, w=8).collect()}
+    gb = {(r.row, r.col): r.cnt for r in K.cms_counters(b, "text", d=3, w=8).collect()}
+    gu = {(r.row, r.col): r.cnt for r in grid.collect()}
+    assert gu == {k: ga[k] + gb[k] for k in ga}
+
+
+def test_cms_weighted_and_duckdb_parity(spark):
+    from pandarus_spark.operators import sketch as K
+    import duckdb as dd
+    rows = [(0, "a", "s"), (1, "a", "s"), (2, "b", "s"), (3, None, "s")]
+    docs = _docs(spark, rows)
+    # weighted: each occurrence of text t adds doc_id+10
+    grid = K.cms_counters(docs, "text", d=2, w=16,
+                          weight=F.col("doc_id") + 10)
+    sp = sorted(tuple(r) for r in grid.collect())
+    con = dd.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(0,'a'),(1,'a'),(2,'b'),(3,NULL)) t(doc_id, text)")
+    ora = sorted(tuple(r) for r in con.execute(K.cms_counters_sql(
+        "text", d=2, w=16, weight_expr="doc_id + 10")).fetchall())
+    assert sp == ora
+    assert sum(c for _, _, c in sp) == 2 * (0 + 10 + 1 + 10 + 2 + 10)
+    with pytest.raises(ValueError):
+        K.cms_counters(docs, "text", d=0, w=16)
+
 # ---------------------------------------------------------------------------
 # pagerank
 # ---------------------------------------------------------------------------
