@@ -1099,6 +1099,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         probes = toks.filter(F.col("doc_id") < 8).select("t")
         return K.cms_lookup(grid, probes, "t", d=4, w=512)
 
+    def q_bottomk_sample_docs(spark, sf_dir):
+        # exactly-k uniform sample by salted bottom-k hash — the
+        # fixed-size eval-set carve; two-stage salted selection, never
+        # a global sort of the corpus
+        return C.bottomk_sample(_docs(spark, sf_dir), k=25)
+
+    def q_cube_revenue_lineitem(spark, sf_dir):
+        # relational breadth: CUBE grouping sets (Catalyst Expand
+        # operator) — revenue in integer cents so every subtotal is an
+        # order-free int64 sum
+        li = _li(spark, sf_dir)
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        return (li.cube("l_returnflag", "l_linestatus")
+                  .agg(F.sum(cents).alias("sum_cents"),
+                       F.count("*").alias("n_rows"))
+                  .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                           .alias("returnflag"),
+                          F.coalesce("l_linestatus", F.lit("ALL"))
+                           .alias("linestatus"),
+                          "sum_cents", "n_rows"))
+
     def q_bigram_logprob_docs(spark, sf_dir):
         # conditional perplexity proxy: add-one-smoothed bigram LM,
         # integer micro-nat output (no float anywhere)
@@ -1241,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_table_roundtrip": q_pages_table_roundtrip,
         "hll_by_lang_docs": q_hll_by_lang_docs,
         "cms_counts_docs": q_cms_counts_docs,
+        "bottomk_sample_docs": q_bottomk_sample_docs,
+        "cube_revenue_lineitem": q_cube_revenue_lineitem,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1896,6 +1919,17 @@ FROM documents WHERE doc_id < 200""",
         "hll_estimate_docs": _sketch_estimate_sql(),
         "hll_by_lang_docs": _sketch_by_lang_sql(),
         "cms_counts_docs": _cms_counts_sql(),
+        "bottomk_sample_docs": (
+            "SELECT rank, key AS doc_id, h FROM ("
+            + C.bottomk_sample_sql("doc_id", k=25) + ")"),
+        "cube_revenue_lineitem": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "pagerank_docs": _pagerank_oracle_sql(),
         "ccnet_split_docs": T.ccnet_split_sql(),
         "pmi_collocations_docs": T.pmi_collocations_sql(k=20, min_count=3),

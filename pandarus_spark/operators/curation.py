@@ -179,6 +179,50 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(u < thr)
 
 
+def bottomk_sample(df: DataFrame, k: int, key_col: str = "doc_id",
+                   n_salts: int = 8, salt: str = "sample") -> DataFrame:
+    """EXACTLY-k uniform sample: the ``k`` keys with the smallest
+    salted hashes, as (rank, key, h) — the fixed-size companion to
+    :func:`hash_sample`'s fixed-rate filter (eval-set carving, golden
+    subsets, A/B holdouts).  Bottom-k by hash is a mergeable uniform
+    sample: the union of two corpora's bottom-k sets contains the
+    union's bottom-k, so shards combine without resampling.
+
+    Scale: a single ORDER BY + LIMIT sorts the corpus on one task's
+    worth of reduction at 10^12 rows, so this uses the same two-stage
+    salted selection as ``postings_sample``: stage 1 ranks within a
+    hash-salt bucket (sort-based window over ~n/n_salts rows,
+    spillable) and keeps k per bucket; stage 2 sorts the <= k*n_salts
+    survivors globally — exact, because each of the true bottom-k is
+    a fortiori in its own bucket's bottom-k.  Deterministic ties:
+    order is (hash, key)."""
+    from pyspark.sql import Window
+    if k < 1 or n_salts < 1:
+        raise ValueError("k and n_salts must be positive")
+    key = F.col(key_col)
+    u = hash60(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
+    keyed = df.select(key.alias("key"), u.alias("h"))
+    w1 = (Window.partitionBy(F.pmod(F.col("h"), F.lit(n_salts)))
+                .orderBy("h", "key"))
+    survivors = (keyed.withColumn("rn", F.row_number().over(w1))
+                      .filter(F.col("rn") <= k).drop("rn"))
+    w2 = Window.orderBy("h", "key")
+    return (survivors.withColumn("rank", F.row_number().over(w2))
+                     .filter(F.col("rank") <= k)
+                     .select("rank", F.col("key").alias(key_col), "h"))
+
+
+def bottomk_sample_sql(key_expr: str, k: int, salt: str = "sample",
+                       source: str = "documents") -> str:
+    """DuckDB rendering of :func:`bottomk_sample` (single global sort
+    — the oracle is allowed the naive plan)."""
+    u = hash60_sql(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    return f"""
+WITH keyed AS (SELECT {key_expr} AS key, {u} AS h FROM {source}),
+r AS (SELECT row_number() OVER (ORDER BY h, key) AS rank, key, h FROM keyed)
+SELECT CAST(rank AS INT) AS rank, key, h FROM r WHERE rank <= {k}"""
+
+
 def stratified_sample_sql(key_expr: str, strata_expr: str,
                           rates: dict[str, float], default_rate: float = 0.0,
                           salt: str = "sample") -> str:

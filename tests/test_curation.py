@@ -301,3 +301,41 @@ def test_shard_corpus_duckdb_parity(spark):
     want = sorted(tuple(r) for r in
                   con.execute(shard_corpus_sql(7)).fetchall())
     assert got == want
+
+
+def test_bottomk_sample_exact_and_salt_invariant(spark):
+    import hashlib
+
+    from pandarus_spark.operators.curation import bottomk_sample
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = bottomk_sample(docs, k=12, n_salts=8).collect()
+    # naive python recompute: 12 smallest salted hashes
+    def h(i):
+        return int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:15], 16)
+    want = sorted((h(i), i) for i in range(500))[:12]
+    got = sorted((r.h, r.doc_id) for r in out)
+    assert got == want
+    assert [r.rank for r in sorted(out, key=lambda r: (r.h, r.doc_id))] == \
+        list(range(1, 13))
+    # selection is salt-count invariant (the exactness argument)
+    for s in (1, 3, 32):
+        alt = sorted((r.h, r.doc_id)
+                     for r in bottomk_sample(docs, k=12, n_salts=s).collect())
+        assert alt == want
+
+
+def test_bottomk_sample_mergeable_and_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.curation import bottomk_sample
+    docs = spark.range(400).withColumnRenamed("id", "doc_id")
+    a = docs.filter(F.col("doc_id") < 200)
+    b = docs.filter(F.col("doc_id") >= 200)
+    # union's bottom-k is contained in the union of shard bottom-k sets
+    ka = {r.doc_id for r in bottomk_sample(a, k=10).collect()}
+    kb = {r.doc_id for r in bottomk_sample(b, k=10).collect()}
+    ku = {r.doc_id for r in bottomk_sample(docs, k=10).collect()}
+    assert ku <= (ka | kb)
+    with pytest.raises(ValueError):
+        bottomk_sample(docs, k=0)
