@@ -1064,6 +1064,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_extract_links_docs(spark, sf_dir):
+        # outlink extraction from synthetic link-laced pages: doc i's
+        # page carries an absolute link to page (7i+1) mod n, a
+        # relative link to /rel/(13i+2) mod n (empty anchor), and
+        # every 5th page has no links at all
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        i = F.col("doc_id")
+        links = F.concat(
+            F.lit('<a href="https://example.org/page/'),
+            ((i * 7 + 1) % n).cast("string"), F.lit('">next</a>'),
+            F.lit('<a href="/rel/'),
+            ((i * 13 + 2) % n).cast("string"), F.lit('"></a>'))
+        html = F.concat(F.lit("<html><body>"),
+                        F.when(i % 5 == 0, F.lit("")).otherwise(links),
+                        F.lit("</body></html>"))
+        pages = d.select(
+            F.concat(F.lit("https://example.org/page/"),
+                     i.cast("string")).alias("url"),
+            F.encode(html, "utf-8").alias("html"))
+        return C.extract_links(pages)
+
     def q_hll_registers_docs(spark, sf_dir):
         # integer-exact HyperLogLog register table over doc ids
         from pandarus_spark.operators import sketch as K
@@ -1264,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts_docs": q_cms_counts_docs,
         "bottomk_sample_docs": q_bottomk_sample_docs,
         "cube_revenue_lineitem": q_cube_revenue_lineitem,
+        "extract_links_docs": q_extract_links_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1922,6 +1945,15 @@ FROM documents WHERE doc_id < 200""",
         "bottomk_sample_docs": (
             "SELECT rank, key AS doc_id, h FROM ("
             + C.bottomk_sample_sql("doc_id", k=25) + ")"),
+        "extract_links_docs": C.extract_links_sql(source="""
+(SELECT 'https://example.org/page/' || doc_id AS url,
+        encode('<html><body>' || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+          '<a href="https://example.org/page/' ||
+          ((doc_id * 7 + 1) % (SELECT count(*) FROM documents)) ||
+          '">next</a><a href="/rel/' ||
+          ((doc_id * 13 + 2) % (SELECT count(*) FROM documents)) ||
+          '"></a>' END || '</body></html>') AS html
+ FROM documents) p"""),
         "cube_revenue_lineitem": """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,

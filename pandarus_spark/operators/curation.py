@@ -179,6 +179,46 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(u < thr)
 
 
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """Outlink extraction from a Common-Crawl-style pages table:
+    (src_url, dst_url, anchor) — one row per ``<a href="...">`` in
+    the page's html, the edge-list constructor for link-graph work
+    (feed :func:`~pandarus_spark.operators.graph.pagerank`).
+
+    Pure Catalyst — the html binary decodes to UTF-8 and two
+    ``regexp_extract_all`` passes pull hrefs and anchor texts (same
+    tag regex, group 1 vs group 2), zipped positionally; no Python
+    touches the bytes, so this runs at whole-stage-codegen speed and
+    the explode is partition-local (zero shuffle).  Relative hrefs
+    and empty anchors pass through verbatim — canonicalization is
+    :func:`normalize_url`'s job, kept separate so the extract stays a
+    narrow map."""
+    tag = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+    s = F.decode(F.col(html_col), "utf-8")
+    hrefs = F.regexp_extract_all(s, F.lit(tag), 1)
+    anchors = F.regexp_extract_all(s, F.lit(tag), 2)
+    pair = F.explode(F.zip_with(hrefs, anchors,
+                                lambda h, a: F.struct(h.alias("h"),
+                                                      a.alias("a"))))
+    return (pages.select(F.col(url_col).alias("src_url"), pair.alias("p"))
+                 .select("src_url", F.col("p.h").alias("dst_url"),
+                         F.col("p.a").alias("anchor")))
+
+
+def extract_links_sql(source: str = "pages", html_expr: str = "html",
+                      url_expr: str = "url") -> str:
+    """DuckDB rendering of :func:`extract_links` (decode the blob,
+    same tag regex, positional zip via UNNEST of two aligned lists)."""
+    tag = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+    return f"""
+WITH p AS (SELECT {url_expr} AS src_url,
+                  regexp_extract_all(decode({html_expr}), '{tag}', 1) AS hs,
+                  regexp_extract_all(decode({html_expr}), '{tag}', 2) AS asx
+           FROM {source})
+SELECT src_url, unnest(hs) AS dst_url, unnest(asx) AS anchor FROM p"""
+
+
 def bottomk_sample(df: DataFrame, k: int, key_col: str = "doc_id",
                    n_salts: int = 8, salt: str = "sample") -> DataFrame:
     """EXACTLY-k uniform sample: the ``k`` keys with the smallest

@@ -339,3 +339,50 @@ def test_bottomk_sample_mergeable_and_guard(spark):
     assert ku <= (ka | kb)
     with pytest.raises(ValueError):
         bottomk_sample(docs, k=0)
+
+
+def test_extract_links_by_hand_and_duckdb(spark):
+    import duckdb
+
+    from pandarus_spark.operators.curation import extract_links, extract_links_sql
+    rows = [
+        ("https://a.example/", "<html><a href=\"https://b.example/x\">B page</a>"
+         "<p>café →</p><a href=\"/rel\"></a></html>"),
+        ("https://c.example/", "<html>no links at all</html>"),
+        ("https://d.example/", "<a href=\"u1\" class=\"z\">one</a>"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary")
+    got = sorted(tuple(r) for r in extract_links(pages).collect())
+    assert got == [("https://a.example/", "/rel", ""),
+                   ("https://a.example/", "https://b.example/x", "B page"),
+                   ("https://d.example/", "u1", "one")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages(url VARCHAR, html BLOB)")
+    for u, h in rows:
+        con.execute("INSERT INTO pages VALUES (?, encode(?))", [u, h])
+    want = sorted(tuple(r) for r in
+                  con.execute(extract_links_sql()).fetchall())
+    assert got == want
+
+
+def test_extract_links_feeds_pagerank(spark):
+    # edges recovered from html must reproduce the synthetic formula
+    # edge list exactly (the pages -> link graph -> rank composition)
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.curation import extract_links
+    n = 50
+    d = spark.range(n).withColumnRenamed("id", "doc_id")
+    html = F.concat(F.lit('<x><a href="p'),
+                    ((F.col("doc_id") * 7 + 1) % n).cast("string"),
+                    F.lit('">n</a></x>'))
+    pages = d.select(F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+                      .alias("url"), F.encode(html, "utf-8").alias("html"))
+    edges = (extract_links(pages)
+             .select(F.regexp_extract("src_url", "p(\\d+)", 1)
+                      .cast("long").alias("src"),
+                     F.regexp_extract("dst_url", "p(\\d+)", 1)
+                      .cast("long").alias("dst")))
+    got = sorted(tuple(r) for r in edges.collect())
+    assert got == [(i, (i * 7 + 1) % n) for i in range(n)]
