@@ -433,3 +433,53 @@ def test_dup_span_intervals_plan_shape(spark):
     # data shuffle; doc-keyed agg + joins coalesce/broadcast here
     assert plan.count("- Exchange") == 1, plan
     assert "InPandas" not in plan and "Python" not in plan
+
+
+def test_hll_by_plan_two_exchanges_no_join(spark):
+    """Grouped HLL: (grp,bucket) partial max + grp agg — and NO grid
+    join (empty buckets are algebra, late-r5 PLANS.md)."""
+    from pandarus_spark.operators import sketch as K
+    docs = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    plan = K.hll_estimate_by(docs, "k", "g", p=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_cms_plan_one_exchange_broadcast_grid(spark):
+    """CMS build: partial agg collapses to <= d*w cells before the ONE
+    shuffle; the zero-fill grid join must broadcast."""
+    from pandarus_spark.operators import sketch as K
+    docs = spark.range(500).select(F.col("id").alias("k"))
+    plan = K.cms_counters(docs, "k", d=4, w=64)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_bottomk_plan_mapside_group_limit(spark):
+    """Bottom-k: WindowGroupLimit must run below the Exchange (map-side
+    per-salt top-k) and stage 2 must compile to TakeOrderedAndProject —
+    never a global sort of the input."""
+    from pandarus_spark.operators.curation import bottomk_sample
+    docs = spark.range(5000).withColumnRenamed("id", "doc_id")
+    plan = bottomk_sample(docs, k=10, n_salts=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2          # partial + final
+    assert "TakeOrderedAndProject" in plan
+    pre, post = plan.split("Exchange hashpartitioning", 1)
+    assert "WindowGroupLimit" in post                   # one below the shuffle
+
+
+def test_extract_links_plan_zero_shuffle(spark):
+    """Outlink extraction is a narrow map: no Exchange, no Python."""
+    from pandarus_spark.operators.curation import extract_links
+    pages = spark.range(100).select(
+        F.col("id").cast("string").alias("url"),
+        F.encode(F.lit('<a href="x">y</a>'), "utf-8").alias("html"))
+    plan = extract_links(pages)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
