@@ -1086,6 +1086,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.encode(html, "utf-8").alias("html"))
         return C.extract_links(pages)
 
+    def q_lsh_join_docs(spark, sf_dir):
+        # cross-corpus near-dup join (incremental-crawl shape): docs
+        # with doc_id % 3 == 0 play the new crawl, the rest the corpus
+        d = _docs(spark, sf_dir)
+        left = d.filter(F.col("doc_id") % 3 == 0)
+        right = d.filter(F.col("doc_id") % 3 != 0)
+        return D.minhash_lsh_join(left, right, num_hashes=16, bands=8,
+                                  k=3, threshold=0.5)
+
     def q_hll_registers_docs(spark, sf_dir):
         # integer-exact HyperLogLog register table over doc ids
         from pandarus_spark.operators import sketch as K
@@ -1287,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample_docs": q_bottomk_sample_docs,
         "cube_revenue_lineitem": q_cube_revenue_lineitem,
         "extract_links_docs": q_extract_links_docs,
+        "lsh_join_docs": q_lsh_join_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1945,6 +1955,10 @@ FROM documents WHERE doc_id < 200""",
         "bottomk_sample_docs": (
             "SELECT rank, key AS doc_id, h FROM ("
             + C.bottomk_sample_sql("doc_id", k=25) + ")"),
+        "lsh_join_docs": D.minhash_lsh_join_sql(
+            num_hashes=16, bands=8, k=3, threshold=0.5,
+            left_source="(SELECT * FROM documents WHERE doc_id % 3 = 0) l",
+            right_source="(SELECT * FROM documents WHERE doc_id % 3 != 0) r"),
         "extract_links_docs": C.extract_links_sql(source="""
 (SELECT 'https://example.org/page/' || doc_id AS url,
         encode('<html><body>' || CASE WHEN doc_id % 5 = 0 THEN '' ELSE

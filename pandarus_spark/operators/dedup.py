@@ -424,6 +424,96 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8, k: 
     return cross.unionByName(intra)
 
 
+def minhash_lsh_join(left: DataFrame, right: DataFrame,
+                     num_hashes: int = 16, bands: int = 8, k: int = 3,
+                     threshold: float = 0.5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """CROSS-corpus near-duplicate join — the incremental-crawl shape:
+    which documents of a new crawl (``left``) near-duplicate documents
+    already in the corpus (``right``)?  Output: (left_id, right_id,
+    jaccard) for every cross pair with exact shingle Jaccard >=
+    ``threshold`` that collides in >= 1 LSH band.
+
+    Same banded construction as :func:`minhash_lsh_pairs` but the
+    bucket join is left-bands x right-bands, so neither corpus ever
+    self-joins and the candidate volume is driven by CROSS collisions
+    only.  Identical texts across the sides share every band a
+    fortiori (recall 1 for exact cross-dups).  Exact-dup collapse
+    WITHIN each side is deliberately not built in — compose with
+    :func:`exact_dedup` per corpus first, which a production pipeline
+    does anyway; this keeps the operator a pure join.
+
+    Scale: only ids + 64-bit band keys shuffle for candidates; the
+    shingle arrays shuffle once per side for verification
+    (shuffle_hash — never driver-collected, same rationale as the
+    self-join)."""
+    rows_per_band = num_hashes // bands
+
+    def prep(docs, side):
+        sh = (docs.select(F.col(id_col).alias(f"{side}_id"),
+                          word_shingles(F.col(text_col), k).alias(f"sh_{side}"))
+                  .localCheckpoint(eager=True))   # feeds banding + verify
+        sigs = minhash_signatures(
+            sh.select(F.col(f"{side}_id").alias(id_col),
+                      F.col(f"sh_{side}").alias("_sh")),
+            num_hashes, k, text_col="_sh", id_col=id_col, pre_shingled=True)
+        banded = sigs.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.explode(F.array(*[
+                F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r]
+                                       for r in range(rows_per_band)])
+                for b in range(bands)])).alias("key"))
+        return sh, banded
+
+    sh_l, banded_l = prep(left, "left")
+    sh_r, banded_r = prep(right, "right")
+    cand = (banded_l.join(banded_r, "key")
+            .select("left_id", "right_id")
+            .dropDuplicates(["left_id", "right_id"]))
+    joined = (cand.join(sh_l.hint("shuffle_hash"), "left_id")
+                  .join(sh_r.hint("shuffle_hash"), "right_id"))
+    jac = (F.size(F.array_intersect("sh_left", "sh_right"))
+           / F.size(F.array_union("sh_left", "sh_right")))
+    return (joined.select("left_id", "right_id",
+                          F.round(jac, 6).alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_join_sql(num_hashes: int = 16, bands: int = 8, k: int = 3,
+                         threshold: float = 0.5,
+                         left_source: str = "documents",
+                         right_source: str = "documents",
+                         text_expr: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB lockstep oracle for :func:`minhash_lsh_join` (band
+    equality on the signature values directly, as in
+    :func:`minhash_lsh_sql`)."""
+    rows_per_band = num_hashes // bands
+    sh = shingles_sql(text_expr, k)
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.s{b * rows_per_band + r} = b.s{b * rows_per_band + r}"
+                           for r in range(rows_per_band)) + ")"
+        for b in range(bands))
+    sig_l = minhash_sql(num_hashes, source=left_source, text_expr=text_expr,
+                        id_col=id_col, k=k)
+    sig_r = minhash_sql(num_hashes, source=right_source, text_expr=text_expr,
+                        id_col=id_col, k=k)
+    return f"""
+WITH sh_l AS (SELECT {id_col} AS left_id, {sh} AS sh FROM {left_source}),
+sh_r AS (SELECT {id_col} AS right_id, {sh} AS sh FROM {right_source}),
+sig_l AS ({sig_l}),
+sig_r AS ({sig_r}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS left_id, b.{id_col} AS right_id
+  FROM sig_l a JOIN sig_r b ON ({band_conds})),
+pairs AS (
+  SELECT c.left_id, c.right_id,
+         round(len(list_intersect(x.sh, y.sh)) * 1.0
+               / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+  FROM cand c JOIN sh_l x USING (left_id) JOIN sh_r y USING (right_id))
+SELECT * FROM pairs WHERE jaccard >= {threshold}"""
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact all-pairs shingle Jaccard >= threshold via inverted-index

@@ -546,3 +546,31 @@ def test_ann_quantized_duckdb_parity_random(spark):
         S.ann_quantized_sql(k=2, refine_m=10, query_where="vec_id < 3"))
         .fetchall()))
     assert got == want
+
+
+def test_minhash_lsh_join_consistent_with_self_join(spark):
+    """Cross-corpus join == the union self-join restricted to cross
+    pairs (normalized to (least, greatest)), on the testdata corpus
+    split by doc_id % 3 — every construction constant shared."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = docs.filter(F.col("doc_id") % 3 == 0)
+    right = docs.filter(F.col("doc_id") % 3 != 0)
+    got = {(min(r.left_id, r.right_id), max(r.left_id, r.right_id), r.jaccard)
+           for r in D.minhash_lsh_join(left, right, num_hashes=16, bands=8,
+                                       threshold=0.2).collect()}
+    full = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8,
+                               threshold=0.2).collect()
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in full
+            if (r.doc_a % 3 == 0) != (r.doc_b % 3 == 0)}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_minhash_lsh_join_exact_cross_dup_recall(spark, docs):
+    """Identical texts across the two sides must always pair
+    (they share every band) with jaccard exactly 1.0."""
+    left = docs.filter(F.col("doc_id") == 0)   # exact dup of doc 3
+    right = docs.filter(F.col("doc_id") != 0)
+    out = {(r.left_id, r.right_id): r.jaccard
+           for r in D.minhash_lsh_join(left, right, threshold=0.5).collect()}
+    assert out[(0, 3)] == 1.0
