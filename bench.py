@@ -1100,6 +1100,62 @@ def job_round5_scale(spark, n: int) -> dict:
     return out
 
 
+def job_late5_scale(spark, n: int) -> dict:
+    """Late-round-5 operator throughput at scale: cross-corpus LSH join
+    (1/3 'new crawl' vs 2/3 'corpus' split of the synthetic corpus —
+    the dup structure guarantees cross hits), outlink extraction over
+    link-laced pages (pure-codegen narrow map), bottom-k sampling
+    (map-side WindowGroupLimit), and the CMS token sketch (ONE
+    bounded shuffle).  Each phase forced with the noop write; inputs
+    persist before timing."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators import curation as Cu
+    from pandarus_spark.operators import dedup as De
+    from pandarus_spark.operators import sketch as Sk
+
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+    out: dict = {"docs": n}
+
+    t0 = time.perf_counter()
+    left = docs.filter(F.col("doc_id") % 3 == 0)
+    right = docs.filter(F.col("doc_id") % 3 != 0)
+    pairs = De.minhash_lsh_join(left, right, num_hashes=16, bands=8,
+                                threshold=0.5)
+    _force(pairs)
+    out["lsh_join_sec"] = round(time.perf_counter() - t0, 3)
+    out["cross_pairs"] = pairs.count()
+
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://x.example/p/'),
+        ((i * 7 + 1) % n).cast("string"), F.lit('">n</a><a href="/r/'),
+        ((i * 13 + 2) % n).cast("string"), F.lit('">m</a><pre>'),
+        F.col("text"), F.lit("</pre></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://x.example/p/"), i.cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    pages.persist().count()
+    t0 = time.perf_counter()
+    links = Cu.extract_links(pages)
+    _force(links)
+    out["links_sec"] = round(time.perf_counter() - t0, 3)
+    out["links"] = links.count()
+    pages.unpersist()
+
+    t0 = time.perf_counter()
+    _force(Cu.bottomk_sample(docs, k=1000, n_salts=32))
+    out["bottomk_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    toks = docs.select(F.explode(De.words(F.col("text"))).alias("t"))
+    _force(Sk.cms_counters(toks, "t", d=4, w=4096))
+    out["cms_sec"] = round(time.perf_counter() - t0, 3)
+    docs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -1112,7 +1168,7 @@ def main() -> None:
                              "curation_scale", "asof_scale",
                              "decontam_scale", "temporal_skew",
                              "pipeline4_scale", "pipeline4c_scale",
-                             "postings_skew", "round5_scale"])
+                             "postings_skew", "round5_scale", "late5_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--force", default="noop", choices=["noop", "count"],
@@ -1251,6 +1307,24 @@ def main() -> None:
             "sf": args.n, "cpus": cpus,
             "mix_rows": res["mix_rows"],
             "semdedup_dups": res["semdedup_dups"],
+            "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "late5_scale":
+        res = job_late5_scale(spark, args.n)
+        total = (res["lsh_join_sec"] + res["links_sec"]
+                 + res["bottomk_sec"] + res["cms_sec"])
+        emit({
+            "metric": "late5_ops_scale",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"lsh_join": res["lsh_join_sec"],
+                        "extract_links": res["links_sec"],
+                        "bottomk_sample": res["bottomk_sec"],
+                        "cms_counters": res["cms_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "cross_pairs": res["cross_pairs"], "links": res["links"],
             "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import hash60, hash60_sql
+from .dedup import MINHASH_P, hash60, hash60_sql, minhash_coeffs
 
 # quotients of the estimate DIV land in int64 (Spark's DIV returns
 # LONG): estimate_micro ~ cardinality * 1e6, fine through ~9e12 keys
@@ -244,6 +244,18 @@ FROM s"""
 # Count-min sketch: heavy-hitter frequency estimation in bounded memory
 # --------------------------------------------------------------------------
 
+def _cms_cols(kcol, d: int, w: int):
+    """array<int> of the d column indices for one key: affine
+    permutations (shared ``minhash_coeffs`` literals) of ONE md5 base
+    hash — one md5 per input row, not d (the md5 dominated the first
+    cut: 18.8 -> 6.5 s on the 200k-doc bench leg)."""
+    base = F.pmod(hash60(kcol.cast("string")), F.lit(MINHASH_P))
+    return F.array(*[
+        F.pmod(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MINHASH_P)),
+               F.lit(w)).cast("int")
+        for a, b in minhash_coeffs(d)])
+
+
 def cms_counters(df: DataFrame, key, d: int = 4, w: int = 1024,
                  weight=None) -> DataFrame:
     """Count-min sketch counter grid over ``key``: d hash rows x w
@@ -252,8 +264,10 @@ def cms_counters(df: DataFrame, key, d: int = 4, w: int = 1024,
     bounded-memory token-frequency structure for a 10^12-row corpus
     where the exact vocabulary count table itself is too hot to keep.
 
-    Engine-exact: row r's hash is the shared md5 lane over
-    ``key || '|' || r`` mod w — integer ops only, identical in DuckDB.
+    Engine-exact: ONE shared md5 base hash per key; row r's column is
+    the affine permutation ``((a_r*base + b_r) mod P) mod w`` over the
+    shared ``minhash_coeffs`` literals — integer ops only, identical
+    in DuckDB, and the expensive md5 runs once per row, not d times.
     Scale: the explode is d narrow integer rows per input row and the
     partial agg collapses each task to <= d*w cells before the ONE
     shuffle, so shuffle volume is tasks * d * w regardless of input
@@ -264,15 +278,9 @@ def cms_counters(df: DataFrame, key, d: int = 4, w: int = 1024,
     kcol = F.col(key) if isinstance(key, str) else key
     wcol = F.lit(1).cast("long") if weight is None else weight.cast("long")
     e = (df.filter(kcol.isNotNull())
-           .select(kcol.cast("string").alias("k"), wcol.alias("wt"))
-           .select("k", "wt",
-                   F.explode(F.array(*[F.lit(i) for i in range(d)]))
-                    .alias("row")))
-    col_idx = F.pmod(hash60(F.concat_ws("|", F.col("k"),
-                                        F.col("row").cast("string"))),
-                     F.lit(w)).cast("int")
-    cells = (e.select("row", col_idx.alias("col"), "wt")
-              .groupBy("row", "col").agg(F.sum("wt").alias("cnt")))
+           .select(_cms_cols(kcol, d, w).alias("_cols"), wcol.alias("wt"))
+           .select(F.posexplode("_cols").alias("row", "col"), "wt"))
+    cells = e.groupBy("row", "col").agg(F.sum("wt").alias("cnt"))
     spark = df.sparkSession
     grid = (spark.range(d * w)
             .select((F.col("id") / w).cast("int").alias("row"),
@@ -293,15 +301,10 @@ def cms_lookup(counters: DataFrame, probes: DataFrame, key,
     probe side never shuffles for the join; the only exchange is the
     per-key min over d rows."""
     kcol = F.col(key) if isinstance(key, str) else key
-    e = (probes.select(kcol.cast("string").alias("k"))
-               .distinct()
-               .select("k",
-                       F.explode(F.array(*[F.lit(i) for i in range(d)]))
-                        .alias("row")))
-    col_idx = F.pmod(hash60(F.concat_ws("|", F.col("k"),
-                                        F.col("row").cast("string"))),
-                     F.lit(w)).cast("int")
-    probed = e.select("k", "row", col_idx.alias("col"))
+    probed = (probes.select(kcol.cast("string").alias("k"))
+                    .distinct()
+                    .select("k", _cms_cols(F.col("k"), d, w).alias("_cols"))
+                    .select("k", F.posexplode("_cols").alias("row", "col")))
     return (probed.join(F.broadcast(counters), ["row", "col"], "left")
                   .na.fill({"cnt": 0})
                   .groupBy("k").agg(F.min("cnt").alias("est"))
@@ -309,12 +312,29 @@ def cms_lookup(counters: DataFrame, probes: DataFrame, key,
                                            else "key"), "est"))
 
 
+def _cms_coeffs(d: int) -> tuple[str, str]:
+    """(list_a, list_b) DuckDB list literals of the shared affine
+    coefficients for ``d`` hash rows."""
+    from .dedup import minhash_coeffs
+    cs = minhash_coeffs(d)
+    return ("[" + ",".join(str(a) for a, _ in cs) + "]",
+            "[" + ",".join(str(b) for _, b in cs) + "]")
+
+
+def _cms_col_sql(d: int, w: int) -> str:
+    """col expression over (base, r.range) — affine permutation of the
+    shared base hash, mirroring :func:`_cms_cols`."""
+    la, lb = _cms_coeffs(d)
+    return (f"(({la}[r.range + 1] * base + {lb}[r.range + 1])"
+            f" % {MINHASH_P}) % {w}")
+
+
 def _cms_cells_sql(key_expr: str, d: int, w: int, source: str,
                    weight_expr: str = "1") -> str:
-    h = hash60_sql("k || '|' || CAST(r.range AS VARCHAR)")
+    h = hash60_sql(f"CAST({key_expr} AS VARCHAR)")
     return f"""
-  SELECT r.range AS row, {h} % {w} AS col, sum(wt) AS cnt
-  FROM (SELECT CAST({key_expr} AS VARCHAR) AS k,
+  SELECT r.range AS row, {_cms_col_sql(d, w)} AS col, sum(wt) AS cnt
+  FROM (SELECT {h} % {MINHASH_P} AS base,
                CAST({weight_expr} AS BIGINT) AS wt
         FROM {source} WHERE {key_expr} IS NOT NULL) t
   CROSS JOIN range({d}) r
@@ -339,11 +359,12 @@ def cms_lookup_sql(key_expr: str, probe_sql: str, d: int = 4,
                    weight_expr: str = "1") -> str:
     """DuckDB rendering of the build+probe pipeline: ``probe_sql``
     must yield one column ``k`` of probe keys."""
-    h = hash60_sql("p.k || '|' || CAST(r.range AS VARCHAR)")
+    h = hash60_sql("p.k")
     return f"""
 WITH cells AS ({_cms_cells_sql(key_expr, d, w, source, weight_expr)}),
-probes AS (SELECT DISTINCT k, r.range AS row, {h} % {w} AS col
-           FROM ({probe_sql}) p CROSS JOIN range({d}) r)
+pb AS (SELECT DISTINCT k, {h} % {MINHASH_P} AS base FROM ({probe_sql}) p),
+probes AS (SELECT k, r.range AS row, {_cms_col_sql(d, w)} AS col
+           FROM pb CROSS JOIN range({d}) r)
 SELECT probes.k, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
 FROM probes LEFT JOIN cells ON probes.row = cells.row AND probes.col = cells.col
 GROUP BY probes.k"""
