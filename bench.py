@@ -1122,10 +1122,11 @@ def job_late5_scale(spark, n: int) -> dict:
     left = docs.filter(F.col("doc_id") % 3 == 0)
     right = docs.filter(F.col("doc_id") % 3 != 0)
     pairs = De.minhash_lsh_join(left, right, num_hashes=16, bands=8,
-                                threshold=0.5)
+                                threshold=0.5).persist()
     _force(pairs)
     out["lsh_join_sec"] = round(time.perf_counter() - t0, 3)
-    out["cross_pairs"] = pairs.count()
+    out["cross_pairs"] = pairs.count()     # reads the cache, not a re-run
+    pairs.unpersist()
 
     i = F.col("doc_id")
     html = F.concat(
@@ -1138,10 +1139,11 @@ def job_late5_scale(spark, n: int) -> dict:
         F.encode(html, "utf-8").alias("html"))
     pages.persist().count()
     t0 = time.perf_counter()
-    links = Cu.extract_links(pages)
+    links = Cu.extract_links(pages).persist()
     _force(links)
     out["links_sec"] = round(time.perf_counter() - t0, 3)
     out["links"] = links.count()
+    links.unpersist()
     pages.unpersist()
 
     t0 = time.perf_counter()

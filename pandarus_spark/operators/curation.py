@@ -235,13 +235,20 @@ def bottomk_sample(df: DataFrame, k: int, key_col: str = "doc_id",
     spillable) and keeps k per bucket; stage 2 sorts the <= k*n_salts
     survivors globally — exact, because each of the true bottom-k is
     a fortiori in its own bucket's bottom-k.  Deterministic ties:
-    order is (hash, key)."""
+    order is (hash, key).
+
+    Semantics: ROW-granular — NULL keys are skipped, but a key that
+    appears on multiple rows can fill multiple sample slots (its rows
+    tie on hash and rank adjacently); when keys can repeat and the
+    sample must be key-distinct, dedup the key column first
+    (``exact_dedup`` / ``dropDuplicates``), which the merge use-case
+    does anyway."""
     from pyspark.sql import Window
     if k < 1 or n_salts < 1:
         raise ValueError("k and n_salts must be positive")
     key = F.col(key_col)
     u = hash60(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
-    keyed = df.select(key.alias("key"), u.alias("h"))
+    keyed = df.filter(key.isNotNull()).select(key.alias("key"), u.alias("h"))
     w1 = (Window.partitionBy(F.pmod(F.col("h"), F.lit(n_salts)))
                 .orderBy("h", "key"))
     survivors = (keyed.withColumn("rn", F.row_number().over(w1))
@@ -258,7 +265,8 @@ def bottomk_sample_sql(key_expr: str, k: int, salt: str = "sample",
     — the oracle is allowed the naive plan)."""
     u = hash60_sql(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
     return f"""
-WITH keyed AS (SELECT {key_expr} AS key, {u} AS h FROM {source}),
+WITH keyed AS (SELECT {key_expr} AS key, {u} AS h FROM {source}
+               WHERE {key_expr} IS NOT NULL),
 r AS (SELECT row_number() OVER (ORDER BY h, key) AS rank, key, h FROM keyed)
 SELECT CAST(rank AS INT) AS rank, key, h FROM r WHERE rank <= {k}"""
 

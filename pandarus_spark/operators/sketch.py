@@ -42,6 +42,39 @@ from .dedup import MINHASH_P, hash60, hash60_sql, minhash_coeffs
 _DEC = "DECIMAL(38,0)"
 
 
+def _hll_estimate_exprs(m: int, dialect: str) -> tuple[str, str, str]:
+    """(linear_counting, raw_estimate, branch_condition) SQL over the
+    columns ``n_zero`` / ``int_sum`` — ONE definition of the rational
+    alpha, the integer tie-break, and the integer branch inequality,
+    rendered per dialect so the grouped/global/SQL variants cannot
+    drift (review finding, late r5)."""
+    from ..functions.detmath import det_ln_micro_sql
+    w1 = 60 - (m.bit_length() - 1) + 1          # m = 2^p  =>  w1 = 60-p+1
+    num_c = 7213 * (m ** 3) * (1 << w1)
+    den_c = 10000 * m + 10790
+    big = _DEC if dialect == "spark" else "HUGEINT"
+    div = "DIV" if dialect == "spark" else "//"
+    lin = f"{m} * {det_ln_micro_sql(str(m), 'n_zero', dialect)}"
+    raw = (f"(2 * CAST({num_c} AS {big}) * 1000000 "
+           f"+ CAST({den_c} AS {big}) * int_sum) "
+           f"{div} (2 * CAST({den_c} AS {big}) * int_sum)")
+    cond = (f"n_zero > 0 AND 2 * CAST({num_c} AS {big}) "
+            f"<= 5 * {m} * CAST({den_c} AS {big}) * int_sum")
+    return lin, raw, cond
+
+
+def _hll_bucket_rho(kcol, p: int):
+    """(bucket, rho) Columns of the register derivation — shared by the
+    global and grouped paths."""
+    w_bits = 60 - p
+    h = hash60(kcol.cast("string"))
+    bucket = F.shiftright(h, w_bits)
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1).cast("long"))
+    rho = (F.when(w == 0, F.lit(w_bits + 1))
+            .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))).cast("int")
+    return bucket, rho
+
+
 def hll_registers(df: DataFrame, key, p: int = 8) -> DataFrame:
     """(bucket, reg) register table of the HLL sketch over ``key``
     (a column name or Column).  Empty buckets are materialized with
@@ -51,13 +84,8 @@ def hll_registers(df: DataFrame, key, p: int = 8) -> DataFrame:
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
-    w_bits = 60 - p
     col = F.col(key) if isinstance(key, str) else key
-    h = hash60(col.cast("string"))
-    bucket = F.shiftright(h, w_bits)
-    w = h.bitwiseAND(F.lit((1 << w_bits) - 1).cast("long"))
-    rho = (F.when(w == 0, F.lit(w_bits + 1))
-            .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))).cast("int")
+    bucket, rho = _hll_bucket_rho(col, p)
     regs = (df.filter(col.isNotNull())
               .select(bucket.alias("bucket"), rho.alias("rho"))
               .groupBy("bucket").agg(F.max("rho").alias("reg")))
@@ -87,19 +115,9 @@ def hll_estimate(df: DataFrame, key, p: int = 8) -> DataFrame:
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w1} - reg)"))
          .alias("int_sum"))
     # raw estimate num/den = alpha_m * m^2 * 2^w1 / int_sum with
-    # alpha_m = 7213*m/(10000*m + 10790):
-    #   num = 7213 * m^3 * 2^w1          (constant)
-    #   den = (10000*m + 10790) * int_sum
-    num_c = 7213 * (m ** 3) * (1 << w1)
-    den_c = 10000 * m + 10790
-    from ..functions.detmath import det_ln_micro_sql
-    lin = f"{m} * {det_ln_micro_sql(str(m), 'n_zero', 'spark')}"
-    raw = (f"(2 * CAST({num_c} AS {_DEC}) * 1000000 "
-           f"+ CAST({den_c} AS {_DEC}) * int_sum) "
-           f"DIV (2 * CAST({den_c} AS {_DEC}) * int_sum)")
-    # branch: E <= 2.5*m  <=>  2*num <= 5*m*den   (exact integers)
-    cond = (f"n_zero > 0 AND 2 * CAST({num_c} AS {_DEC}) "
-            f"<= 5 * {m} * CAST({den_c} AS {_DEC}) * int_sum")
+    # alpha_m = 7213*m/(10000*m + 10790); branch E <= 2.5*m is the
+    # integer inequality 2*num <= 5*m*den — see _hll_estimate_exprs
+    lin, raw, cond = _hll_estimate_exprs(m, "spark")
     return s.select(
         F.lit(m).cast("long").alias("m"), "n_zero", "int_sum",
         F.expr(f"CASE WHEN {cond} THEN {lin} ELSE {raw} END")
@@ -129,17 +147,9 @@ def hll_estimate_sql(key_expr: str, p: int = 8,
                      source: str = "documents") -> str:
     """DuckDB rendering of :func:`hll_estimate` (HUGEINT arithmetic,
     the same rational alpha, the same detmath linear-counting ln)."""
-    from ..functions.detmath import det_ln_micro_sql
     m = 1 << p
     w1 = 60 - p + 1
-    num_c = 7213 * (m ** 3) * (1 << w1)
-    den_c = 10000 * m + 10790
-    lin = f"{m} * {det_ln_micro_sql(str(m), 'n_zero', 'duckdb')}"
-    raw = (f"(2 * CAST({num_c} AS HUGEINT) * 1000000 "
-           f"+ CAST({den_c} AS HUGEINT) * int_sum) "
-           f"// (2 * CAST({den_c} AS HUGEINT) * int_sum)")
-    cond = (f"n_zero > 0 AND 2 * CAST({num_c} AS HUGEINT) "
-            f"<= 5 * {m} * CAST({den_c} AS HUGEINT) * int_sum")
+    lin, raw, cond = _hll_estimate_exprs(m, "duckdb")
     return f"""
 WITH regs AS ({hll_registers_sql(key_expr, p, source)}),
 s AS (
@@ -166,19 +176,14 @@ def hll_estimate_by(df: DataFrame, key, group, p: int = 8) -> DataFrame:
     contributes exactly ``2^(w1)`` to the harmonic integer sum, so
     ``int_sum = present_sum + n_zero * 2^w1``.  Two narrow shuffles
     (group+bucket, then group), both on integer keys."""
-    if p > 15:
-        raise ValueError("hll_estimate_by supports p <= 15 "
-                         "(DECIMAL(38,0) intermediate bound)")
+    if not 4 <= p <= 15:
+        raise ValueError("hll_estimate_by supports 4 <= p <= 15 "
+                         "(register sanity / DECIMAL(38,0) bound)")
     m = 1 << p
-    w_bits = 60 - p
-    w1 = w_bits + 1
+    w1 = 60 - p + 1
     kcol = F.col(key) if isinstance(key, str) else key
     gcol = F.col(group) if isinstance(group, str) else group
-    h = hash60(kcol.cast("string"))
-    bucket = F.shiftright(h, w_bits)
-    w = h.bitwiseAND(F.lit((1 << w_bits) - 1).cast("long"))
-    rho = (F.when(w == 0, F.lit(w1))
-            .otherwise(F.lit(w1) - F.length(F.bin(w)))).cast("int")
+    bucket, rho = _hll_bucket_rho(kcol, p)
     regs = (df.filter(kcol.isNotNull())
               .select(gcol.alias("grp"), bucket.alias("bucket"),
                       rho.alias("rho"))
@@ -187,15 +192,7 @@ def hll_estimate_by(df: DataFrame, key, group, p: int = 8) -> DataFrame:
         (F.lit(m) - F.count("*")).cast("long").alias("n_zero"),
         (F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w1} - reg)"))
          + (F.lit(m) - F.count("*")) * F.lit(1 << w1)).alias("int_sum"))
-    num_c = 7213 * (m ** 3) * (1 << w1)
-    den_c = 10000 * m + 10790
-    from ..functions.detmath import det_ln_micro_sql
-    lin = f"{m} * {det_ln_micro_sql(str(m), 'n_zero', 'spark')}"
-    raw = (f"(2 * CAST({num_c} AS {_DEC}) * 1000000 "
-           f"+ CAST({den_c} AS {_DEC}) * int_sum) "
-           f"DIV (2 * CAST({den_c} AS {_DEC}) * int_sum)")
-    cond = (f"n_zero > 0 AND 2 * CAST({num_c} AS {_DEC}) "
-            f"<= 5 * {m} * CAST({den_c} AS {_DEC}) * int_sum")
+    lin, raw, cond = _hll_estimate_exprs(m, "spark")
     return s.select(
         F.col("grp"), F.lit(m).cast("long").alias("m"), "n_zero", "int_sum",
         F.expr(f"CASE WHEN {cond} THEN {lin} ELSE {raw} END")
@@ -205,19 +202,11 @@ def hll_estimate_by(df: DataFrame, key, group, p: int = 8) -> DataFrame:
 def hll_estimate_by_sql(key_expr: str, group_expr: str, p: int = 8,
                         source: str = "documents") -> str:
     """DuckDB rendering of :func:`hll_estimate_by`."""
-    from ..functions.detmath import det_ln_micro_sql
     m = 1 << p
     w_bits = 60 - p
     w1 = w_bits + 1
-    num_c = 7213 * (m ** 3) * (1 << w1)
-    den_c = 10000 * m + 10790
     h = hash60_sql(f"CAST({key_expr} AS VARCHAR)")
-    lin = f"{m} * {det_ln_micro_sql(str(m), 'n_zero', 'duckdb')}"
-    raw = (f"(2 * CAST({num_c} AS HUGEINT) * 1000000 "
-           f"+ CAST({den_c} AS HUGEINT) * int_sum) "
-           f"// (2 * CAST({den_c} AS HUGEINT) * int_sum)")
-    cond = (f"n_zero > 0 AND 2 * CAST({num_c} AS HUGEINT) "
-            f"<= 5 * {m} * CAST({den_c} AS HUGEINT) * int_sum")
+    lin, raw, cond = _hll_estimate_exprs(m, "duckdb")
     return f"""
 WITH h AS (SELECT {group_expr} AS grp, {h} AS h FROM {source}
            WHERE {key_expr} IS NOT NULL),
@@ -243,6 +232,15 @@ FROM s"""
 # --------------------------------------------------------------------------
 # Count-min sketch: heavy-hitter frequency estimation in bounded memory
 # --------------------------------------------------------------------------
+
+def _cms_check(d: int, w: int) -> None:
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 hash rows and w >= 2 columns")
+    if d * w > (1 << 22):
+        raise ValueError("d*w cells must stay <= 2^22 (~4M) — the grid "
+                         "is broadcast on the probe side and zero-filled "
+                         "on the build side; larger sketches defeat both")
+
 
 def _cms_cols(kcol, d: int, w: int):
     """array<int> of the d column indices for one key: affine
@@ -273,8 +271,7 @@ def cms_counters(df: DataFrame, key, d: int = 4, w: int = 1024,
     shuffle, so shuffle volume is tasks * d * w regardless of input
     size (same contract as the HLL registers).  ``weight`` (optional
     integer Column) turns it into a weighted-frequency sketch."""
-    if d < 1 or w < 2:
-        raise ValueError("need d >= 1 hash rows and w >= 2 columns")
+    _cms_check(d, w)
     kcol = F.col(key) if isinstance(key, str) else key
     wcol = F.lit(1).cast("long") if weight is None else weight.cast("long")
     e = (df.filter(kcol.isNotNull())
@@ -300,6 +297,7 @@ def cms_lookup(counters: DataFrame, probes: DataFrame, key,
     The counter grid is d*w rows — broadcast by construction — so the
     probe side never shuffles for the join; the only exchange is the
     per-key min over d rows."""
+    _cms_check(d, w)
     kcol = F.col(key) if isinstance(key, str) else key
     probed = (probes.select(kcol.cast("string").alias("k"))
                     .distinct()
@@ -359,7 +357,7 @@ def cms_lookup_sql(key_expr: str, probe_sql: str, d: int = 4,
                    weight_expr: str = "1") -> str:
     """DuckDB rendering of the build+probe pipeline: ``probe_sql``
     must yield one column ``k`` of probe keys."""
-    h = hash60_sql("p.k")
+    h = hash60_sql("CAST(p.k AS VARCHAR)")
     return f"""
 WITH cells AS ({_cms_cells_sql(key_expr, d, w, source, weight_expr)}),
 pb AS (SELECT DISTINCT k, {h} % {MINHASH_P} AS base FROM ({probe_sql}) p),

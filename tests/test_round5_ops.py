@@ -402,6 +402,23 @@ def test_cms_upper_bound_and_merge(spark):
     assert gu == {k: ga[k] + gb[k] for k in ga}
 
 
+def test_sketch_guards(spark):
+    # review findings: grouped HLL must reject the same p range the
+    # global path does; the CMS grid guard must stop un-broadcastable
+    # sketches; bottom-k must skip NULL keys identically in both engines
+    from pandarus_spark.operators import sketch as K
+    from pandarus_spark.operators.curation import bottomk_sample
+    docs = _docs(spark, [(0, "a", "s"), (1, "b", "s"), (2, None, "s")])
+    with pytest.raises(ValueError):
+        K.hll_estimate_by(docs, "text", "source", p=3)
+    with pytest.raises(ValueError):
+        K.cms_counters(docs, "text", d=8, w=1 << 20)   # d*w > 2^22
+    with pytest.raises(ValueError):
+        K.cms_lookup(None, docs, "text", d=8, w=1 << 20)
+    out = bottomk_sample(docs, k=3, key_col="text").collect()
+    assert sorted(r.text for r in out) == ["a", "b"]   # NULL skipped
+
+
 def test_cms_weighted_and_duckdb_parity(spark):
     from pandarus_spark.operators import sketch as K
     import duckdb as dd
