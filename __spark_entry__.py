@@ -1043,6 +1043,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "cell long")
         return df.select("label", "cell")
 
+    def q_stream_hll_docs(spark, sf_dir):
+        # streaming HLL replay gate: the 2^p-bounded streaming state is
+        # the sketch; the final complete-mode table (zero-filled) must
+        # equal the batch register table over the same keys
+        import shutil
+        import tempfile
+
+        from pandarus_spark.streaming.stream import stream_hll_registers
+        docs = _docs(spark, sf_dir).select("doc_id")
+        src = tempfile.mkdtemp(prefix="ps_stream_hll_")
+        last: list = []
+
+        def sink(df, _epoch):
+            last.clear()                      # complete mode: latest wins
+            last.extend(df.collect())
+
+        ck = tempfile.mkdtemp(prefix="ps_stream_hll_ck_")
+        try:
+            docs.coalesce(4).write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(docs.schema).parquet(src)
+            out = stream_hll_registers(stream, "doc_id", p=8)
+            qy = (out.writeStream.foreachBatch(sink)
+                  .outputMode("complete")
+                  .option("checkpointLocation", ck)
+                  .trigger(availableNow=True).start())
+            if not qy.awaitTermination(300):
+                qy.stop()
+                raise TimeoutError("streaming HLL replay did not finish")
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(src, ignore_errors=True)
+        regs = spark.createDataFrame(last, "bucket long, reg int")
+        full = spark.range(1 << 8).select(F.col("id").alias("bucket"))
+        return (full.join(regs, "bucket", "left").na.fill({"reg": 0})
+                    .select("bucket", F.col("reg").cast("int").alias("reg")))
+
     def q_pmi_collocations_docs(spark, sf_dir):
         # top-20 adjacent-word collocations by integer micro-nat PMI
         return T.pmi_collocations(_docs(spark, sf_dir), k=20, min_count=3)
@@ -1297,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue_lineitem": q_cube_revenue_lineitem,
         "extract_links_docs": q_extract_links_docs,
         "lsh_join_docs": q_lsh_join_docs,
+        "stream_hll_docs": q_stream_hll_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1952,6 +1989,7 @@ FROM documents WHERE doc_id < 200""",
         "hll_estimate_docs": _sketch_estimate_sql(),
         "hll_by_lang_docs": _sketch_by_lang_sql(),
         "cms_counts_docs": _cms_counts_sql(),
+        "stream_hll_docs": _sketch_registers_sql(),
         "bottomk_sample_docs": (
             "SELECT rank, key AS doc_id, h FROM ("
             + C.bottomk_sample_sql("doc_id", k=25) + ")"),

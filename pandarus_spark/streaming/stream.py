@@ -76,6 +76,26 @@ def stream_tile_assignments(pages_stream: DataFrame, res: int = 12,
     return pages_stream.select("url", "warc_ts", "html").mapInPandas(gen, schema=TILED_SCHEMA)
 
 
+def stream_hll_registers(docs_stream: DataFrame, key, p: int = 8) -> DataFrame:
+    """Streaming HLL register table over ``key`` — the online form of
+    ``sketch.hll_registers``: registers merge by MAX, so a plain
+    streaming ``groupBy(bucket).max(rho)`` aggregation IS the sketch.
+    Streaming state is bounded at 2^p rows forever (the whole point of
+    sketching a 10^12-row stream), no watermark needed; run in
+    ``complete`` output mode and the latest emitted table equals the
+    batch register table over everything ingested so far (replay-gated
+    against the batch SQL oracle).  NULL keys are skipped, matching
+    the batch path."""
+    from ..operators.sketch import _hll_bucket_rho
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    kcol = F.col(key) if isinstance(key, str) else key
+    bucket, rho = _hll_bucket_rho(kcol, p)
+    return (docs_stream.filter(kcol.isNotNull())
+            .select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("reg")))
+
+
 def stream_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
                        ts_col: str | None = None,
                        watermark: str = "1 hour") -> DataFrame:

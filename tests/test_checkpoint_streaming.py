@@ -579,3 +579,39 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     want = {r["doc_id"] for r in decontaminate(docs, bench, k=5).collect()}
     assert got == want
     assert 0 < len(want) < docs.count()  # some dropped, some kept
+
+
+def test_stream_hll_registers_multi_batch_matches_batch(spark, tmp_path):
+    """The 2^p-bounded streaming state must merge registers by max
+    ACROSS batches: maxFilesPerTrigger=1 over 4 source files forces
+    four micro-batches, and the final complete-mode table must equal
+    the one-shot batch register table."""
+    import pytest
+    from pandarus_spark.operators.sketch import hll_registers
+    from pandarus_spark.streaming.stream import stream_hll_registers
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id"))
+    src = str(tmp_path / "hll_in")
+    docs.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    batches = []
+
+    def sink(df, _epoch):
+        batches.append({r["bucket"]: r["reg"] for r in df.collect()})
+
+    q = (stream_hll_registers(stream, "doc_id", p=8)
+         .writeStream.foreachBatch(sink).outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert len(batches) >= 2                    # genuinely multi-batch
+    want = {r["bucket"]: r["reg"] for r in
+            hll_registers(docs, "doc_id", p=8).collect() if r["reg"] > 0}
+    assert batches[-1] == want
+    # state monotonicity: registers only grow batch to batch
+    for a, b in zip(batches, batches[1:]):
+        assert all(a[k] <= b.get(k, 0) for k in a)
+    with pytest.raises(ValueError):
+        stream_hll_registers(stream, "doc_id", p=3)
