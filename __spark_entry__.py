@@ -94,6 +94,18 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _hits_oracle_sql() -> str:
+    from pandarus_spark.operators.graph import hits_sql
+    edges = ("SELECT doc_id AS src, "
+             "(doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst "
+             "FROM documents "
+             "UNION ALL "
+             "SELECT doc_id, "
+             "(doc_id * 13 + 2) % (SELECT count(*) FROM documents) "
+             "FROM documents")
+    return hits_sql(edges, n_iters=3)
+
+
 def _sketch_registers_sql() -> str:
     from pandarus_spark.operators import sketch as K
     return K.hll_registers_sql("doc_id", 8)
@@ -1100,6 +1112,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_dedup_keepers_docs(spark, sf_dir):
+        # quality-aware dedup: same simhash clusters as
+        # dup_clusters_docs, but keep the highest-quality member
+        # (integer micro-quality; tie -> min id)
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+        pairs = D.simhash_neardup_pairs(docs, max_hamming=3, bands=4)
+        clusters = D.duplicate_clusters(pairs, universe=docs)
+        scores = docs.select(
+            "doc_id",
+            F.round(T.quality_score(F.col("text")) * 1e6)
+             .cast("long").alias("score"))
+        return D.cluster_keepers(clusters, scores)
+
+    def q_length_quantiles_docs(spark, sf_dir):
+        # exact token-count quantiles per language via the bounded
+        # histogram (the scale path for corpus-wide distributions)
+        d = _docs(spark, sf_dir).select(
+            F.col("lang"), T.token_count(F.col("text")).alias("n_tokens"))
+        return C.hist_quantiles(d, "n_tokens", group_col="lang")
+
+    def q_hits_docs(spark, sf_dir):
+        # integer-exact HITS hubs/authorities over the same synthetic
+        # two-out-link graph as pagerank_docs (L-inf normalization)
+        from pandarus_spark.operators.graph import hits
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        e1 = d.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
+        e2 = d.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
+        return hits(e1.unionByName(e2), n_iters=3)
+
     def q_extract_links_docs(spark, sf_dir):
         # outlink extraction from synthetic link-laced pages: doc i's
         # page carries an absolute link to page (7i+1) mod n, a
@@ -1334,6 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links_docs": q_extract_links_docs,
         "lsh_join_docs": q_lsh_join_docs,
         "stream_hll_docs": q_stream_hll_docs,
+        "hits_docs": q_hits_docs,
+        "length_quantiles_docs": q_length_quantiles_docs,
+        "dedup_keepers_docs": q_dedup_keepers_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2015,6 +2062,16 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "pagerank_docs": _pagerank_oracle_sql(),
+        "hits_docs": _hits_oracle_sql(),
+        # same recursive-CTE cluster oracle as dup_clusters_docs, then
+        # the argmax-keeper SQL over integer micro-quality scores
+        "dedup_keepers_docs": D.cluster_keepers_sql(
+            dup_clusters,
+            f"SELECT doc_id, CAST(round({T.quality_score_sql('text')} * 1e6)"
+            f" AS BIGINT) AS score FROM documents WHERE doc_id < 150"),
+        "length_quantiles_docs": C.hist_quantiles_sql(
+            r"len(regexp_extract_all(coalesce(text, ''), "
+            r"'[\w]+|[^\w\s]'))", group_expr="lang"),
         "ccnet_split_docs": T.ccnet_split_sql(),
         "pmi_collocations_docs": T.pmi_collocations_sql(k=20, min_count=3),
         # doc_box formula inlined (same double-op order as

@@ -443,6 +443,83 @@ SELECT {group_col} AS source, count(*) AS n_docs,
 FROM {source} GROUP BY {group_col}"""
 
 
+def hist_quantiles(df: DataFrame, value_col: str,
+                   qs_milli: tuple[int, ...] = (250, 500, 750, 900, 990),
+                   group_col: str | None = None) -> DataFrame:
+    """Exact discrete quantiles of an integer measure via a bounded
+    HISTOGRAM — the corpus-distribution profiler (token-count /
+    doc-length percentiles per language, the numbers every curation
+    report leads with).  Output: (<group>, q_milli INT, value BIGINT,
+    n BIGINT) — ``value`` is the q/1000-quantile (discrete "lower"
+    convention: the smallest v whose cumulative count reaches
+    ``ceil(q * n / 1000)``), ``n`` the group's row count.
+
+    Scale (the 100 TB test): :func:`source_profile`'s builtin
+    ``percentile`` sorts each group's raw values — fine for
+    low-cardinality groups, wrong for a corpus-wide distribution.
+    Here the ONLY full-data shuffle is the partial-agg histogram on
+    (group, value) — map-side combine collapses each partition to at
+    most |distinct values| rows, bounded by the value domain (token
+    counts: ~1e5 distinct at any corpus size), NOT by corpus rows.
+    The cumulative window + quantile probe then run on the tiny
+    histogram.  Continuous measures must be bucketed by the caller
+    first (that keeps the boundedness contract explicit).
+
+    Determinism: pure integer arithmetic — the threshold test is
+    ``cum * 1000 >= q * n`` (no float division anywhere), so two
+    engines cannot disagree.  Bound: ``cum * 1000`` must stay in
+    int64 → supports ~9e15 rows per group (document-count scale is
+    1e12; fine).  NULL values are skipped (SQL aggregate convention);
+    qs_milli entries must lie in [1, 1000]."""
+    from pyspark.sql import Window
+    if not qs_milli or any(not 1 <= q <= 1000 for q in qs_milli):
+        raise ValueError("qs_milli entries must lie in [1, 1000]")
+    v = F.col(value_col).cast("long")
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("grp")
+    hist = (df.filter(v.isNotNull())
+              .groupBy(grp, v.alias("v"))
+              .agg(F.count("*").alias("c")))
+    wc = Window.partitionBy("grp").orderBy("v") \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("grp")
+    cum = (hist.withColumn("cum", F.sum("c").over(wc))
+               .withColumn("n", F.sum("c").over(wn)))
+    q = F.explode(F.array(*[F.lit(int(x)) for x in qs_milli])).alias("q_milli")
+    return (cum.select("grp", "v", "c", "cum", "n", q)
+               .filter((F.col("cum") * 1000 >= F.col("q_milli") * F.col("n"))
+                       & ((F.col("cum") - F.col("c")) * 1000
+                          < F.col("q_milli") * F.col("n")))
+               .select(F.col("grp").alias(group_col or "scope"),
+                       "q_milli", F.col("v").alias("value"), "n"))
+
+
+def hist_quantiles_sql(value_expr: str,
+                       qs_milli: tuple[int, ...] = (250, 500, 750, 900, 990),
+                       group_expr: str | None = None,
+                       source: str = "documents") -> str:
+    """DuckDB rendering of :func:`hist_quantiles` (same histogram +
+    integer threshold circuit; the oracle is allowed the naive
+    window)."""
+    if not qs_milli or any(not 1 <= q <= 1000 for q in qs_milli):
+        raise ValueError("qs_milli entries must lie in [1, 1000]")
+    g = group_expr if group_expr else "'all'"
+    gname = group_expr if group_expr else "scope"
+    qs = ", ".join(str(int(x)) for x in qs_milli)
+    return f"""
+WITH hist AS (
+  SELECT {g} AS grp, CAST({value_expr} AS BIGINT) AS v, count(*) AS c
+  FROM {source} WHERE {value_expr} IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT grp, v, c,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM hist),
+qs AS (SELECT unnest([{qs}]) AS q_milli)
+SELECT grp AS {gname}, q_milli, v AS value, n
+FROM cum, qs
+WHERE cum * 1000 >= q_milli * n AND (cum - c) * 1000 < q_milli * n"""
+
+
 def shard_corpus(docs, n_shards: int = 64, id_col: str = "doc_id"):
     """Deterministic training-order sharding: every document gets a
     ``(shard, pos)`` that is a pure function of its id — the data-order

@@ -704,6 +704,66 @@ SELECT u.{id_col}, coalesce(c.cluster_id, u.{id_col}) AS cluster_id
 FROM ({universe_sql}) u LEFT JOIN comp c USING ({id_col})"""
 
 
+def cluster_keepers(members: DataFrame, scores: DataFrame,
+                    id_col: str = "doc_id", cluster_col: str = "cluster_id",
+                    score_col: str = "score") -> DataFrame:
+    """Quality-aware dedup keeper selection: given cluster assignments
+    (:func:`duplicate_clusters` output) and a per-doc score, keep the
+    HIGHEST-scoring member of each cluster (tie → smallest id) instead
+    of the min-id convention — "dedup, but keep the best copy", the
+    form production pipelines actually want (pair it with
+    ``textstats.quality_score`` / ``gopher_quality``).  Output:
+    (doc_id, cluster_id, keep BOOLEAN) — one row per scored member.
+
+    Scale + skew (the 100 TB test): NOT a row_number window — a
+    boilerplate mega-cluster (a license page duplicated 10^8 times)
+    would sort one hot partition.  Instead the keeper is an argmax by
+    struct-max AGGREGATION — max(struct(score, -id)) — whose partial
+    aggregation collapses every cluster to one row map-side before the
+    shuffle (the dup_span_stats singleton-counting philosophy), then
+    one equi-join back (broadcast while the cluster table fits, AQE
+    skew-split beyond).  Determinism: keep is pure integer/ordering
+    comparison; feed an integer score (micro-units) so two engines
+    cannot disagree on ties — the contract every oracle here follows.
+
+    Members without a score row are dropped (inner join): score the
+    corpus first, or outer-join a floor score upstream if unscored
+    docs must survive."""
+    m = (members.select(F.col(id_col).cast("long").alias("__id"),
+                        F.col(cluster_col).alias("__cl"))
+                .join(scores.select(F.col(id_col).cast("long").alias("__id"),
+                                    F.col(score_col).alias("__s")), "__id"))
+    best = (m.groupBy("__cl")
+             .agg(F.max(F.struct(F.col("__s").alias("s"),
+                                 (-F.col("__id")).alias("ni"))).alias("b")))
+    return (m.join(best, "__cl")
+             .select(F.col("__id").alias(id_col),
+                     F.col("__cl").alias(cluster_col),
+                     ((F.col("__s") == F.col("b.s"))
+                      & (F.col("__id") == -F.col("b.ni"))).alias("keep")))
+
+
+def cluster_keepers_sql(members_sql: str, scores_sql: str,
+                        id_col: str = "doc_id",
+                        cluster_col: str = "cluster_id",
+                        score_col: str = "score") -> str:
+    """DuckDB rendering of :func:`cluster_keepers` (max score per
+    cluster, min id among the maximal — the same argmax semantics
+    without the struct encoding)."""
+    return f"""
+WITH m AS (SELECT mm.{id_col}, mm.{cluster_col}, ss.{score_col}
+           FROM ({members_sql}) mm JOIN ({scores_sql}) ss
+           USING ({id_col})),
+b AS (SELECT {cluster_col}, max({score_col}) AS bs
+      FROM m GROUP BY {cluster_col}),
+k AS (SELECT m.{cluster_col}, min(m.{id_col}) AS kid
+      FROM m JOIN b ON m.{cluster_col} = b.{cluster_col}
+                    AND m.{score_col} = b.bs
+      GROUP BY m.{cluster_col})
+SELECT m.{id_col}, m.{cluster_col}, m.{id_col} = k.kid AS keep
+FROM m JOIN k ON m.{cluster_col} = k.{cluster_col}"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -74,6 +74,105 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
     return r.select(F.col("node"), F.col("r").alias("rank_micro"))
 
 
+def hits(edges: DataFrame, n_iters: int = 5,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs & authorities) over an edge
+    list.  Output: (node, hub_micro BIGINT, auth_micro BIGINT) for
+    every node appearing as src or dst.
+
+    Same determinism contract as :func:`pagerank`, different
+    normalization problem: textbook HITS rescales by the L2 norm
+    (a sqrt — order-sensitive float), so this variant normalizes by
+    the MAXIMUM instead (L-infinity): after each half-step,
+    ``score = (raw * 1e6) DIV max(raw)``.  Max is an order-free
+    integer aggregate, the product is exact in DECIMAL(38,0) (raw <=
+    n * 1e6 ~ 9e18 at 10^12 nodes; * 1e6 stays inside 38 digits), and
+    floor division is identical on both engines (non-negative
+    operands), so the circuit is bit-identical everywhere.  L-inf
+    normalization preserves the score ORDERING each iteration (it is
+    a positive rescale), which is what ranking consumers use; the top
+    hub/authority reads exactly 1_000_000.
+
+    Plan shape (100 TB test): per iteration, one src- or dst-keyed
+    join of the node-sized score table against the edge list
+    (broadcast while it fits, SHJ beyond) + one partial-agg shuffle,
+    then a SCALAR max (one-row agg, crossJoin-broadcast back — no
+    data shuffle); the score table localCheckpoints per half-step so
+    plans stay O(1) in the iteration count.  Parallel edges honored,
+    matching the SQL twin.  Nodes with no in-edges (resp. out-edges)
+    score authority (resp. hub) 0; an empty edge set yields all
+    zeros (the max is clamped to >= 1, never a divide-by-zero)."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be positive")
+    e = (edges.select(F.col(src_col).cast("long").alias("u"),
+                      F.col(dst_col).cast("long").alias("v"))
+              .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("u").alias("node"))
+              .unionByName(e.select(F.col("v").alias("node")))
+              .distinct()
+              .localCheckpoint(eager=False))
+    norm = (f"CAST(raw AS DECIMAL(38,0)) * {MICRO} "
+            f"DIV greatest(maxraw, CAST(1 AS BIGINT))")
+
+    def _half(score, edge_key, agg_key):
+        # score(edge_key) flows to agg_key; then L-inf normalize
+        raw = (e.join(score.withColumnRenamed("node", edge_key), edge_key)
+                .groupBy(F.col(agg_key).alias("node"))
+                .agg(F.sum("s").alias("raw")))
+        mx = raw.agg(F.max("raw").alias("maxraw"))
+        return (nodes.join(raw, "node", "left")
+                     .na.fill({"raw": 0})
+                     .crossJoin(F.broadcast(mx))
+                     .select("node",
+                             F.expr(norm).cast("long").alias("s"))
+                     .localCheckpoint(eager=False))
+
+    h = nodes.select("node", F.lit(MICRO).cast("long").alias("s"))
+    a = None
+    for _ in range(n_iters):
+        a = _half(h, "u", "v")      # authority(v) = sum of hub(u), u->v
+        h = _half(a, "v", "u")      # hub(u) = sum of authority(v), u->v
+    return (h.withColumnRenamed("s", "hub_micro")
+             .join(a.withColumnRenamed("s", "auth_micro"), "node")
+             .select("node", "hub_micro", "auth_micro"))
+
+
+def hits_sql(edges_sql: str, n_iters: int = 5,
+             src_col: str = "src", dst_col: str = "dst") -> str:
+    """DuckDB rendering of :func:`hits`: the identical arithmetic
+    circuit as chained CTEs (one authority/hub pair per iteration;
+    HUGEINT carries the DECIMAL(38,0) product)."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be positive")
+    parts = [f"""e AS (SELECT CAST({src_col} AS BIGINT) AS u,
+                            CAST({dst_col} AS BIGINT) AS v
+                     FROM ({edges_sql})),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+h0 AS (SELECT node, CAST({MICRO} AS BIGINT) AS s FROM nodes)"""]
+
+    def _half(out, inn, edge_key, agg_key):
+        return f"""{out}_raw AS (
+  SELECT e.{agg_key} AS node, sum({inn}.s) AS raw
+  FROM e JOIN {inn} ON e.{edge_key} = {inn}.node
+  GROUP BY e.{agg_key}),
+{out} AS (
+  SELECT nodes.node,
+         CAST(CAST(coalesce({out}_raw.raw, 0) AS HUGEINT) * {MICRO}
+              // greatest((SELECT coalesce(max(raw), 0) FROM {out}_raw),
+                          CAST(1 AS HUGEINT)) AS BIGINT) AS s
+  FROM nodes LEFT JOIN {out}_raw ON nodes.node = {out}_raw.node)"""
+
+    for i in range(1, n_iters + 1):
+        parts.append(_half(f"a{i}", f"h{i - 1}", "u", "v"))
+        parts.append(_half(f"h{i}", f"a{i}", "v", "u"))
+    body = ",\n".join(parts)
+    return (f"WITH {body}\n"
+            f"SELECT h{n_iters}.node, h{n_iters}.s AS hub_micro, "
+            f"a{n_iters}.s AS auth_micro\n"
+            f"FROM h{n_iters} JOIN a{n_iters} "
+            f"ON h{n_iters}.node = a{n_iters}.node")
+
+
 def pagerank_sql(edges_sql: str, n_iters: int = 10,
                  src_col: str = "src", dst_col: str = "dst") -> str:
     """DuckDB rendering of :func:`pagerank`: the identical arithmetic

@@ -473,6 +473,36 @@ def test_bottomk_plan_mapside_group_limit(spark):
     assert "WindowGroupLimit" in post                   # one below the shuffle
 
 
+def test_hist_quantiles_plan_histogram_before_window(spark):
+    """Exact quantiles: the ONLY full-data Exchange is the (grp, v)
+    histogram partial agg (map-side combine — 'partial_count' below
+    the shuffle); the cumulative window re-shuffles the bounded
+    histogram only.  No Python anywhere."""
+    from pandarus_spark.operators.curation import hist_quantiles
+    docs = spark.range(5000).select((F.col("id") % 3).cast("string")
+                                    .alias("g"), (F.col("id") % 97).alias("v"))
+    plan = hist_quantiles(docs, "v", group_col="g")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cluster_keepers_plan_aggregates_not_window(spark):
+    """Keeper selection must be the skew-proof argmax AGGREGATION
+    (partial max collapses mega-clusters map-side), never a
+    row_number window sort over the cluster partition."""
+    from pandarus_spark.operators.dedup import cluster_keepers
+    members = spark.range(5000).select(F.col("id").alias("doc_id"),
+                                       (F.col("id") % 7).alias("cluster_id"))
+    scores = spark.range(5000).select(F.col("id").alias("doc_id"),
+                                      (F.col("id") % 11).alias("score"))
+    plan = cluster_keepers(members, scores)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "partial_max" in plan
+    assert "Window" not in plan, plan
+
+
 def test_extract_links_plan_zero_shuffle(spark):
     """Outlink extraction is a narrow map: no Exchange, no Python."""
     from pandarus_spark.operators.curation import extract_links

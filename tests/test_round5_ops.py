@@ -473,6 +473,167 @@ def test_pagerank_rejects_bad_iters(spark):
         pagerank(e, n_iters=0)
 
 # ---------------------------------------------------------------------------
+# hits
+# ---------------------------------------------------------------------------
+
+def _hits_python(edges, n_iters):
+    """The hits() arithmetic circuit in pure Python (exact ints)."""
+    from collections import defaultdict
+    from pandarus_spark.operators.graph import MICRO
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+
+    def half(score, flip):
+        raw = defaultdict(int)
+        for a, b in edges:
+            if flip:
+                raw[a] += score[b]
+            else:
+                raw[b] += score[a]
+        mx = max([raw[n] for n in nodes] or [0]) or 1
+        return {n: (raw[n] * MICRO) // mx for n in nodes}
+
+    h = {n: MICRO for n in nodes}
+    a = {}
+    for _ in range(n_iters):
+        a = half(h, flip=False)
+        h = half(a, flip=True)
+    return sorted((n, h[n], a[n]) for n in nodes)
+
+
+def test_hits_matches_python_circuit(spark):
+    from pandarus_spark.operators.graph import MICRO, hits
+    # hub 0 points at everything; 3 is the shared authority; a
+    # parallel edge (1,3)x2 and a dst-only node 4 (hub must be 0)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 3), (1, 3), (2, 3), (2, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srows = sorted(tuple(r) for r in hits(e, n_iters=3).collect())
+    assert srows == _hits_python(edges, 3)
+    out = {n: (h, a) for n, h, a in srows}
+    assert out[3][1] == MICRO          # top authority normalized to 1e6
+    assert out[1][0] == MICRO          # top hub: the parallel edge wins
+    assert 0 < out[0][0] < MICRO       # fan-out hub, short of the double edge
+    assert out[4][0] == 0              # dst-only node: no hub mass
+    assert out[0][1] == 0              # src-only node: no authority
+
+
+def test_hits_duckdb_parity(spark):
+    from pandarus_spark.operators.graph import hits, hits_sql
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(2, 5), (2, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srows = sorted(tuple(r) for r in hits(e, n_iters=4).collect())
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = hits_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)", n_iters=4)
+    orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert srows == orows
+
+
+def test_hits_rejects_bad_iters(spark):
+    from pandarus_spark.operators.graph import hits
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(e, n_iters=0)
+
+# ---------------------------------------------------------------------------
+# hist_quantiles
+# ---------------------------------------------------------------------------
+
+def test_hist_quantiles_hand_computed(spark):
+    # values 1..10, one row each: q-quantile (lower/disc) of n=10 is
+    # the ceil(q*10/1000)-th value
+    rows = [(i, "g") for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = {r.q_milli: (r.value, r.n)
+           for r in C.hist_quantiles(df, "v",
+                                     qs_milli=(1, 100, 250, 500, 501,
+                                               900, 999, 1000)).collect()}
+    assert out == {1: (1, 10), 100: (1, 10), 250: (3, 10), 500: (5, 10),
+                   501: (6, 10), 900: (9, 10), 999: (10, 10),
+                   1000: (10, 10)}
+
+
+def test_hist_quantiles_grouped_with_ties_and_nulls(spark):
+    # group a: [2,2,2,7]; group b: [5]; one NULL skipped
+    rows = [("a", 2), ("a", 2), ("a", 2), ("a", 7), ("b", 5), ("b", None)]
+    df = spark.createDataFrame(rows, "lang string, v long")
+    out = sorted(tuple(r) for r in
+                 C.hist_quantiles(df, "v", qs_milli=(500, 750, 1000),
+                                  group_col="lang").collect())
+    assert out == [("a", 500, 2, 4), ("a", 750, 2, 4), ("a", 1000, 7, 4),
+                   ("b", 500, 5, 1), ("b", 750, 5, 1), ("b", 1000, 5, 1)]
+
+
+def test_hist_quantiles_duckdb_parity(spark):
+    rows = [(i, f"l{i % 3}", (i * i) % 23) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v long")
+    srows = sorted(tuple(r) for r in
+                   C.hist_quantiles(df, "v", group_col="lang").collect())
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{l}', {v})" for i, l, v in rows)
+    con.execute(f"CREATE TABLE documents AS SELECT * FROM (VALUES {vals}) "
+                "t(doc_id, lang, v)")
+    orows = sorted(tuple(r) for r in con.execute(
+        C.hist_quantiles_sql("v", group_expr="lang")).fetchall())
+    assert srows == orows
+
+
+# ---------------------------------------------------------------------------
+# cluster_keepers
+# ---------------------------------------------------------------------------
+
+def test_cluster_keepers_argmax_and_ties(spark):
+    from pandarus_spark.operators.dedup import cluster_keepers
+    members = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long")
+    # cluster 0: doc 1 wins on score; cluster 4: tie -> min id (4)
+    scores = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 50), (3, 1), (4, 7), (5, 7)],
+        "doc_id long, score long")
+    out = {r.doc_id: r.keep
+           for r in cluster_keepers(members, scores).collect()}
+    assert out == {0: False, 1: True, 2: False, 3: True,
+                   4: True, 5: False}
+
+
+def test_cluster_keepers_drops_unscored_members(spark):
+    from pandarus_spark.operators.dedup import cluster_keepers
+    members = spark.createDataFrame([(0, 0), (1, 0)],
+                                    "doc_id long, cluster_id long")
+    scores = spark.createDataFrame([(1, 5)], "doc_id long, score long")
+    rows = cluster_keepers(members, scores).collect()
+    assert [(r.doc_id, r.keep) for r in rows] == [(1, True)]
+
+
+def test_cluster_keepers_duckdb_parity(spark):
+    from pandarus_spark.operators.dedup import (cluster_keepers,
+                                                cluster_keepers_sql)
+    mem = [(i, i % 5) for i in range(25)]
+    sc = [(i, (i * 13) % 9) for i in range(25)]       # repeated scores
+    members = spark.createDataFrame(mem, "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(sc, "doc_id long, score long")
+    srows = sorted(tuple(r)
+                   for r in cluster_keepers(members, scores).collect())
+    con = duckdb.connect()
+    mv = ", ".join(f"({a}, {b})" for a, b in mem)
+    sv = ", ".join(f"({a}, {b})" for a, b in sc)
+    sql = cluster_keepers_sql(
+        f"SELECT * FROM (VALUES {mv}) t(doc_id, cluster_id)",
+        f"SELECT * FROM (VALUES {sv}) t(doc_id, score)")
+    orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert srows == orows
+
+
+def test_hist_quantiles_rejects_bad_qs(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        C.hist_quantiles(df, "v", qs_milli=(0, 500))
+    with pytest.raises(ValueError):
+        C.hist_quantiles(df, "v", qs_milli=())
+    with pytest.raises(ValueError):
+        C.hist_quantiles_sql("v", qs_milli=(1001,))
+
+# ---------------------------------------------------------------------------
 # ccnet_split
 # ---------------------------------------------------------------------------
 
