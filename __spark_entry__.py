@@ -106,6 +106,17 @@ def _hits_oracle_sql() -> str:
     return hits_sql(edges, n_iters=3)
 
 
+def _triangles_oracle_sql() -> str:
+    from pandarus_spark.operators.graph import triangles_sql
+    n = "(SELECT count(*) FROM documents)"
+    edges = (f"SELECT doc_id AS src, (doc_id + 1) % {n} AS dst FROM documents "
+             f"UNION ALL "
+             f"SELECT doc_id, (doc_id + 2) % {n} FROM documents "
+             f"UNION ALL "
+             f"SELECT doc_id, (doc_id * 7 + 1) % {n} FROM documents")
+    return triangles_sql(edges)
+
+
 def _sketch_registers_sql() -> str:
     from pandarus_spark.operators import sketch as K
     return K.hll_registers_sql("doc_id", 8)
@@ -1144,6 +1155,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return hits(e1.unionByName(e2), n_iters=3)
 
+    def q_triangles_docs(spark, sf_dir):
+        # per-node triangle counts over a deterministic chain+skip+
+        # modular graph: (i, i+1), (i, i+2) guarantee n triangles,
+        # (i, 7i+1) adds irregular degree so the degree-ordered
+        # orientation path is exercised
+        from pandarus_spark.operators.graph import triangles
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        i = F.col("doc_id")
+        e = (d.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+              .unionByName(d.select(i.alias("src"),
+                                    ((i + 2) % n).alias("dst")))
+              .unionByName(d.select(i.alias("src"),
+                                    ((i * 7 + 1) % n).alias("dst"))))
+        return triangles(e)
+
+    def q_bm25_docs(spark, sf_dir):
+        # integer-exact BM25 top-k retrieval against the corpus's own
+        # vocabulary (detmath idf, 10*sdl-scaled rational tf component)
+        return T.bm25_topk(_docs(spark, sf_dir),
+                           ("spark", "join", "window"), k=25)
+
     def q_extract_links_docs(spark, sf_dir):
         # outlink extraction from synthetic link-laced pages: doc i's
         # page carries an absolute link to page (7i+1) mod n, a
@@ -1381,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_docs": q_hits_docs,
         "length_quantiles_docs": q_length_quantiles_docs,
         "dedup_keepers_docs": q_dedup_keepers_docs,
+        "triangles_docs": q_triangles_docs,
+        "bm25_docs": q_bm25_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2063,6 +2098,8 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "pagerank_docs": _pagerank_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
+        "triangles_docs": _triangles_oracle_sql(),
+        "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

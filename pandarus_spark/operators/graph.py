@@ -137,6 +137,110 @@ def hits(edges: DataFrame, n_iters: int = 5,
              .select("node", "hub_micro", "auth_micro"))
 
 
+def triangles(edges: DataFrame,
+              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an edge list (the clustering-
+    coefficient numerator — the classic spam/link-farm signal on web
+    graphs: organic neighborhoods close triangles, farms don't).
+    Output: (node, n_tri BIGINT), zero-filled, for every node with at
+    least one non-loop edge (a node appearing ONLY in self-loops is
+    not in the simple graph and is dropped with its loops) —
+    integer-exact, so bit-identical everywhere.
+
+    Semantics: the graph is treated as UNDIRECTED and SIMPLE — edge
+    direction, parallel edges, and self-loops are all collapsed/
+    dropped before counting, matching the SQL twin.
+
+    Plan shape (100 TB test): the skew answer is DEGREE-ORDERED
+    ORIENTATION — each undirected edge is directed from its lower
+    (degree, id) endpoint to the higher, so every triangle is
+    enumerated exactly once (at its unique vertex with two out-edges
+    inside the triangle) and per-vertex wedge generation is bounded by
+    C(out_deg, 2) with out_deg = O(sqrt(m)) — the O(m^1.5) bound of
+    the classic MapReduce triangle algorithms, immune to the 10^8-in-
+    degree hub that breaks naive neighbor-joins.  Shuffles: canonical
+    distinct (1), degree partial-agg (1, node-keyed), two node-keyed
+    orientation joins against the node-sized degree table (broadcast
+    while it fits, SHJ beyond), the src-keyed wedge self-join, and the
+    (p,q)-keyed closure equi-join against the canonical edges.  No
+    crossJoin, no all-pairs anywhere.
+
+    No reference counterpart: pandarus has no graph layer."""
+    e0 = (edges.select(F.col(src_col).cast("long").alias("u"),
+                       F.col(dst_col).cast("long").alias("v"))
+               .filter(F.col("u") != F.col("v")))
+    # canonical undirected simple edges: a < b
+    e = (e0.select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("a").alias("node"))
+              .unionByName(e.select(F.col("b").alias("node")))
+              .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg")))
+    # orient a<->b from lower (deg, id) to higher: a total order, so
+    # each triangle has exactly one vertex with out-degree 2 in it
+    lower = (F.col("da") < F.col("db")) | \
+            ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = (e.join(deg.select(F.col("node").alias("a"),
+                           F.col("deg").alias("da")), "a")
+          .join(deg.select(F.col("node").alias("b"),
+                           F.col("deg").alias("db")), "b")
+          .select(F.when(lower, F.col("a")).otherwise(F.col("b")).alias("x"),
+                  F.when(lower, F.col("b")).otherwise(F.col("a")).alias("y"))
+          .localCheckpoint(eager=False))
+    # wedges at x: unordered out-neighbor pairs, canonical p < q by id
+    l, r = o.alias("l"), o.alias("r")
+    w = (l.join(r, (F.col("l.x") == F.col("r.x")) &
+                   (F.col("l.y") < F.col("r.y")))
+          .select(F.col("l.x").alias("x"),
+                  F.col("l.y").alias("p"), F.col("r.y").alias("q")))
+    # closure: wedge (p, q) is a triangle iff canonical edge (p, q)
+    tri = w.join(e, (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")))
+    per_node = (tri.select(F.col("x").alias("node"))
+                   .unionByName(tri.select(F.col("p").alias("node")))
+                   .unionByName(tri.select(F.col("q").alias("node")))
+                   .groupBy("node").agg(F.count("*").alias("n_tri")))
+    return (nodes.join(per_node, "node", "left")
+                 .na.fill({"n_tri": 0})
+                 .select("node", F.col("n_tri").cast("long").alias("n_tri")))
+
+
+def triangles_sql(edges_sql: str,
+                  src_col: str = "src", dst_col: str = "dst") -> str:
+    """DuckDB rendering of :func:`triangles`: the identical circuit —
+    canonicalize, degree-order, orient, wedge self-join, closure join,
+    charge each triangle to all three corners."""
+    return f"""
+WITH e0 AS (SELECT CAST({src_col} AS BIGINT) AS u,
+                   CAST({dst_col} AS BIGINT) AS v
+            FROM ({edges_sql}) WHERE {src_col} <> {dst_col}),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+deg AS (SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                  THEN e.a ELSE e.b END AS x,
+             CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                  THEN e.b ELSE e.a END AS y
+      FROM e JOIN deg da ON e.a = da.node
+             JOIN deg db ON e.b = db.node),
+w AS (SELECT l.x, l.y AS p, r.y AS q
+      FROM o l JOIN o r ON l.x = r.x AND l.y < r.y),
+tri AS (SELECT w.x, w.p, w.q
+        FROM w JOIN e ON w.p = e.a AND w.q = e.b),
+per_node AS (SELECT node, count(*) AS n_tri
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT p FROM tri
+                   UNION ALL SELECT q FROM tri)
+             GROUP BY node)
+SELECT nodes.node, CAST(coalesce(per_node.n_tri, 0) AS BIGINT) AS n_tri
+FROM nodes LEFT JOIN per_node ON nodes.node = per_node.node"""
+
+
 def hits_sql(edges_sql: str, n_iters: int = 5,
              src_col: str = "src", dst_col: str = "dst") -> str:
     """DuckDB rendering of :func:`hits`: the identical arithmetic

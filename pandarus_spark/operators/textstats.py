@@ -1075,3 +1075,119 @@ r AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, gram) AS rank
 SELECT gram, CAST(c12 AS BIGINT) AS c12, CAST(pmi_micro AS BIGINT) AS pmi_micro,
        CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (integer-exact)
+# ---------------------------------------------------------------------------
+
+def bm25_topk(docs: DataFrame, terms: tuple[str, ...], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents for a term query under BM25 — the classic
+    ranked-retrieval scorer, the query-side complement of
+    :func:`postings_sample`'s index side (quality-prior selection and
+    targeted-corpus carving both reduce to "rank the corpus against a
+    term list").  Output: (doc_id, n_hit, score_micro), the k highest
+    scores, ties broken by doc_id ascending.
+
+    INTEGER-EXACT rendering of Lucene-variant BM25 (k1 = 1.2,
+    b = 0.75, idf = ln((N+1)/(df+0.5)) — always positive, no df > N/2
+    negative-idf branch):
+
+    * idf in integer micro-nats via ``detmath.det_ln_micro(2N+2,
+      2df+1)`` — both arguments integers, no libm;
+    * the tf component tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) with
+      avgdl = Σdl/N is an exact rational; multiplying through by
+      10·Σdl gives num = 22·tf·Σdl, den = 10·tf·Σdl + 3·Σdl + 9·dl·N
+      — integers;
+    * per-(doc,term) score = (idf_micro · num) div den, evaluated in
+      DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact up to
+      idf·22·tf·Σdl ≈ 1e26 at 10^13 corpus tokens, far inside both;
+      the per-doc total is an int64 SUM of those — order-free under
+      any partitioning, so the output is bit-identical everywhere
+      (the float-determinism contract, COVERAGE.md).
+
+    Plan shape (100 TB test): dl = size(words) is computed MAP-SIDE on
+    the scan (no tokenized corpus ever shuffles); the token explode is
+    FILTERED to the query terms before the first Exchange, so the only
+    full-data shuffle carries candidate (doc, term, tf) rows — corpus
+    rows without a query term exit at the scan; (N, Σdl) is a one-row
+    scalar agg broadcast back; df/idf live on a |terms|-row table
+    (broadcast); the final top-k is orderBy+limit =
+    TakeOrderedAndProject, never a global sort.
+
+    No reference counterpart: pandarus has no retrieval layer; BM25 is
+    public (Robertson et al.; the Lucene idf variant)."""
+    from ..functions.detmath import det_ln_micro_col
+    from .dedup import words
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be positive")
+    tset = [t.lower() for t in terms]
+    d = docs.select(F.col(id_col),
+                    F.size(words(F.col(text_col))).alias("dl"),
+                    words(F.col(text_col)).alias("__w"))
+    stats = d.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+    cand = d.select(
+        id_col, "dl",
+        F.explode(F.filter("__w", lambda x: x.isin(*tset))).alias("token"))
+    tf = cand.groupBy(id_col, "dl", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = (dfq.crossJoin(F.broadcast(stats))
+              .select("token",
+                      det_ln_micro_col("2 * n + 2", "2 * df + 1")
+                      .alias("idf_m")))
+    score = F.expr(
+        "CAST((CAST(idf_m AS DECIMAL(38,0)) * 22 * tf * sdl) DIV "
+        "(CAST(10 AS DECIMAL(38,0)) * tf * sdl + "
+        "CAST(3 AS DECIMAL(38,0)) * sdl + "
+        "CAST(9 AS DECIMAL(38,0)) * dl * n) AS BIGINT)")
+    per_doc = (tf.join(F.broadcast(idf), "token")
+                 .crossJoin(F.broadcast(stats))
+                 .select(id_col, score.alias("s"))
+                 .groupBy(id_col)
+                 .agg(F.count("*").alias("n_hit"),
+                      F.sum("s").alias("score_micro")))
+    return (per_doc.orderBy(F.col("score_micro").desc(), F.col(id_col))
+                   .limit(k)
+                   .select(id_col, F.col("n_hit").cast("long").alias("n_hit"),
+                           F.col("score_micro").cast("long")
+                            .alias("score_micro")))
+
+
+def bm25_topk_sql(terms: tuple[str, ...], k: int = 20,
+                  source: str = "documents", text_expr: str = "text",
+                  id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`bm25_topk` — the identical integer
+    circuit (same detmath idf, same 10·Σdl-scaled rational, HUGEINT
+    carries the DECIMAL(38,0) product)."""
+    from ..functions.detmath import det_ln_micro_sql
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be positive")
+    w = WORDS_SQL.format(t=text_expr)
+    tlist = ", ".join("'" + t.lower().replace("'", "''") + "'"
+                      for t in terms)
+    idf_m = det_ln_micro_sql("2 * stats.n + 2", "2 * dfq.df + 1", "duckdb")
+    return f"""
+WITH d AS (SELECT {id_expr} AS doc_id, len({w}) AS dl, {w} AS w
+           FROM {source}),
+stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM d),
+cand AS (SELECT doc_id, dl, unnest(w) AS token FROM d),
+tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM cand
+       WHERE token IN ({tlist}) GROUP BY doc_id, dl, token),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+idf AS (SELECT dfq.token, {idf_m} AS idf_m FROM dfq, stats),
+sc AS (SELECT tf.doc_id,
+              CAST(CAST(idf.idf_m AS HUGEINT) * 22 * tf.tf * stats.sdl
+                   // (CAST(10 AS HUGEINT) * tf.tf * stats.sdl
+                       + CAST(3 AS HUGEINT) * stats.sdl
+                       + CAST(9 AS HUGEINT) * tf.dl * stats.n)
+                   AS BIGINT) AS s
+       FROM tf JOIN idf ON tf.token = idf.token, stats)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       CAST(sum(s) AS BIGINT) AS score_micro
+FROM sc GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id LIMIT {k}"""

@@ -513,3 +513,37 @@ def test_extract_links_plan_zero_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_plan_filtered_candidates_topk_no_sort(spark):
+    """BM25: the query-term filter must run BEFORE the first Exchange
+    (only candidate (doc, term) rows shuffle — corpus rows without a
+    query term exit at the scan), the |terms|-row idf table and the
+    one-row stats must broadcast, and the final top-k must be
+    TakeOrderedAndProject, never a global Sort.  No Python anywhere."""
+    from pandarus_spark.operators.textstats import bm25_topk
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("spark join pad"),
+                 (F.col("id") % 5).cast("string")).alias("text"))
+    plan = bm25_topk(docs, ("spark", "join"), k=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    # the explode is over filter(__w, ...) — pre-shuffle candidate cut
+    assert "array_filter" in plan or "filter(" in plan, plan
+
+
+def test_triangles_plan_equi_joins_only(spark):
+    """Triangle counting: every join must be an equi-join (hash or
+    broadcast) — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere — and the closure probe must be a join keyed on the
+    (p, q) edge pair, not an all-pairs check.  No Python anywhere."""
+    from pandarus_spark.operators.graph import triangles
+    e = spark.range(2000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 500).alias("dst"))
+    plan = triangles(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan

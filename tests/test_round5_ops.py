@@ -716,3 +716,113 @@ def test_pmi_duckdb_parity_and_min_count(spark):
     assert srows == orows
     # truncated single-word grams never rank (contains ' ' filter)
     assert all(" " in g for g, *_ in srows)
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+def _tri_brute(edges):
+    import itertools
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for p in und for x in p})
+    cnt = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for x in (a, b, c):
+                cnt[x] += 1
+    return sorted(cnt.items())
+
+
+def test_triangles_matches_brute_force(spark):
+    from pandarus_spark.operators.graph import triangles
+    # two shared-edge triangles + a pendant + an isolated pair, plus
+    # direction flips, parallel edges, and a self-loop-only node
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 2),
+             (5, 5), (1, 0), (0, 1), (6, 7), (4, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = sorted((r.node, r.n_tri) for r in triangles(e).collect())
+    assert out == _tri_brute(edges)
+    # node 5 (self-loop only) is not in the simple graph
+    assert 5 not in {n for n, _ in out}
+    # zero-filled: pendant/isolated nodes present with 0
+    d = dict(out)
+    assert d[8] == 0 and d[6] == 0 and d[7] == 0
+
+
+def test_triangles_duckdb_parity_skewed_hub(spark):
+    from pandarus_spark.operators.graph import triangles, triangles_sql
+    # hub 0 connected to everyone + a ring: many triangles at the hub;
+    # degree-ordered orientation must still count each exactly once
+    n = 12
+    edges = [(0, i) for i in range(1, n)] + \
+            [(i, i % (n - 1) + 1) for i in range(1, n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srows = sorted(tuple(r) for r in triangles(e).collect())
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = triangles_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)")
+    orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert srows == orows == _tri_brute(edges)
+
+
+def test_triangles_empty_and_triangle_free(spark):
+    from pandarus_spark.operators.graph import triangles
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = {r.node: r.n_tri for r in triangles(e).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0}   # path graph: no triangles
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangles(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+def test_bm25_semantics(spark):
+    from pandarus_spark.operators.textstats import bm25_topk
+    rows = [(0, "spark join table the fast", "a"),
+            (1, "spark spark spark", "a"),
+            (2, "window agg row", "a"),
+            (3, None, "a"),
+            (4, "join the JOIN Spark", "a"),
+            (5, "table " * 30 + "spark", "a")]
+    out = bm25_topk(_docs(spark, rows), ("spark", "join"), k=10).collect()
+    got = {r.doc_id: (r.n_hit, r.score_micro) for r in out}
+    # doc 2 and the NULL doc match nothing -> absent from the ranking
+    assert 2 not in got and 3 not in got
+    # case-insensitive: doc 4 hits both terms
+    assert got[4][0] == 2
+    # both-term docs outrank the single-term docs
+    assert got[4][1] > got[1][1] and got[0][1] > got[1][1]
+    # long doc with one hit scores below short doc with one hit
+    assert got[5][1] < got[1][1]
+    # k cap + deterministic order (score desc, id asc)
+    top2 = bm25_topk(_docs(spark, rows), ("spark", "join"), k=2).collect()
+    full = sorted(out, key=lambda r: (-r.score_micro, r.doc_id))
+    assert [r.doc_id for r in top2] == [r.doc_id for r in full[:2]]
+
+
+def test_bm25_duckdb_parity(spark):
+    from pandarus_spark.operators.textstats import bm25_topk, bm25_topk_sql
+    rows = [(i, " ".join(["spark"] * (i % 4) + ["join"] * (i % 3) +
+                         ["pad"] * (i % 7)), "s") for i in range(25)]
+    srows = [tuple(r) for r in
+             bm25_topk(_docs(spark, rows), ("spark", "join"), k=8).collect()]
+    con = duckdb.connect()
+    vals = ", ".join("(%d, '%s')" % (i, t) for i, t, _ in rows)
+    con.execute(f"CREATE TABLE documents AS "
+                f"SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    orows = con.execute(bm25_topk_sql(("spark", "join"), k=8)).fetchall()
+    assert srows == orows
+
+
+def test_bm25_guards(spark):
+    from pandarus_spark.operators.textstats import bm25_topk, bm25_topk_sql
+    d = _docs(spark, [(0, "x", "s")])
+    with pytest.raises(ValueError):
+        bm25_topk(d, ())
+    with pytest.raises(ValueError):
+        bm25_topk(d, ("x",), k=0)
+    with pytest.raises(ValueError):
+        bm25_topk_sql(())
