@@ -1155,6 +1155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return hits(e1.unionByName(e2), n_iters=3)
 
+    def q_winnow_docs(spark, sf_dir):
+        # MOSS winnowing fingerprints: per-window min shingle hash,
+        # rightmost on ties, deduped — integer-exact packed-key circuit
+        return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
     def q_triangles_docs(spark, sf_dir):
         # per-node triangle counts over a deterministic chain+skip+
         # modular graph: (i, i+1), (i, i+2) guarantee n triangles,
@@ -1416,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers_docs": q_dedup_keepers_docs,
         "triangles_docs": q_triangles_docs,
         "bm25_docs": q_bm25_docs,
+        "winnow_docs": q_winnow_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2100,6 +2106,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),
+        "winnow_docs": D.winnow_fingerprints_sql(k=4, w=5),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

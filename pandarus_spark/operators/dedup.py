@@ -1354,3 +1354,112 @@ SELECT doc_id,
        CAST(u.z[2] AS INT) AS span_end,
        CAST(u.z[2] - u.z[1] + 1 AS BIGINT) AS span_words
 FROM (SELECT doc_id, unnest(z) AS z FROM iv) u(doc_id, z)"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme)
+# ---------------------------------------------------------------------------
+
+_WPOW = 1 << 40                      # position field width in the packed key
+_WMASK = _WPOW - 1
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints — the MOSS local fingerprinting
+    scheme (Schleimer, Wilkerson & Aiken, SIGMOD 2003): slide a window
+    of ``w`` consecutive k-word shingle hashes over each document and
+    select the MINIMUM hash per window (rightmost occurrence on ties),
+    then dedupe the selections.  Output: ``(id_col, fp_pos INT,
+    fp BIGINT)`` — the selected (1-based word position, shingle id)
+    pairs, a ~``2/(w+1)``-density fingerprint set with the winnowing
+    GUARANTEE: any substring match of at least ``w + k - 1`` words
+    between two documents shares at least one fingerprint, so a
+    fingerprint equi-join is a recall-1 candidate generator for
+    local (sub-document) overlap — the positional complement of
+    MinHash (whole-doc similarity) and :func:`dup_span_stats` (every
+    shingle).
+
+    INTEGER-EXACT tie-breaking without an argmin: each (shingle, pos)
+    packs into one DECIMAL(38,0) key ``shingle * 2^40 + (2^40-1 -
+    pos)`` (shingle < 2^62, pos < 2^40 ⇒ key < 2^102, inside both
+    DECIMAL(38,0) and HUGEINT), so a single window MIN yields the
+    smallest hash with the RIGHTMOST position — bit-identical on both
+    engines.  Documents shorter than one full window contribute their
+    global minimum (the pos=1 truncated window).
+
+    Plan shape (100 TB test): the positional shingle ids are the
+    rolling-hash arrays (partition-local, no shuffle), checkpointed
+    once like the span ops — without the checkpoint,
+    ``InferFiltersFromGenerate`` synthesizes ``size(_ids) > 0`` from
+    the posexplode and re-inlines the whole md5 fold into the Filter
+    (the shingle_id_rows trap, plan-pinned here too); the ONLY
+    full-data Exchange is the doc-keyed window shuffle, and the
+    dedupe-selections step is a ``groupBy(doc).collect_set`` that
+    REUSES the window's hashpartitioning (no second exchange,
+    plan-pinned); set sizes are bounded by the document's own length.
+
+    No reference counterpart: pandarus has no text layer; the
+    algorithm is the published winnowing paper."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    arrs = shingle_id_pos_arrays(docs, k=k, text_col=text_col,
+                                 keep=[id_col]).localCheckpoint(eager=False)
+    pos = arrs.select(F.col(id_col), F.size("_ids").alias("_n"),
+                      F.posexplode("_ids").alias("_p0", "shingle"))
+    key = F.expr(f"CAST(shingle AS DECIMAL(38,0)) * {_WPOW} "
+                 f"+ ({_WMASK} - (_p0 + 1))")
+    win = (Window.partitionBy(id_col).orderBy("_p0")
+                 .rowsBetween(Window.currentRow, w - 1))
+    sel = (pos.select(id_col, "_n", "_p0", key.alias("_key"))
+              .select(id_col, "_n", "_p0",
+                      F.min("_key").over(win).alias("_wc"))
+              .filter(F.col("_p0") + 1 <=
+                      F.greatest(F.col("_n") - (w - 1), F.lit(1)))
+              .groupBy(id_col)
+              .agg(F.collect_set("_wc").alias("_s")))
+    return (sel.select(F.col(id_col), F.explode("_s").alias("_wc"))
+               .select(id_col,
+                       (F.lit(_WMASK) - F.expr(f"_wc % {_WPOW}"))
+                       .cast("int").alias("fp_pos"),
+                       F.expr(f"_wc DIV {_WPOW}").cast("long").alias("fp")))
+
+
+def winnow_fingerprints_sql(source: str = "documents", k: int = 5,
+                            w: int = 4, text_expr: str = "text",
+                            id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`winnow_fingerprints` — lockstep
+    lanes, the same packed HUGEINT key, the same truncated-window
+    rule."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    h1, h2 = shingle_id_lanes_sql(text_expr)
+    ids = shingle_ids_pos_over_sql("h1", "h2", k)
+    return f"""
+WITH dl AS (
+  SELECT {id_expr} AS doc_id, {h1} AS h1, {h2} AS h2 FROM {source}),
+ida AS (
+  SELECT doc_id, {ids} AS ids FROM dl),
+pos AS (
+  SELECT doc_id, len(ids) AS n, unnest(ids) AS shingle,
+         unnest(range(1, len(ids) + 1)) AS pos
+  FROM ida),
+win AS (
+  SELECT doc_id, n, pos,
+         min(CAST(shingle AS HUGEINT) * {_WPOW}
+             + ({_WMASK} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wc
+  FROM pos),
+sel AS (
+  SELECT DISTINCT doc_id, wc FROM win
+  WHERE pos <= greatest(n - {w - 1}, 1))
+SELECT doc_id,
+       CAST({_WMASK} - (wc % {_WPOW}) AS INT) AS fp_pos,
+       CAST(wc // {_WPOW} AS BIGINT) AS fp
+FROM sel"""

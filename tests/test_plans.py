@@ -547,3 +547,21 @@ def test_triangles_plan_equi_joins_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winnow_plan_one_exchange_no_inlined_fold(spark):
+    """Winnowing: exactly ONE full-data Exchange (the doc-keyed window
+    shuffle) — the collect_set dedupe must REUSE the window's
+    partitioning — and the checkpoint must keep the md5 rolling-hash
+    fold out of any synthesized Filter (the InferFiltersFromGenerate
+    trap shingle_id_rows documents).  No Python anywhere."""
+    from pandarus_spark.operators.dedup import winnow_fingerprints
+    rows = [(i, "w x y z a b c d e f%d" % (i % 7)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = winnow_fingerprints(docs, k=3, w=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "md5" not in line and "zip_with" not in line, line
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan

@@ -826,3 +826,78 @@ def test_bm25_guards(spark):
         bm25_topk(d, ("x",), k=0)
     with pytest.raises(ValueError):
         bm25_topk_sql(())
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+def _winnow_ref(arr, w):
+    """Pure-Python basic winnowing over given shingle-id arrays:
+    per window, min hash, rightmost on ties."""
+    ref = set()
+    for did, ids in arr.items():
+        n = len(ids)
+        for i in range(0, max(n - w + 1, 1)):
+            best = None
+            for j in range(i, min(i + w, n)):
+                cand = (ids[j], -(j + 1))
+                if best is None or cand < best:
+                    best = cand
+            ref.add((did, -best[1], best[0]))
+    return sorted(ref)
+
+
+def test_winnow_three_way_parity(spark):
+    from pandarus_spark.operators.dedup import (
+        winnow_fingerprints, winnow_fingerprints_sql, shingle_id_pos_arrays)
+    rows = [(0, "a b c d e f g h i j", "s"),
+            (1, "x y a b c d e f q r s", "s"),   # shares 6 words with 0
+            (2, "z", "s"),                        # shorter than k
+            (3, None, "s"),
+            (4, "m n", "s"),                      # shorter than the window
+            (5, "t t t t t t t t", "s")]          # identical shingles: ties
+    d = _docs(spark, rows)
+    K, W = 3, 4
+    out = sorted(tuple(r) for r in
+                 winnow_fingerprints(d, k=K, w=W).collect())
+    con = duckdb.connect()
+    vals = ", ".join("(%d, %s)" % (i, "NULL" if t is None else "'" + t + "'")
+                     for i, t, _ in rows)
+    con.execute(f"CREATE TABLE documents AS "
+                f"SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    orc = sorted(con.execute(winnow_fingerprints_sql(k=K, w=W)).fetchall())
+    arr = {r.doc_id: r._ids for r in
+           shingle_id_pos_arrays(d, k=K, keep=["doc_id"]).collect()}
+    assert out == orc == _winnow_ref(arr, W)
+    # every doc contributes at least one fingerprint (truncated window)
+    assert {i for i, _, _ in out} == {0, 1, 2, 3, 4, 5}
+    # tie storm: doc 5's identical shingles still dedupe to one fp value
+    assert len({fp for i, _, fp in out if i == 5}) == 1
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    from pandarus_spark.operators.dedup import winnow_fingerprints
+    # docs share a substring of w + k - 1 = 6 words -> the winnowing
+    # guarantee promises at least one common fingerprint VALUE
+    rows = [(0, "p q r shared one two three four five six tail0", "s"),
+            (1, "a b c d shared one two three four five six z w", "s"),
+            (2, "totally different words here apple pear plum", "s")]
+    out = winnow_fingerprints(_docs(spark, rows), k=3, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2])
+
+
+def test_winnow_guards(spark):
+    from pandarus_spark.operators.dedup import (
+        winnow_fingerprints, winnow_fingerprints_sql)
+    d = _docs(spark, [(0, "x", "s")])
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, w=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints_sql(w=0)
