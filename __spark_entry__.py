@@ -1160,6 +1160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_winnow_pairs_docs(spark, sf_dir):
+        # local-overlap candidate pairs via shared winnowing
+        # fingerprints (min_shared=2, boilerplate valve at df<=50)
+        return D.winnow_overlap_pairs(_docs(spark, sf_dir), k=4, w=5,
+                                      min_shared=2, max_df=50)
+
     def q_triangles_docs(spark, sf_dir):
         # per-node triangle counts over a deterministic chain+skip+
         # modular graph: (i, i+1), (i, i+2) guarantee n triangles,
@@ -1422,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_docs": q_triangles_docs,
         "bm25_docs": q_bm25_docs,
         "winnow_docs": q_winnow_docs,
+        "winnow_pairs_docs": q_winnow_pairs_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2107,6 +2114,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),
         "winnow_docs": D.winnow_fingerprints_sql(k=4, w=5),
+        "winnow_pairs_docs": D.winnow_overlap_pairs_sql(
+            k=4, w=5, min_shared=2, max_df=50),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

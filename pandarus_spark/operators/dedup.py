@@ -1463,3 +1463,84 @@ SELECT doc_id,
        CAST({_WMASK} - (wc % {_WPOW}) AS INT) AS fp_pos,
        CAST(wc // {_WPOW} AS BIGINT) AS fp
 FROM sel"""
+
+
+def winnow_overlap_pairs(docs: DataFrame, k: int = 5, w: int = 4,
+                         min_shared: int = 1, max_df: int | None = None,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Candidate local-overlap pairs via shared winnowing fingerprints
+    — what the fingerprints are FOR: by the winnowing guarantee, any
+    two documents sharing a substring of at least ``w + k - 1`` words
+    share at least one fingerprint VALUE, so the fingerprint equi-join
+    is a recall-1 candidate generator for sub-document overlap (the
+    local analogue of MinHash-LSH's whole-document candidates).
+    Output: ``(doc_a, doc_b, n_shared BIGINT)`` with doc_a < doc_b and
+    n_shared = number of DISTINCT shared fingerprint values >=
+    ``min_shared``.
+
+    ``max_df`` is the boilerplate valve: a fingerprint appearing in
+    more than ``max_df`` documents (a ubiquitous footer shingle) would
+    generate O(df^2) candidate pairs; dropping those fingerprints
+    BEFORE the self-join bounds per-key join fan-out at the price of
+    recall on matches covered ONLY by boilerplate — the same
+    trade the LSH band caps and the Lee-et-al span filters make,
+    and it is deterministic (a count threshold), so the SQL twin
+    drops exactly the same keys.
+
+    Plan shape (100 TB test): the per-doc distinct (doc, fp) reuses
+    :func:`winnow_fingerprints`'s doc-partitioning (no extra
+    Exchange); the df-filter window and the self-join share the ONE
+    fp-keyed Exchange of id-only rows (text never shuffles); the pair
+    count is a partial-agg shuffle of candidate pairs only."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_df is not None and max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    # checkpoint before the self-join: without it BOTH join sides
+    # re-run the md5 fold + window pipeline (the dup_span hot-scan
+    # discipline; r4 ADVICE #4 flagged exactly this recompute shape)
+    fp = (winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                              id_col=id_col)
+          .select(F.col(id_col).alias("_id"), "fp").distinct()
+          .localCheckpoint(eager=False))
+    if max_df is not None:
+        cnt = Window.partitionBy("fp")
+        fp = (fp.withColumn("_df", F.count("*").over(cnt))
+                .filter(F.col("_df") <= max_df)
+                .drop("_df"))
+    l, r = fp.alias("l"), fp.alias("r")
+    pairs = (l.join(r, (F.col("l.fp") == F.col("r.fp")) &
+                       (F.col("l._id") < F.col("r._id")))
+              .groupBy(F.col("l._id").alias("doc_a"),
+                       F.col("r._id").alias("doc_b"))
+              .agg(F.count("*").alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    return pairs.select("doc_a", "doc_b",
+                        F.col("n_shared").cast("long").alias("n_shared"))
+
+
+def winnow_overlap_pairs_sql(source: str = "documents", k: int = 5,
+                             w: int = 4, min_shared: int = 1,
+                             max_df: int | None = None,
+                             text_expr: str = "text",
+                             id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`winnow_overlap_pairs` (the winnowing
+    CTE, the same deterministic df drop, the same ordered self-join)."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_df is not None and max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    base = winnow_fingerprints_sql(source=source, k=k, w=w,
+                                   text_expr=text_expr, id_expr=id_expr)
+    df_filter = (f" QUALIFY count(*) OVER (PARTITION BY fp) <= {max_df}"
+                 if max_df is not None else "")
+    return f"""
+WITH wfp AS ({base}),
+fpd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+fpv AS (SELECT doc_id, fp FROM fpd{df_filter})
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpv l JOIN fpv r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY l.doc_id, r.doc_id
+HAVING count(*) >= {min_shared}"""

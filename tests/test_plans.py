@@ -565,3 +565,18 @@ def test_winnow_plan_one_exchange_no_inlined_fold(spark):
         if "Filter" in line:
             assert "md5" not in line and "zip_with" not in line, line
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winnow_overlap_plan_checkpointed_fp_table(spark):
+    """Overlap pairs: the (doc, fp) table must be checkpointed before
+    the self-join — the md5 winnowing pipeline runs ONCE, never once
+    per join side — leaving only id-keyed exchanges (fp x2 for the
+    self-join, pair partial agg) in the final plan."""
+    from pandarus_spark.operators.dedup import winnow_overlap_pairs
+    rows = [(i, "w x y z a b c d e f%d" % (i % 7)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = winnow_overlap_pairs(docs, k=3, w=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "md5" not in plan, "winnow pipeline re-inlined into the join"
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan

@@ -901,3 +901,53 @@ def test_winnow_guards(spark):
         winnow_fingerprints(d, w=0)
     with pytest.raises(ValueError):
         winnow_fingerprints_sql(w=0)
+
+
+# ---------------------------------------------------------------------------
+# winnow_overlap_pairs
+# ---------------------------------------------------------------------------
+
+def test_winnow_overlap_guarantee_and_parity(spark):
+    from pandarus_spark.operators.dedup import (
+        winnow_overlap_pairs, winnow_overlap_pairs_sql)
+    rows = [(0, "p q r shared one two three four five six tail0", "s"),
+            (1, "a b c d shared one two three four five six z w", "s"),
+            (2, "totally different words here apple pear plum", "s"),
+            (3, "shared one two three four five six", "s"),
+            (4, None, "s"),
+            (5, "p q r shared one two three four five six tail0", "s")]
+    d = _docs(spark, rows)
+    con = duckdb.connect()
+    vals = ", ".join("(%d, %s)" % (i, "NULL" if t is None else "'" + t + "'")
+                     for i, t, _ in rows)
+    con.execute(f"CREATE TABLE documents AS "
+                f"SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    for kw in ({"k": 3, "w": 4}, {"k": 3, "w": 4, "min_shared": 2},
+               {"k": 3, "w": 4, "max_df": 3}):
+        out = sorted(tuple(r) for r in
+                     winnow_overlap_pairs(d, **kw).collect())
+        orc = sorted(con.execute(winnow_overlap_pairs_sql(**kw)).fetchall())
+        assert out == orc, kw
+    # guarantee: every pair sharing the >= w+k-1 = 6-word run is found
+    got = {(a, b) for a, b, _ in winnow_overlap_pairs(d, k=3, w=4).collect()}
+    for p in [(0, 1), (0, 3), (1, 3), (0, 5), (1, 5), (3, 5)]:
+        assert p in got, p
+    # disjoint / NULL docs never pair
+    assert not any(2 in p or 4 in p for p in got)
+    # max_df drops the boilerplate-run fps (df=4 > 3): only the exact
+    # dup (0,5) survives on its unique-tail fingerprints
+    capped = {(a, b) for a, b, _ in
+              winnow_overlap_pairs(d, k=3, w=4, max_df=3).collect()}
+    assert capped == {(0, 5)}
+
+
+def test_winnow_overlap_guards(spark):
+    from pandarus_spark.operators.dedup import (
+        winnow_overlap_pairs, winnow_overlap_pairs_sql)
+    d = _docs(spark, [(0, "x", "s")])
+    with pytest.raises(ValueError):
+        winnow_overlap_pairs(d, min_shared=0)
+    with pytest.raises(ValueError):
+        winnow_overlap_pairs(d, max_df=1)
+    with pytest.raises(ValueError):
+        winnow_overlap_pairs_sql(max_df=1)
