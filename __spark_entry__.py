@@ -1160,6 +1160,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_crawl_delta_docs(spark, sf_dir):
+        # incremental-crawl snapshot diff: old drops doc_id%17==0,
+        # new drops doc_id%5==1 and rewrites doc_id%13==0 texts
+        d = _docs(spark, sf_dir)
+        old = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+        new = (d.filter(F.col("doc_id") % 5 != 1)
+                .select("doc_id",
+                        F.when(F.col("doc_id") % 13 == 0,
+                               F.concat(F.col("text"), F.lit(" v2")))
+                         .otherwise(F.col("text")).alias("text")))
+        return C.crawl_delta(old, new)
+
     def q_winnow_pairs_docs(spark, sf_dir):
         # local-overlap candidate pairs via shared winnowing
         # fingerprints (min_shared=2, boilerplate valve at df<=50)
@@ -1429,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_docs": q_bm25_docs,
         "winnow_docs": q_winnow_docs,
         "winnow_pairs_docs": q_winnow_pairs_docs,
+        "crawl_delta_docs": q_crawl_delta_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2116,6 +2129,10 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "winnow_docs": D.winnow_fingerprints_sql(k=4, w=5),
         "winnow_pairs_docs": D.winnow_overlap_pairs_sql(
             k=4, w=5, min_shared=2, max_df=50),
+        "crawl_delta_docs": C.crawl_delta_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0",
+            "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 5 <> 1"),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

@@ -848,3 +848,69 @@ def blocklist_filter(pages: DataFrame, blocked: DataFrame,
     keyed = pages.withColumn(domain_col, url_domain(F.col(url_col)))
     b = blocked.select(F.col(blocked.columns[0]).alias(domain_col)).distinct()
     return keyed.join(F.broadcast(b), domain_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Crawl delta (incremental-crawl snapshot diff)
+# ---------------------------------------------------------------------------
+
+def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two crawls of the same key space — the
+    first question of every incremental pipeline run: which documents
+    are new, which vanished, which changed, which can be skipped.
+    Output: ``(id_col, status)`` with status in ``added`` (key only in
+    the new crawl), ``removed`` (only in the old), ``changed`` (both,
+    content differs), ``unchanged`` — one row per key observed in
+    either crawl.
+
+    Content identity is md5 of the raw text (NULL text hashes as the
+    empty string) — deterministic on both engines, and computed
+    MAP-SIDE so the join shuffles ``(key, 32-byte digest)`` rows, never
+    the documents themselves.  Duplicate keys within one crawl are an
+    upstream-contract violation and raise (a silent full-outer join
+    over dup keys would multiply rows).
+
+    Plan shape (100 TB test): two narrow map-only projections → ONE
+    key-keyed full-outer join (sort-merge/SHJ at scale; the 32-byte
+    digest is the entire payload) → map-side CASE.  The dup-key guard
+    is two count aggregates (scalar collect, no data movement beyond
+    the partial agg).  Composes with :func:`minhash_lsh_join` for the
+    near-duplicate version of "changed"."""
+    def _digests(df: DataFrame, side: str) -> DataFrame:
+        return df.select(F.col(id_col),
+                         F.md5(F.coalesce(F.col(text_col).cast("string"),
+                                          F.lit(""))).alias(f"_h_{side}"))
+    o, n = _digests(old, "old"), _digests(new, "new")
+    for side, df in (("old", o), ("new", n)):
+        total, distinct = df.agg(
+            F.count("*"), F.count_distinct(F.col(id_col))).first()
+        if total != distinct:
+            raise ValueError(f"duplicate {id_col} in the {side} crawl "
+                             f"({total} rows, {distinct} distinct keys)")
+    joined = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("_h_old").isNull(), F.lit("added"))
+               .when(F.col("_h_new").isNull(), F.lit("removed"))
+               .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    return joined.select(F.col(id_col), status.alias("status"))
+
+
+def crawl_delta_sql(old_sql: str, new_sql: str, id_expr: str = "doc_id",
+                    text_expr: str = "text") -> str:
+    """DuckDB rendering of :func:`crawl_delta` (same md5 identity,
+    same full-outer CASE; the dup-key guard is the caller's contract
+    here)."""
+    return f"""
+WITH o AS (SELECT {id_expr} AS k,
+                  md5(coalesce(CAST({text_expr} AS VARCHAR), '')) AS h_old
+           FROM ({old_sql})),
+n AS (SELECT {id_expr} AS k,
+             md5(coalesce(CAST({text_expr} AS VARCHAR), '')) AS h_new
+      FROM ({new_sql}))
+SELECT coalesce(o.k, n.k) AS doc_id,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN o.h_old = n.h_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.k = n.k"""

@@ -386,3 +386,39 @@ def test_extract_links_feeds_pagerank(spark):
                       .cast("long").alias("dst")))
     got = sorted(tuple(r) for r in edges.collect())
     assert got == [(i, (i * 7 + 1) % n) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# crawl_delta
+# ---------------------------------------------------------------------------
+
+def test_crawl_delta_statuses_and_parity(spark):
+    import duckdb
+    from pandarus_spark.operators.curation import crawl_delta, crawl_delta_sql
+    old = [(0, "a"), (1, "b"), (2, None), (3, "d")]
+    new = [(0, "a"), (1, "B2"), (2, None), (4, "e")]
+    o = spark.createDataFrame(old, "doc_id long, text string")
+    n = spark.createDataFrame(new, "doc_id long, text string")
+    out = sorted(tuple(r) for r in crawl_delta(o, n).collect())
+    assert out == [(0, "unchanged"), (1, "changed"), (2, "unchanged"),
+                   (3, "removed"), (4, "added")]
+    con = duckdb.connect()
+
+    def vals(rows):
+        return ", ".join("(%d, %s)" % (i, "NULL" if t is None else
+                                       "'" + t + "'") for i, t in rows)
+    sql = crawl_delta_sql(
+        f"SELECT * FROM (VALUES {vals(old)}) t(doc_id, text)",
+        f"SELECT * FROM (VALUES {vals(new)}) t(doc_id, text)")
+    assert sorted(con.execute(sql).fetchall()) == out
+
+
+def test_crawl_delta_rejects_duplicate_keys(spark):
+    import pytest
+    from pandarus_spark.operators.curation import crawl_delta
+    o = spark.createDataFrame([(0, "x"), (0, "y")], "doc_id long, text string")
+    n = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate"):
+        crawl_delta(o, n)
+    with pytest.raises(ValueError, match="new crawl"):
+        crawl_delta(n, o.union(o))
