@@ -1158,6 +1158,70 @@ def job_late5_scale(spark, n: int) -> dict:
     return out
 
 
+def job_final5_scale(spark, n: int) -> dict:
+    """Final-round-5 operator throughput at scale: winnowing
+    fingerprints (md5 fold + ONE doc-keyed window shuffle), the
+    fingerprint overlap join (checkpointed fp table, dup-group pairs),
+    integer-exact BM25 top-k (candidate-filtered explode), per-node
+    triangle counts over a 3n-edge graph (degree-ordered orientation),
+    and the crawl delta (digest-only full-outer join).  Each phase
+    forced with the noop write; inputs persist before timing."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators import curation as Cu
+    from pandarus_spark.operators import dedup as De
+    from pandarus_spark.operators import textstats as Tx
+    from pandarus_spark.operators.graph import triangles
+
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+    out: dict = {"docs": n}
+
+    t0 = time.perf_counter()
+    fps = De.winnow_fingerprints(docs, k=5, w=4).persist()
+    _force(fps)
+    out["winnow_sec"] = round(time.perf_counter() - t0, 3)
+    out["fingerprints"] = fps.count()
+    fps.unpersist()
+
+    t0 = time.perf_counter()
+    pairs = De.winnow_overlap_pairs(docs, k=5, w=4, min_shared=2).persist()
+    _force(pairs)
+    out["overlap_sec"] = round(time.perf_counter() - t0, 3)
+    out["overlap_pairs"] = pairs.count()
+    pairs.unpersist()
+
+    t0 = time.perf_counter()
+    top = Tx.bm25_topk(docs, ("swapped", "w123", "w777"), k=100)
+    _force(top)
+    out["bm25_sec"] = round(time.perf_counter() - t0, 3)
+
+    i = F.col("doc_id")
+    edges = (docs.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+                 .unionByName(docs.select(i.alias("src"),
+                                          ((i + 2) % n).alias("dst")))
+                 .unionByName(docs.select(i.alias("src"),
+                                          ((i * 7 + 1) % n).alias("dst"))))
+    t0 = time.perf_counter()
+    tri = triangles(edges).persist()
+    _force(tri)
+    out["triangles_sec"] = round(time.perf_counter() - t0, 3)
+    out["tri_sum"] = tri.agg(F.sum("n_tri")).first()[0]
+    tri.unpersist()
+
+    old = docs.filter(i % 17 != 0)
+    new = (docs.filter(i % 5 != 1)
+               .select("doc_id",
+                       F.when(i % 13 == 0, F.concat(F.col("text"),
+                                                    F.lit(" v2")))
+                        .otherwise(F.col("text")).alias("text")))
+    t0 = time.perf_counter()
+    _force(Cu.crawl_delta(old, new))
+    out["delta_sec"] = round(time.perf_counter() - t0, 3)
+    docs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -1170,7 +1234,8 @@ def main() -> None:
                              "curation_scale", "asof_scale",
                              "decontam_scale", "temporal_skew",
                              "pipeline4_scale", "pipeline4c_scale",
-                             "postings_skew", "round5_scale", "late5_scale"])
+                             "postings_skew", "round5_scale", "late5_scale",
+                             "final5_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--force", default="noop", choices=["noop", "count"],
@@ -1327,6 +1392,27 @@ def main() -> None:
                         "cms_counters": res["cms_sec"]},
             "sf": args.n, "cpus": cpus,
             "cross_pairs": res["cross_pairs"], "links": res["links"],
+            "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "final5_scale":
+        res = job_final5_scale(spark, args.n)
+        total = (res["winnow_sec"] + res["overlap_sec"] + res["bm25_sec"]
+                 + res["triangles_sec"] + res["delta_sec"])
+        emit({
+            "metric": "final5_ops_scale",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"winnow": res["winnow_sec"],
+                        "winnow_overlap": res["overlap_sec"],
+                        "bm25": res["bm25_sec"],
+                        "triangles": res["triangles_sec"],
+                        "crawl_delta": res["delta_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "fingerprints": res["fingerprints"],
+            "overlap_pairs": res["overlap_pairs"],
+            "tri_sum": res["tri_sum"],
             "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()
