@@ -1160,6 +1160,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_anchor_terms_docs(spark, sf_dir):
+        # anchor-text index over the synthetic link graph: doc i links
+        # to (7i+1)%n with an anchor phrase chosen by i%4 and to
+        # /rel/(13i+2)%n with anchor "more info"; every 5th page bare
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        i = F.col("doc_id")
+        phrase = F.element_at(
+            F.array(F.lit("click here"), F.lit("read more"),
+                    F.lit("official site"), F.lit("next page")),
+            (i % 4 + 1).cast("int"))
+        links = F.concat(
+            F.lit('<a href="https://example.org/page/'),
+            ((i * 7 + 1) % n).cast("string"), F.lit('">'), phrase,
+            F.lit('</a><a href="/rel/'),
+            ((i * 13 + 2) % n).cast("string"), F.lit('">more info</a>'))
+        html = F.concat(F.lit("<html><body>"),
+                        F.when(i % 5 == 0, F.lit("")).otherwise(links),
+                        F.lit("</body></html>"))
+        pages = d.select(
+            F.concat(F.lit("https://example.org/page/"),
+                     i.cast("string")).alias("url"),
+            F.encode(html, "utf-8").alias("html"))
+        return C.anchor_terms(C.extract_links(pages), k=3)
+
     def q_crawl_delta_docs(spark, sf_dir):
         # incremental-crawl snapshot diff: old drops doc_id%17==0,
         # new drops doc_id%5==1 and rewrites doc_id%13==0 texts
@@ -1442,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_docs": q_winnow_docs,
         "winnow_pairs_docs": q_winnow_pairs_docs,
         "crawl_delta_docs": q_crawl_delta_docs,
+        "anchor_terms_docs": q_anchor_terms_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2133,6 +2159,18 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
             "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0",
             "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' "
             "ELSE text END AS text FROM documents WHERE doc_id % 5 <> 1"),
+        "anchor_terms_docs": C.anchor_terms_sql(C.extract_links_sql(source="""
+(SELECT 'https://example.org/page/' || doc_id AS url,
+        encode('<html><body>' || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+          '<a href="https://example.org/page/' ||
+          ((doc_id * 7 + 1) % (SELECT count(*) FROM documents)) ||
+          '">' || (CASE doc_id % 4 WHEN 0 THEN 'click here'
+                   WHEN 1 THEN 'read more' WHEN 2 THEN 'official site'
+                   ELSE 'next page' END) ||
+          '</a><a href="/rel/' ||
+          ((doc_id * 13 + 2) % (SELECT count(*) FROM documents)) ||
+          '">more info</a>' END || '</body></html>') AS html
+ FROM documents) p"""), k=3),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

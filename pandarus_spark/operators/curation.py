@@ -914,3 +914,70 @@ SELECT coalesce(o.k, n.k) AS doc_id,
             WHEN o.h_old = n.h_new THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM o FULL OUTER JOIN n ON o.k = n.k"""
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text profiles (the anchor-text index)
+# ---------------------------------------------------------------------------
+
+def anchor_terms(edges: DataFrame, k: int = 3,
+                 dst_col: str = "dst_url",
+                 anchor_col: str = "anchor") -> DataFrame:
+    """Per-destination top-k anchor terms over a link edge list — the
+    classic anchor-text index (what OTHER pages call a page describes
+    it better than the page itself; the original web-search ranking
+    signal, and a URL-level topic prior for corpus selection).
+    Output: ``(dst_col, token, cnt BIGINT, rank INT)`` with rank 1..k
+    per destination, ordered by count descending then token ascending
+    — integer/string-only, so bit-identical everywhere.
+
+    Plan shape (100 TB test): the anchor tokenization is a narrow
+    partition-local explode; the (dst, token) partial-agg shuffle is
+    the only full-data Exchange and map-side combine collapses
+    repeated (dst, token) pairs before it — a mega-destination with
+    10^9 "click here" in-links moves one row per partition, not 10^9;
+    the rank window's partitions are bounded by the destination's
+    DISTINCT anchor vocabulary, and Catalyst's WindowGroupLimit
+    applies the rank<=k cut MAP-SIDE below the window exchange
+    (plan-pinned, the bottomk_sample shape), so the second shuffle
+    carries at most k-ish rows per (task, destination).
+
+    Composes upstream with :func:`extract_links` (edge construction)
+    and :func:`normalize_url` (destination canonicalization).
+
+    No reference counterpart: pandarus has no web layer; anchor-text
+    indexing is classic public IR."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+    toks = (edges.select(F.col(dst_col),
+                         F.explode(words(F.col(anchor_col))).alias("token"))
+                 .filter(F.col("token") != ""))
+    tf = toks.groupBy(dst_col, "token").agg(F.count("*").alias("cnt"))
+    w = (Window.partitionBy(dst_col)
+               .orderBy(F.col("cnt").desc(), F.col("token")))
+    return (tf.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .select(dst_col, "token", F.col("cnt").cast("long").alias("cnt"),
+                      F.col("rank").cast("int").alias("rank")))
+
+
+def anchor_terms_sql(edges_sql: str, k: int = 3,
+                     dst_col: str = "dst_url",
+                     anchor_col: str = "anchor") -> str:
+    """DuckDB rendering of :func:`anchor_terms` (same tokenizer, same
+    count-then-token ordering)."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    from .dedup import WORDS_SQL
+    w = WORDS_SQL.format(t=anchor_col)
+    return f"""
+WITH e AS ({edges_sql}),
+t AS (SELECT {dst_col}, unnest({w}) AS token FROM e),
+tf AS (SELECT {dst_col}, token, count(*) AS c
+       FROM t WHERE token <> '' GROUP BY {dst_col}, token),
+r AS (SELECT *, row_number() OVER (PARTITION BY {dst_col}
+                                   ORDER BY c DESC, token) AS rn
+      FROM tf)
+SELECT {dst_col}, token, CAST(c AS BIGINT) AS cnt, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {k}"""

@@ -422,3 +422,34 @@ def test_crawl_delta_rejects_duplicate_keys(spark):
         crawl_delta(o, n)
     with pytest.raises(ValueError, match="new crawl"):
         crawl_delta(n, o.union(o))
+
+
+# ---------------------------------------------------------------------------
+# anchor_terms
+# ---------------------------------------------------------------------------
+
+def test_anchor_terms_ranking_and_parity(spark):
+    import duckdb
+    from pandarus_spark.operators.curation import anchor_terms, anchor_terms_sql
+    edges = [("a", "X", "click here"), ("b", "X", "Click HERE"),
+             ("c", "X", "read more"), ("d", "X", "here now"),
+             ("e", "Y", ""), ("f", "Y", "solo"), ("g", "Z", None)]
+    e = spark.createDataFrame(
+        edges, "src_url string, dst_url string, anchor string")
+    out = sorted(tuple(r) for r in anchor_terms(e, k=2).collect())
+    # case-folded 'here' x3 wins rank 1; empty/NULL anchors emit nothing
+    assert ("X", "here", 3, 1) in out and ("X", "click", 2, 2) in out
+    assert ("Y", "solo", 1, 1) in out
+    assert not any(r[0] == "Z" for r in out)
+    con = duckdb.connect()
+    vals = ", ".join("('%s','%s',%s)" % (a, b, "NULL" if c is None else
+                                         "'" + c + "'") for a, b, c in edges)
+    orc = sorted(con.execute(anchor_terms_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src_url, dst_url, anchor)",
+        k=2)).fetchall())
+    assert out == orc
+    import pytest
+    with pytest.raises(ValueError):
+        anchor_terms(e, k=0)
+    with pytest.raises(ValueError):
+        anchor_terms_sql("SELECT 1", k=0)

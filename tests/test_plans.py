@@ -580,3 +580,20 @@ def test_winnow_overlap_plan_checkpointed_fp_table(spark):
     assert "md5" not in plan, "winnow pipeline re-inlined into the join"
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_anchor_terms_plan_mapside_group_limit(spark):
+    """Anchor profiles: the (dst, token) partial agg must combine
+    map-side before its Exchange, and the rank<=k cut must compile to
+    WindowGroupLimit below the window exchange (the bottomk_sample
+    shape) — never a full per-destination sort of the anchor stream."""
+    from pandarus_spark.operators.curation import anchor_terms
+    rows = [("s%d" % i, "d%d" % (i % 9), "click here now %d" % (i % 5))
+            for i in range(2000)]
+    e = spark.createDataFrame(
+        rows, "src_url string, dst_url string, anchor string")
+    plan = anchor_terms(e, k=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
