@@ -855,7 +855,7 @@ def blocklist_filter(pages: DataFrame, blocked: DataFrame,
 # ---------------------------------------------------------------------------
 
 def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text", check_keys: bool = True) -> DataFrame:
     """Snapshot diff between two crawls of the same key space — the
     first question of every incremental pipeline run: which documents
     are new, which vanished, which changed, which can be skipped.
@@ -867,27 +867,35 @@ def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     Content identity is md5 of the raw text (NULL text hashes as the
     empty string) — deterministic on both engines, and computed
     MAP-SIDE so the join shuffles ``(key, 32-byte digest)`` rows, never
-    the documents themselves.  Duplicate keys within one crawl are an
-    upstream-contract violation and raise (a silent full-outer join
-    over dup keys would multiply rows).
+    the documents themselves.  Duplicate or NULL keys within one crawl
+    are an upstream-contract violation and raise (dup keys would
+    silently multiply full-outer rows; a NULL key never matches itself
+    across the join, so one document would read as both added AND
+    removed).
 
     Plan shape (100 TB test): two narrow map-only projections → ONE
     key-keyed full-outer join (sort-merge/SHJ at scale; the 32-byte
-    digest is the entire payload) → map-side CASE.  The dup-key guard
-    is two count aggregates (scalar collect, no data movement beyond
-    the partial agg).  Composes with :func:`minhash_lsh_join` for the
-    near-duplicate version of "changed"."""
+    digest is the entire payload) → map-side CASE.  The key guard
+    costs one eager count-aggregate scan per crawl at call time; pass
+    ``check_keys=False`` to skip it (and stay fully lazy) when the
+    key contract is already enforced upstream — the 100 TB path."""
     def _digests(df: DataFrame, side: str) -> DataFrame:
         return df.select(F.col(id_col),
                          F.md5(F.coalesce(F.col(text_col).cast("string"),
                                           F.lit(""))).alias(f"_h_{side}"))
     o, n = _digests(old, "old"), _digests(new, "new")
-    for side, df in (("old", o), ("new", n)):
-        total, distinct = df.agg(
-            F.count("*"), F.count_distinct(F.col(id_col))).first()
-        if total != distinct:
-            raise ValueError(f"duplicate {id_col} in the {side} crawl "
-                             f"({total} rows, {distinct} distinct keys)")
+    if check_keys:
+        for side, df in (("old", o), ("new", n)):
+            total, nonnull, distinct = df.agg(
+                F.count("*"), F.count(F.col(id_col)),
+                F.count_distinct(F.col(id_col))).first()
+            if nonnull != total:
+                raise ValueError(
+                    f"NULL {id_col} in the {side} crawl "
+                    f"({total - nonnull} of {total} rows)")
+            if nonnull != distinct:
+                raise ValueError(f"duplicate {id_col} in the {side} crawl "
+                                 f"({nonnull} rows, {distinct} distinct keys)")
     joined = o.join(n, id_col, "full_outer")
     status = (F.when(F.col("_h_old").isNull(), F.lit("added"))
                .when(F.col("_h_new").isNull(), F.lit("removed"))
@@ -899,8 +907,9 @@ def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
 def crawl_delta_sql(old_sql: str, new_sql: str, id_expr: str = "doc_id",
                     text_expr: str = "text") -> str:
     """DuckDB rendering of :func:`crawl_delta` (same md5 identity,
-    same full-outer CASE; the dup-key guard is the caller's contract
-    here)."""
+    same full-outer CASE; the key guard is the caller's contract here;
+    ``id_expr`` must be a plain column name — it also names the output
+    column, matching the Spark twin's ``id_col``)."""
     return f"""
 WITH o AS (SELECT {id_expr} AS k,
                   md5(coalesce(CAST({text_expr} AS VARCHAR), '')) AS h_old
@@ -908,7 +917,7 @@ WITH o AS (SELECT {id_expr} AS k,
 n AS (SELECT {id_expr} AS k,
              md5(coalesce(CAST({text_expr} AS VARCHAR), '')) AS h_new
       FROM ({new_sql}))
-SELECT coalesce(o.k, n.k) AS doc_id,
+SELECT coalesce(o.k, n.k) AS {id_expr},
        CASE WHEN o.k IS NULL THEN 'added'
             WHEN n.k IS NULL THEN 'removed'
             WHEN o.h_old = n.h_new THEN 'unchanged'

@@ -1371,7 +1371,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     scheme (Schleimer, Wilkerson & Aiken, SIGMOD 2003): slide a window
     of ``w`` consecutive k-word shingle hashes over each document and
     select the MINIMUM hash per window (rightmost occurrence on ties),
-    then dedupe the selections.  Output: ``(id_col, fp_pos INT,
+    then dedupe the selections.  Output: ``(id_col, fp_pos BIGINT,
     fp BIGINT)`` — the selected (1-based word position, shingle id)
     pairs, a ~``2/(w+1)``-density fingerprint set with the winnowing
     GUARANTEE: any substring match of at least ``w + k - 1`` words
@@ -1424,7 +1424,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     return (sel.select(F.col(id_col), F.explode("_s").alias("_wc"))
                .select(id_col,
                        (F.lit(_WMASK) - F.expr(f"_wc % {_WPOW}"))
-                       .cast("int").alias("fp_pos"),
+                       .cast("long").alias("fp_pos"),
                        F.expr(f"_wc DIV {_WPOW}").cast("long").alias("fp")))
 
 
@@ -1460,7 +1460,7 @@ sel AS (
   SELECT DISTINCT doc_id, wc FROM win
   WHERE pos <= greatest(n - {w - 1}, 1))
 SELECT doc_id,
-       CAST({_WMASK} - (wc % {_WPOW}) AS INT) AS fp_pos,
+       CAST({_WMASK} - (wc % {_WPOW}) AS BIGINT) AS fp_pos,
        CAST(wc // {_WPOW} AS BIGINT) AS fp
 FROM sel"""
 

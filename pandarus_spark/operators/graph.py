@@ -174,12 +174,12 @@ def triangles(edges: DataFrame,
                    F.greatest("u", "v").alias("b"))
            .distinct()
            .localCheckpoint(eager=False))
-    nodes = (e.select(F.col("a").alias("node"))
-              .unionByName(e.select(F.col("b").alias("node")))
-              .distinct())
     deg = (e.select(F.col("a").alias("node"))
             .unionByName(e.select(F.col("b").alias("node")))
             .groupBy("node").agg(F.count("*").alias("deg")))
+    # the degree table already enumerates every node once — reuse it
+    # as the zero-fill domain instead of a second union+distinct scan
+    nodes = deg.select("node")
     # orient a<->b from lower (deg, id) to higher: a total order, so
     # each triangle has exactly one vertex with out-degree 2 in it
     lower = (F.col("da") < F.col("db")) | \
@@ -218,10 +218,10 @@ WITH e0 AS (SELECT CAST({src_col} AS BIGINT) AS u,
                    CAST({dst_col} AS BIGINT) AS v
             FROM ({edges_sql}) WHERE {src_col} <> {dst_col}),
 e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
-nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
 deg AS (SELECT node, count(*) AS deg
         FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
         GROUP BY node),
+nodes AS (SELECT node FROM deg),
 o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
                   THEN e.a ELSE e.b END AS x,
              CASE WHEN (da.deg, e.a) < (db.deg, e.b)

@@ -453,3 +453,16 @@ def test_anchor_terms_ranking_and_parity(spark):
         anchor_terms(e, k=0)
     with pytest.raises(ValueError):
         anchor_terms_sql("SELECT 1", k=0)
+
+
+def test_crawl_delta_rejects_null_keys_and_lazy_mode(spark):
+    import pytest
+    from pandarus_spark.operators.curation import crawl_delta
+    o = spark.createDataFrame([(None, "x"), (1, "a")],
+                              "doc_id long, text string")
+    n = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="NULL"):
+        crawl_delta(o, n)
+    # check_keys=False skips the eager guard scans entirely (lazy)
+    lazy = crawl_delta(n, n, check_keys=False)
+    assert [tuple(r) for r in lazy.collect()] == [(1, "unchanged")]
