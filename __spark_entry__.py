@@ -106,6 +106,18 @@ def _hits_oracle_sql() -> str:
     return hits_sql(edges, n_iters=3)
 
 
+def _link_reciprocity_oracle_sql() -> str:
+    from pandarus_spark.operators.graph import link_reciprocity_sql
+    n = "(SELECT count(*) FROM documents)"
+    edges = (f"SELECT doc_id AS src, (doc_id + 1) % {n} AS dst FROM documents "
+             f"UNION ALL "
+             f"SELECT (doc_id + 1) % {n}, doc_id FROM documents "
+             f"WHERE doc_id % 2 = 0 "
+             f"UNION ALL "
+             f"SELECT doc_id, (doc_id * 7 + 1) % {n} FROM documents")
+    return link_reciprocity_sql(edges)
+
+
 def _triangles_oracle_sql() -> str:
     from pandarus_spark.operators.graph import triangles_sql
     n = "(SELECT count(*) FROM documents)"
@@ -1160,6 +1172,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_token_spectrum_docs(spark, sf_dir):
+        # Zipf frequency-of-frequencies spectrum over the corpus
+        return T.token_spectrum(_docs(spark, sf_dir))
+
+    def q_link_reciprocity_docs(spark, sf_dir):
+        # per-node reciprocity over a graph with guaranteed two-way
+        # pairs (i <-> i+1 for even i) plus one-way modular links
+        from pandarus_spark.operators.graph import link_reciprocity
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        i = F.col("doc_id")
+        fwd = d.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+        back = (d.filter(i % 2 == 0)
+                 .select(((i + 1) % n).alias("src"), i.alias("dst")))
+        oneway = d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+        return link_reciprocity(
+            fwd.unionByName(back).unionByName(oneway))
+
     def q_anchor_terms_docs(spark, sf_dir):
         # anchor-text index over the synthetic link graph: doc i links
         # to (7i+1)%n with an anchor phrase chosen by i%4 and to
@@ -1468,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs_docs": q_winnow_pairs_docs,
         "crawl_delta_docs": q_crawl_delta_docs,
         "anchor_terms_docs": q_anchor_terms_docs,
+        "token_spectrum_docs": q_token_spectrum_docs,
+        "link_reciprocity_docs": q_link_reciprocity_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2171,6 +2203,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
           ((doc_id * 13 + 2) % (SELECT count(*) FROM documents)) ||
           '">more info</a>' END || '</body></html>') AS html
  FROM documents) p"""), k=3),
+        "token_spectrum_docs": T.token_spectrum_sql(),
+        "link_reciprocity_docs": _link_reciprocity_oracle_sql(),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

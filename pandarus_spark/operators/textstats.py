@@ -1191,3 +1191,35 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
        CAST(sum(s) AS BIGINT) AS score_micro
 FROM sc GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id LIMIT {k}"""
+
+
+def token_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token frequency-of-frequencies spectrum — the Zipf diagnostic
+    (how many token types occur exactly f times): the standard corpus
+    health check (hapax mass, head weight) and the input to
+    Good-Turing smoothing.  Output: ``(freq BIGINT, n_types BIGINT)``.
+
+    Plan shape (100 TB test): the token partial-agg shuffle is the
+    only full-data Exchange; the second groupBy runs on the
+    VOCAB-sized frequency table and its output is bounded by the
+    number of DISTINCT frequency values — O(sqrt(total tokens)) for
+    any corpus (Σf over distinct f ≤ N) — so the spectrum itself is
+    always tiny.  Integer counts only: bit-identical everywhere."""
+    from .dedup import words
+    toks = docs.select(F.explode(words(F.col(text_col))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    return (freq.groupBy("freq")
+                .agg(F.count("*").alias("n_types"))
+                .select(F.col("freq").cast("long"),
+                        F.col("n_types").cast("long")))
+
+
+def token_spectrum_sql(source: str = "documents",
+                       text_expr: str = "text") -> str:
+    """DuckDB rendering of :func:`token_spectrum`."""
+    w = WORDS_SQL.format(t=text_expr)
+    return f"""
+WITH toks AS (SELECT unnest({w}) AS token FROM {source}),
+freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token)
+SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_types
+FROM freq GROUP BY freq"""

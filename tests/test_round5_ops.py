@@ -951,3 +951,44 @@ def test_winnow_overlap_guards(spark):
         winnow_overlap_pairs(d, max_df=1)
     with pytest.raises(ValueError):
         winnow_overlap_pairs_sql(max_df=1)
+
+
+# ---------------------------------------------------------------------------
+# token_spectrum / link_reciprocity
+# ---------------------------------------------------------------------------
+
+def test_token_spectrum_hand_computed_and_parity(spark):
+    from pandarus_spark.operators.textstats import (
+        token_spectrum, token_spectrum_sql)
+    rows = [(0, "a b a c", "s"), (1, "a b", "s"),
+            (2, None, "s"), (3, "d d d", "s")]
+    out = sorted(tuple(r) for r in token_spectrum(_docs(spark, rows)).collect())
+    # tokens: a:3 b:2 c:1 d:3 '':1  ->  f1:2 types, f2:1, f3:2
+    assert out == [(1, 2), (2, 1), (3, 2)]
+    con = duckdb.connect()
+    vals = ", ".join("(%d, %s)" % (i, "NULL" if t is None else "'" + t + "'")
+                     for i, t, _ in rows)
+    con.execute(f"CREATE TABLE documents AS "
+                f"SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    assert sorted(con.execute(token_spectrum_sql()).fetchall()) == out
+    # identity: sum(freq * n_types) == total token count (4+2+1+3 = 10)
+    assert sum(f * n for f, n in out) == 10
+
+
+def test_link_reciprocity_semantics_and_parity(spark):
+    from pandarus_spark.operators.graph import (
+        link_reciprocity, link_reciprocity_sql)
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (4, 4), (0, 1), (2, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = sorted(tuple(r) for r in link_reciprocity(e).collect())
+    # distinct non-loop edges; parallel (0,1) collapses; loop (4,4) drops
+    assert out == [(0, 1, 1), (1, 2, 1), (2, 2, 1), (3, 1, 1)]
+    con = duckdb.connect()
+    ve = ", ".join(f"({a},{b})" for a, b in edges)
+    orc = sorted(con.execute(link_reciprocity_sql(
+        f"SELECT * FROM (VALUES {ve}) t(src, dst)")).fetchall())
+    assert out == orc
+    # one-way-only graph: reciprocity all zero
+    one = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert sorted(tuple(r) for r in link_reciprocity(one).collect()) == \
+        [(0, 1, 0), (1, 1, 0)]
