@@ -1172,6 +1172,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_stream_delta_docs(spark, sf_dir):
+        # streaming replay gate for stream_crawl_delta: the new-crawl
+        # subset (same construction as crawl_delta_docs) replayed
+        # availableNow against the static old side; stateless, so the
+        # replay equals batch crawl_delta minus its 'removed' rows
+        from pandarus_spark.streaming.stream import stream_crawl_delta
+        docs_path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(docs_path).schema
+        src = _stream_src(docs_path)
+        old = (spark.read.parquet(docs_path)
+               .filter(F.col("doc_id") % 17 != 0).select("doc_id", "text"))
+        i = F.col("doc_id")
+        new = (spark.readStream.schema(schema).parquet(src)
+               .filter(i % 5 != 1)
+               .select("doc_id",
+                       F.when(i % 13 == 0, F.concat(F.col("text"),
+                                                    F.lit(" v2")))
+                        .otherwise(F.col("text")).alias("text")))
+        out = stream_crawl_delta(new, old)
+        rows = _run_available_now(out, [src])
+        return spark.createDataFrame(
+            [(r["doc_id"], r["status"]) for r in rows],
+            "doc_id long, status string")
+
     def q_token_spectrum_docs(spark, sf_dir):
         # Zipf frequency-of-frequencies spectrum over the corpus
         return T.token_spectrum(_docs(spark, sf_dir))
@@ -1500,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms_docs": q_anchor_terms_docs,
         "token_spectrum_docs": q_token_spectrum_docs,
         "link_reciprocity_docs": q_link_reciprocity_docs,
+        "stream_delta_docs": q_stream_delta_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2205,6 +2230,14 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
  FROM documents) p"""), k=3),
         "token_spectrum_docs": T.token_spectrum_sql(),
         "link_reciprocity_docs": _link_reciprocity_oracle_sql(),
+        # the batch delta oracle minus its (stream-unobservable)
+        # removed rows — stream_crawl_delta is stateless, so the
+        # availableNow replay must equal this exactly
+        "stream_delta_docs": ("SELECT * FROM (" + C.crawl_delta_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0",
+            "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 5 <> 1")
+            + ") WHERE status <> 'removed'"),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

@@ -509,3 +509,36 @@ def stream_decontaminate(docs_stream: DataFrame, bench: DataFrame,
                             keep=list(docs_stream.columns))
     return (arr.filter(~hit(F.col("_ids")))
             .select(*docs_stream.columns))
+
+
+def stream_crawl_delta(new_stream: DataFrame, old: DataFrame,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming twin of
+    :func:`~pandarus_spark.operators.curation.crawl_delta`: classify
+    documents of a NEW crawl as they arrive against a STATIC old
+    crawl — ``added`` (key unseen), ``changed`` (content differs),
+    ``unchanged``.  ``removed`` is structurally unobservable in a
+    stream (absence never arrives); compute it batch-side after the
+    crawl completes.  Output: ``(id_col, status)``, append-mode.
+
+    Scale shape: both sides reduce to (key, md5 digest) MAP-SIDE, and
+    the stream-static LEFT OUTER equi-join is the supported Structured
+    Streaming shape — stateless (no watermark needed: the static side
+    never changes), so replay is batch-boundary-independent and the
+    availableNow replay equals the batch operator minus its
+    ``removed`` rows.  The static side plans per micro-batch like any
+    batch join: broadcast while the old digest table fits, shuffled
+    hash beyond.  The caller owns the batch :func:`crawl_delta` key
+    contract (unique, non-NULL) on both inputs."""
+    def _digest(df: DataFrame, out: str) -> DataFrame:
+        return df.select(F.col(id_col),
+                         F.md5(F.coalesce(F.col(text_col).cast("string"),
+                                          F.lit(""))).alias(out))
+    s = _digest(new_stream, "_h_new")
+    o = _digest(old, "_h_old")
+    status = (F.when(F.col("_h_old").isNull(), F.lit("added"))
+               .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    return (s.join(o, id_col, "left")
+             .select(F.col(id_col), status.alias("status")))

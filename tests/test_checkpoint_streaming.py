@@ -615,3 +615,44 @@ def test_stream_hll_registers_multi_batch_matches_batch(spark, tmp_path):
         assert all(a[k] <= b.get(k, 0) for k in a)
     with pytest.raises(ValueError):
         stream_hll_registers(stream, "doc_id", p=3)
+
+
+def test_stream_crawl_delta_matches_batch_minus_removed(spark, tmp_path):
+    """Stateless stream-static delta: a multi-batch availableNow replay
+    of the new crawl must classify exactly like batch crawl_delta with
+    the (stream-unobservable) 'removed' rows excluded, regardless of
+    batch boundaries."""
+    from pandarus_spark.operators.curation import crawl_delta
+    from pandarus_spark.streaming.stream import stream_crawl_delta
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    old = docs.filter(F.col("doc_id") % 17 != 0)
+    i = F.col("doc_id")
+    new_batch = (docs.filter(i % 5 != 1)
+                 .select("doc_id",
+                         F.when(i % 13 == 0, F.concat(F.col("text"),
+                                                      F.lit(" v2")))
+                          .otherwise(F.col("text")).alias("text")))
+    src = str(tmp_path / "delta_in")
+    new_batch.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(new_batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got, n_batches = [], [0]
+
+    def sink(df, _epoch):
+        rows = df.collect()
+        if rows:
+            n_batches[0] += 1
+        got.extend((r["doc_id"], r["status"]) for r in rows)
+
+    q = (stream_crawl_delta(stream, old)
+         .writeStream.foreachBatch(sink).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert n_batches[0] >= 2                    # genuinely multi-batch
+    want = sorted((r["doc_id"], r["status"]) for r in
+                  crawl_delta(old, new_batch).collect()
+                  if r["status"] != "removed")
+    assert sorted(got) == want
