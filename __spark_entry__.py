@@ -1172,6 +1172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_containment_docs(spark, sf_dir):
+        # asymmetric shingle containment (quote/subset detection) at a
+        # 50% either-direction bar, df valve at 50
+        return D.containment_pairs(_docs(spark, sf_dir), k=3,
+                                   threshold_micro=500_000, max_df=50)
+
     def q_stream_delta_docs(spark, sf_dir):
         # streaming replay gate for stream_crawl_delta: the new-crawl
         # subset (same construction as crawl_delta_docs) replayed
@@ -1525,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_spectrum_docs": q_token_spectrum_docs,
         "link_reciprocity_docs": q_link_reciprocity_docs,
         "stream_delta_docs": q_stream_delta_docs,
+        "containment_docs": q_containment_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2238,6 +2245,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
             "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' "
             "ELSE text END AS text FROM documents WHERE doc_id % 5 <> 1")
             + ") WHERE status <> 'removed'"),
+        "containment_docs": D.containment_pairs_sql(
+            k=3, threshold_micro=500_000, max_df=50),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

@@ -1544,3 +1544,96 @@ SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
 FROM fpv l JOIN fpv r ON l.fp = r.fp AND l.doc_id < r.doc_id
 GROUP BY l.doc_id, r.doc_id
 HAVING count(*) >= {min_shared}"""
+
+
+def containment_pairs(docs: DataFrame, k: int = 3,
+                      threshold_micro: int = 500_000,
+                      max_df: int | None = None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact ASYMMETRIC shingle containment pairs — the quote/subset
+    detector Jaccard structurally misses: a short document fully
+    quoted inside a long one has Jaccard ≈ |A|/|B| (tiny) but
+    containment(A→B) = |S(A)∩S(B)| / |S(A)| = 1.  Output: ``(doc_a,
+    doc_b, n_shared, cont_a_micro, cont_b_micro)`` with doc_a < doc_b
+    and both containments in integer MICRO-units
+    (``(shared·1e6) div size`` — exact, bit-identical everywhere);
+    pairs kept when EITHER direction reaches ``threshold_micro``.
+
+    ``max_df`` (the winnow_overlap_pairs valve): drop shingles in more
+    than ``max_df`` documents before the join — then BOTH the shared
+    counts AND the per-doc sizes are measured over the surviving
+    shingle vocabulary, so the ratio stays a well-defined exact
+    containment on that vocabulary (deterministic; the SQL twin drops
+    identical shingles).
+
+    Plan shape (100 TB test): distinct shingle ids only (64-bit ints)
+    enter the inverted-index self-join — text never shuffles; the df
+    valve bounds per-key join fan-out; the pair partial agg moves
+    candidate pairs only.  For corpus-scale recall-oriented candidate
+    generation use :func:`winnow_overlap_pairs` or
+    :func:`minhash_lsh_pairs` first and verify containment on the
+    candidates; this operator is the exact engine and the
+    small-scale oracle."""
+    if not 0 < threshold_micro <= 1_000_000:
+        raise ValueError("threshold_micro must be in (0, 1e6]")
+    if max_df is not None and max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    sh = docs.select(F.col(id_col).alias("_id"),
+                     word_shingles(F.col(text_col), k).alias("_sh"))
+    inv = sh.select("_id", F.explode("_sh").alias("g"))
+    if max_df is not None:
+        from pyspark.sql import Window
+        inv = (inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+                  .filter(F.col("_df") <= max_df)
+                  .drop("_df"))
+    inv = inv.localCheckpoint(eager=False)
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("n"))
+    shared = (inv.alias("a")
+              .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) &
+                                    (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("doc_a"),
+                       F.col("b._id").alias("doc_b"))
+              .agg(F.count("*").alias("n_shared")))
+    out = (shared
+           .join(sizes.select(F.col("_id").alias("doc_a"),
+                              F.col("n").alias("_na")), "doc_a")
+           .join(sizes.select(F.col("_id").alias("doc_b"),
+                              F.col("n").alias("_nb")), "doc_b")
+           .select("doc_a", "doc_b", F.col("n_shared").cast("long"),
+                   F.expr("(n_shared * 1000000) DIV _na").cast("long")
+                    .alias("cont_a_micro"),
+                   F.expr("(n_shared * 1000000) DIV _nb").cast("long")
+                    .alias("cont_b_micro")))
+    return out.filter((F.col("cont_a_micro") >= threshold_micro) |
+                      (F.col("cont_b_micro") >= threshold_micro))
+
+
+def containment_pairs_sql(source: str = "documents", k: int = 3,
+                          threshold_micro: int = 500_000,
+                          max_df: int | None = None,
+                          text_expr: str = "text",
+                          id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`containment_pairs` (same shingles,
+    same df valve, same integer micro ratios)."""
+    if not 0 < threshold_micro <= 1_000_000:
+        raise ValueError("threshold_micro must be in (0, 1e6]")
+    if max_df is not None and max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    sh = shingles_sql(text_expr, k)
+    valve = (f" QUALIFY count(*) OVER (PARTITION BY g) <= {max_df}"
+             if max_df is not None else "")
+    return f"""
+WITH inv0 AS (SELECT {id_expr} AS id, unnest({sh}) AS g FROM {source}),
+inv AS (SELECT id, g FROM inv0{valve}),
+sizes AS (SELECT id, count(*) AS n FROM inv GROUP BY id),
+shared AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_shared
+           FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+           GROUP BY a.id, b.id)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST((n_shared * 1000000) // sa.n AS BIGINT) AS cont_a_micro,
+       CAST((n_shared * 1000000) // sb.n AS BIGINT) AS cont_b_micro
+FROM shared JOIN sizes sa ON shared.doc_a = sa.id
+            JOIN sizes sb ON shared.doc_b = sb.id
+WHERE (n_shared * 1000000) // sa.n >= {threshold_micro}
+   OR (n_shared * 1000000) // sb.n >= {threshold_micro}"""

@@ -992,3 +992,50 @@ def test_link_reciprocity_semantics_and_parity(spark):
     one = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     assert sorted(tuple(r) for r in link_reciprocity(one).collect()) == \
         [(0, 1, 0), (1, 1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    from pandarus_spark.operators.dedup import (
+        containment_pairs, containment_pairs_sql, ngram_jaccard_pairs)
+    long_doc = ("intro words here quote one two three four five "
+                + "and a very long tail " * 5)
+    rows = [(0, "quote one two three four five", "s"),
+            (1, long_doc, "s"),
+            (2, "unrelated totally different text entirely", "s"),
+            (3, None, "s")]
+    d = _docs(spark, rows)
+    out = {(r.doc_a, r.doc_b): (r.cont_a_micro, r.cont_b_micro)
+           for r in containment_pairs(d, k=3, threshold_micro=900_000)
+           .collect()}
+    # full quote: containment(A->B) exactly 1.0, reverse small
+    assert out[(0, 1)][0] == 1_000_000 and out[(0, 1)][1] < 500_000
+    # Jaccard at the same bar misses the pair entirely
+    jac = ngram_jaccard_pairs(d, k=3, threshold=0.9).collect()
+    assert not any(r.doc_a == 0 and r.doc_b == 1 for r in jac)
+    # DuckDB parity, with and without the df valve
+    con = duckdb.connect()
+    vals = ", ".join("(%d, %s)" % (i, "NULL" if t is None else "'" + t + "'")
+                     for i, t, _ in rows)
+    con.execute(f"CREATE TABLE documents AS "
+                f"SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    for kw in ({"k": 3, "threshold_micro": 900_000},
+               {"k": 3, "threshold_micro": 100_000, "max_df": 3}):
+        got = sorted(tuple(r) for r in containment_pairs(d, **kw).collect())
+        assert got == sorted(con.execute(
+            containment_pairs_sql(**kw)).fetchall()), kw
+
+
+def test_containment_guards(spark):
+    from pandarus_spark.operators.dedup import (
+        containment_pairs, containment_pairs_sql)
+    d = _docs(spark, [(0, "x", "s")])
+    with pytest.raises(ValueError):
+        containment_pairs(d, threshold_micro=0)
+    with pytest.raises(ValueError):
+        containment_pairs(d, max_df=1)
+    with pytest.raises(ValueError):
+        containment_pairs_sql(threshold_micro=2_000_000)
