@@ -1172,6 +1172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_normalize_docs(spark, sf_dir):
+        # pre-tokenization text normalization (punct-stripping mode)
+        return C.normalize_docs(_docs(spark, sf_dir), strip_punct=True)
+
     def q_containment_docs(spark, sf_dir):
         # asymmetric shingle containment (quote/subset detection) at a
         # 50% either-direction bar, df valve at 50
@@ -1532,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity_docs": q_link_reciprocity_docs,
         "stream_delta_docs": q_stream_delta_docs,
         "containment_docs": q_containment_docs,
+        "normalize_docs": q_normalize_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2247,6 +2252,10 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
             + ") WHERE status <> 'removed'"),
         "containment_docs": D.containment_pairs_sql(
             k=3, threshold_micro=500_000, max_df=50),
+        "normalize_docs": (lambda e: f"SELECT doc_id, {e} AS text_norm, "
+                           f"CAST(length({e}) AS BIGINT) AS n_chars_norm "
+                           f"FROM documents")(
+            C.normalize_text_sql("text", strip_punct=True)),
         # same recursive-CTE cluster oracle as dup_clusters_docs, then
         # the argmax-keeper SQL over integer micro-quality scores
         "dedup_keepers_docs": D.cluster_keepers_sql(

@@ -990,3 +990,63 @@ r AS (SELECT *, row_number() OVER (PARTITION BY {dst_col}
       FROM tf)
 SELECT {dst_col}, token, CAST(c AS BIGINT) AS cnt, CAST(rn AS INT) AS rank
 FROM r WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (the pre-tokenization cleanup pass)
+# ---------------------------------------------------------------------------
+
+def normalize_text(text: Column, lowercase: bool = True,
+                   strip_punct: bool = False) -> Column:
+    """The standard pre-tokenization cleanup: strip C0/C1 control
+    characters, collapse all whitespace runs (space, tab, newline,
+    NBSP) to single spaces, trim, and optionally casefold / strip
+    punctuation — the normalization every dedup/LM pipeline applies
+    before hashing so that formatting-only variants collapse.
+    NULL-safe (NULL → '').
+
+    Pure Catalyst ``regexp_replace`` chain — a narrow map, zero
+    shuffle, whole-stage codegen; character classes are explicit
+    codepoint ranges (no locale-dependent ``\\s``/``\\p{Punct}``
+    semantics to drift between engines), so the SQL twin is
+    bit-identical."""
+    t = F.coalesce(text, F.lit(""))
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    if strip_punct:
+        t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", " ")
+    # braced \x{00a0}, never \uXXXX: Java and RE2 both accept the
+    # braced form, while RE2 silently matches NOTHING on \uXXXX
+    # (measured: the invalid escape poisons the class without raising)
+    t = F.regexp_replace(t, "[ \\x09\\x0a\\x0d\\x{00a0}]+", " ")
+    t = F.trim(t)
+    return F.lower(t) if lowercase else t
+
+
+def normalize_text_sql(t: str, lowercase: bool = True,
+                       strip_punct: bool = False) -> str:
+    """DuckDB rendering of :func:`normalize_text` (same explicit
+    codepoint classes, same replacement order, 'g' flag for
+    replace-all)."""
+    e = f"coalesce({t}, '')"
+    e = (f"regexp_replace({e}, "
+         f"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')")
+    if strip_punct:
+        e = f"regexp_replace({e}, '[!-/:-@\\[-`{{-~]', ' ', 'g')"
+    e = (f"regexp_replace({e}, "
+         f"'[ \\x09\\x0a\\x0d\\x{{00a0}}]+', ' ', 'g')")
+    e = f"trim({e})"
+    return f"lower({e})" if lowercase else e
+
+
+def normalize_docs(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lowercase: bool = True,
+                   strip_punct: bool = False) -> DataFrame:
+    """Column-level :func:`normalize_text` applied to a documents
+    table; output ``(id_col, text_norm, n_chars_norm)``.  A narrow
+    map — composes ahead of every hashing operator so formatting-only
+    duplicates collapse into :func:`~pandarus_spark.operators.dedup.
+    exact_dedup`'s hash groups."""
+    norm = normalize_text(F.col(text_col), lowercase=lowercase,
+                          strip_punct=strip_punct)
+    return docs.select(F.col(id_col), norm.alias("text_norm"),
+                       F.length(norm).cast("long").alias("n_chars_norm"))

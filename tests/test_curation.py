@@ -466,3 +466,38 @@ def test_crawl_delta_rejects_null_keys_and_lazy_mode(spark):
     # check_keys=False skips the eager guard scans entirely (lazy)
     lazy = crawl_delta(n, n, check_keys=False)
     assert [tuple(r) for r in lazy.collect()] == [(1, "unchanged")]
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / normalize_docs
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_parity_all_modes(spark):
+    import duckdb
+    from pandarus_spark.operators.curation import (
+        normalize_docs, normalize_text_sql)
+    docs = [(0, "  Hello,\tWorld!\n\nNew\x00Line  "),
+            (1, "A B"),                       # NBSP collapses
+            (2, None),                              # NULL -> ''
+            (3, "MiXeD CaSe; punct-y: (yes)!"),
+            (4, "\x0b\x0cctl\x7fchars")]            # control strip
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    for kw in ({}, {"strip_punct": True}, {"lowercase": False}):
+        out = sorted(tuple(r) for r in normalize_docs(d, **kw).collect())
+        e = normalize_text_sql("text", lowercase=kw.get("lowercase", True),
+                               strip_punct=kw.get("strip_punct", False))
+        orc = sorted(con.execute(
+            f"SELECT doc_id, {e}, CAST(length({e}) AS BIGINT) "
+            f"FROM documents").fetchall())
+        assert out == orc, kw
+    got = {r.doc_id: r.text_norm for r in normalize_docs(d).collect()}
+    assert got[0] == "hello, world! newline"
+    assert got[1] == "a b" and got[2] == "" and got[4] == "ctlchars"
+    # normalization collapses formatting-only variants to one hash key
+    v = spark.createDataFrame([(0, "Foo  Bar"), (1, "foo\tbar "),
+                               (2, "other")], "doc_id long, text string")
+    norms = normalize_docs(v).select("text_norm").distinct().count()
+    assert norms == 2
