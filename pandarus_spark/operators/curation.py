@@ -854,6 +854,15 @@ def blocklist_filter(pages: DataFrame, blocked: DataFrame,
 # Crawl delta (incremental-crawl snapshot diff)
 # ---------------------------------------------------------------------------
 
+def content_digest(text: Column) -> Column:
+    """The crawl-delta content-identity digest: md5 of the raw text,
+    NULL hashing as the empty string.  ONE definition shared by
+    :func:`crawl_delta` and the streaming twin
+    (:func:`~pandarus_spark.streaming.stream.stream_crawl_delta`) so
+    the stream-equals-batch-minus-removed contract cannot drift."""
+    return F.md5(F.coalesce(text.cast("string"), F.lit("")))
+
+
 def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", check_keys: bool = True) -> DataFrame:
     """Snapshot diff between two crawls of the same key space — the
@@ -881,8 +890,8 @@ def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     key contract is already enforced upstream — the 100 TB path."""
     def _digests(df: DataFrame, side: str) -> DataFrame:
         return df.select(F.col(id_col),
-                         F.md5(F.coalesce(F.col(text_col).cast("string"),
-                                          F.lit(""))).alias(f"_h_{side}"))
+                         content_digest(F.col(text_col))
+                         .alias(f"_h_{side}"))
     o, n = _digests(old, "old"), _digests(new, "new")
     if check_keys:
         for side, df in (("old", o), ("new", n)):
@@ -1011,7 +1020,8 @@ def normalize_text(text: Column, lowercase: bool = True,
     semantics to drift between engines), so the SQL twin is
     bit-identical."""
     t = F.coalesce(text, F.lit(""))
-    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{0080}-\\x{009f}]", "")
     if strip_punct:
         t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", " ")
     # braced \x{00a0}, never \uXXXX: Java and RE2 both accept the
@@ -1029,7 +1039,8 @@ def normalize_text_sql(t: str, lowercase: bool = True,
     replace-all)."""
     e = f"coalesce({t}, '')"
     e = (f"regexp_replace({e}, "
-         f"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')")
+         f"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+         f"\\x{{0080}}-\\x{{009f}}]', '', 'g')")
     if strip_punct:
         e = f"regexp_replace({e}, '[!-/:-@\\[-`{{-~]', ' ', 'g')"
     e = (f"regexp_replace({e}, "

@@ -214,9 +214,10 @@ def triangles_sql(edges_sql: str,
     canonicalize, degree-order, orient, wedge self-join, closure join,
     charge each triangle to all three corners."""
     return f"""
-WITH e0 AS (SELECT CAST({src_col} AS BIGINT) AS u,
-                   CAST({dst_col} AS BIGINT) AS v
-            FROM ({edges_sql}) WHERE {src_col} <> {dst_col}),
+WITH e0 AS (SELECT u, v FROM (
+              SELECT CAST({src_col} AS BIGINT) AS u,
+                     CAST({dst_col} AS BIGINT) AS v
+              FROM ({edges_sql})) WHERE u <> v),
 e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
 deg AS (SELECT node, count(*) AS deg
         FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
@@ -325,8 +326,7 @@ def link_reciprocity(edges: DataFrame,
               .distinct()
               .localCheckpoint(eager=False))
     rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    recip = e.join(rev, ["u", "v"], "left_semi") \
-             .select(F.col("u"), F.lit(1).alias("_r"))
+    recip = e.join(rev, ["u", "v"], "left_semi").select("u")
     return (e.select("u").groupBy("u").agg(F.count("*").alias("out_deg"))
              .join(recip.groupBy("u").agg(F.count("*").alias("n_recip")),
                    "u", "left")
@@ -341,9 +341,10 @@ def link_reciprocity_sql(edges_sql: str, src_col: str = "src",
     """DuckDB rendering of :func:`link_reciprocity` (same distinct
     directed edges, same reversed-key semi join)."""
     return f"""
-WITH e AS (SELECT DISTINCT CAST({src_col} AS BIGINT) AS u,
-                           CAST({dst_col} AS BIGINT) AS v
-           FROM ({edges_sql}) WHERE {src_col} <> {dst_col}),
+WITH e AS (SELECT DISTINCT u, v FROM (
+             SELECT CAST({src_col} AS BIGINT) AS u,
+                    CAST({dst_col} AS BIGINT) AS v
+             FROM ({edges_sql})) WHERE u <> v),
 recip AS (SELECT e.u, count(*) AS n_recip
           FROM e SEMI JOIN e r ON e.u = r.v AND e.v = r.u
           GROUP BY e.u),

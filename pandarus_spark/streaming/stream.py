@@ -531,10 +531,11 @@ def stream_crawl_delta(new_stream: DataFrame, old: DataFrame,
     batch join: broadcast while the old digest table fits, shuffled
     hash beyond.  The caller owns the batch :func:`crawl_delta` key
     contract (unique, non-NULL) on both inputs."""
+    from ..operators.curation import content_digest
+
     def _digest(df: DataFrame, out: str) -> DataFrame:
         return df.select(F.col(id_col),
-                         F.md5(F.coalesce(F.col(text_col).cast("string"),
-                                          F.lit(""))).alias(out))
+                         content_digest(F.col(text_col)).alias(out))
     s = _digest(new_stream, "_h_new")
     o = _digest(old, "_h_old")
     status = (F.when(F.col("_h_old").isNull(), F.lit("added"))

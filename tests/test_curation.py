@@ -480,7 +480,8 @@ def test_normalize_text_parity_all_modes(spark):
             (1, "A B"),                       # NBSP collapses
             (2, None),                              # NULL -> ''
             (3, "MiXeD CaSe; punct-y: (yes)!"),
-            (4, "\x0b\x0cctl\x7fchars")]            # control strip
+            (4, "\x0b\x0cctl\x7fchars"),            # control strip
+            (5, "nel\u0085here\u009cend")]             # C1 controls
     d = spark.createDataFrame(docs, "doc_id long, text string")
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
@@ -496,6 +497,7 @@ def test_normalize_text_parity_all_modes(spark):
     got = {r.doc_id: r.text_norm for r in normalize_docs(d).collect()}
     assert got[0] == "hello, world! newline"
     assert got[1] == "a b" and got[2] == "" and got[4] == "ctlchars"
+    assert got[5] == "nelhereend"        # C1 range stripped too
     # normalization collapses formatting-only variants to one hash key
     v = spark.createDataFrame([(0, "Foo  Bar"), (1, "foo\tbar "),
                                (2, "other")], "doc_id long, text string")
