@@ -118,6 +118,36 @@ def _link_reciprocity_oracle_sql() -> str:
     return link_reciprocity_sql(edges)
 
 
+def _domain_rank_oracle_sql() -> str:
+    from pandarus_spark.operators import curation as C
+    from pandarus_spark.operators.dedup import hash60_sql
+    from pandarus_spark.operators.graph import pagerank_sql
+    n = "(SELECT count(*) FROM documents)"
+    pages = f"""
+(SELECT 'https://site' || (doc_id % 7) || '.example/page/' || doc_id AS url,
+        encode('<html><body><a href="https://site' ||
+               (((doc_id * 7 + 1) % {n}) % 7) || '.example/page/' ||
+               ((doc_id * 7 + 1) % {n}) ||
+               '">next</a></body></html>') AS html
+ FROM documents) p"""
+    links = C.extract_links_sql(source=pages)
+    sd = C.url_domain_sql("src_url")
+    dd = C.url_domain_sql("dst_url")
+    edges = f"""
+WITH links AS ({links}),
+ed AS (SELECT {sd} AS sd, {dd} AS dd FROM links)
+SELECT sd, dd, {hash60_sql('sd')} AS src, {hash60_sql('dd')} AS dst
+FROM ed WHERE sd <> dd"""
+    pr = pagerank_sql("SELECT src, dst FROM edf", n_iters=3)
+    return f"""
+WITH edf AS ({edges}),
+pr AS ({pr}),
+labels AS (SELECT DISTINCT src AS node, sd AS domain FROM edf
+           UNION SELECT DISTINCT dst, dd FROM edf)
+SELECT labels.domain, pr.rank_micro
+FROM pr JOIN labels ON pr.node = labels.node"""
+
+
 def _triangles_oracle_sql() -> str:
     from pandarus_spark.operators.graph import triangles_sql
     n = "(SELECT count(*) FROM documents)"
@@ -1172,6 +1202,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rightmost on ties, deduped — integer-exact packed-key circuit
         return D.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
+    def q_domain_rank_docs(spark, sf_dir):
+        # the capstone web-pipeline composition: link-laced pages over
+        # SEVEN synthetic hosts -> extract_links -> registrable domain
+        # of src and dst -> hash60 node ids -> integer-exact PageRank
+        # -> join the domain labels back.  Every stage is an existing
+        # gated operator; this pins that they COMPOSE end-to-end.
+        from pandarus_spark.operators.dedup import hash60
+        from pandarus_spark.operators.graph import pagerank
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        i = F.col("doc_id")
+        host = F.concat(F.lit("site"), (i % 7).cast("string"),
+                        F.lit(".example"))
+        dst_host = F.concat(F.lit("site"), (((i * 7 + 1) % n) % 7)
+                            .cast("string"), F.lit(".example"))
+        html = F.concat(
+            F.lit('<html><body><a href="https://'), dst_host,
+            F.lit('/page/'), ((i * 7 + 1) % n).cast("string"),
+            F.lit('">next</a></body></html>'))
+        pages = d.select(
+            F.concat(F.lit("https://"), host, F.lit("/page/"),
+                     i.cast("string")).alias("url"),
+            F.encode(html, "utf-8").alias("html"))
+        links = C.extract_links(pages)
+        edges = (links.select(
+                    C.url_domain(F.col("src_url")).alias("sd"),
+                    C.url_domain(F.col("dst_url")).alias("dd"))
+                 .filter(F.col("sd") != F.col("dd"))
+                 .select(hash60(F.col("sd")).alias("src"),
+                         hash60(F.col("dd")).alias("dst"),
+                         F.col("sd"), F.col("dd")))
+        labels = (edges.select(F.col("src").alias("node"),
+                               F.col("sd").alias("domain"))
+                  .unionByName(edges.select(F.col("dst").alias("node"),
+                                            F.col("dd").alias("domain")))
+                  .distinct())
+        ranks = pagerank(edges.select("src", "dst"), n_iters=3)
+        return (ranks.join(labels, "node")
+                     .select("domain", "rank_micro"))
+
     def q_normalize_docs(spark, sf_dir):
         # pre-tokenization text normalization (punct-stripping mode)
         return C.normalize_docs(_docs(spark, sf_dir), strip_punct=True)
@@ -1537,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_delta_docs": q_stream_delta_docs,
         "containment_docs": q_containment_docs,
         "normalize_docs": q_normalize_docs,
+        "domain_rank_docs": q_domain_rank_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2252,6 +2323,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
             + ") WHERE status <> 'removed'"),
         "containment_docs": D.containment_pairs_sql(
             k=3, threshold_micro=500_000, max_df=50),
+        "domain_rank_docs": _domain_rank_oracle_sql(),
         "normalize_docs": (lambda e: f"SELECT doc_id, {e} AS text_norm, "
                            f"CAST(length({e}) AS BIGINT) AS n_chars_norm "
                            f"FROM documents")(
