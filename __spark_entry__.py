@@ -1451,6 +1451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer micro-nat output (no float anywhere)
         return T.bigram_logprob(_docs(spark, sf_dir))
 
+    def q_trigram_backoff_docs(spark, sf_dir):
+        # trigram LM with stupid backoff (Brants et al. 2007) — the
+        # web-scale counting LM; integer micro-nat output throughout
+        return T.trigram_backoff_logprob(_docs(spark, sf_dir))
+
     def q_blocklist_filter_docs(spark, sf_dir):
         # domain blocklist pass over a deterministic multi-domain URL
         # column (35 distinct registrable domains; 3 blocked)
@@ -1530,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_select_docs": q_mix_select_docs,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "bigram_logprob_docs": q_bigram_logprob_docs,
+        "trigram_backoff_docs": q_trigram_backoff_docs,
         "blocklist_filter_docs": q_blocklist_filter_docs,
         "spatial_clusters_points": q_spatial_clusters_points,
         "hll_registers_docs": q_hll_registers_docs,
@@ -2259,6 +2265,7 @@ FROM documents WHERE doc_id < 200""",
         "semantic_dedup_embeddings": S.semantic_dedup_sql(n_clusters=8,
                                                           threshold=0.4),
         "bigram_logprob_docs": T.bigram_logprob_sql(),
+        "trigram_backoff_docs": T.trigram_backoff_logprob_sql(),
         "hll_registers_docs": _sketch_registers_sql(),
         "hll_estimate_docs": _sketch_estimate_sql(),
         "hll_by_lang_docs": _sketch_by_lang_sql(),

@@ -1223,3 +1223,160 @@ WITH toks AS (SELECT unnest({w}) AS token FROM {source}),
 freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token)
 SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_types
 FROM freq GROUP BY freq"""
+
+# ---------------------------------------------------------------------------
+# Trigram LM with stupid backoff (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+# context sentinel for "no word at this position" (doc start); chr(1)
+# cannot appear in the lowercase whitespace token stream of real text
+_SENT = "\x01"
+
+
+def trigram_backoff_logprob(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-score of every token under the
+    corpus's own trigram LM with STUPID BACKOFF (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the n=3 member
+    of the CCNet-proxy family (:func:`unigram_logprob`,
+    :func:`bigram_logprob`), and the scheme those authors designed
+    precisely FOR web-scale distributed counting: no discounting, no
+    normalization pass, just raw counts and a fixed backoff factor
+    alpha = 0.4.
+
+    Every position i scores its token w3 given up to two predecessors:
+
+    * trigram seen:  nll = ln( c(w1 w2) / c(w1 w2 w3) )
+    * else bigram:   nll = ln( c(w2) / c(w2 w3) ) + b * ln(1/alpha)
+    * else unigram:  nll = ln( N / c(w3) )        + b * ln(1/alpha)
+
+    with b the number of levels backed off FROM AVAILABLE context
+    (doc-initial positions start at the highest order their context
+    allows, with no penalty — position 1 scores pure unigram, position
+    2 starts at bigram).  ln(1/0.4) = ln(5/2) is itself a
+    ``det_ln_micro`` term, so the whole score is integer micro-nats of
+    arithmetic-only transcendentals — bit-identical on any IEEE
+    engine (functions/detmath.py).  Each ratio is >= 1 by
+    construction (every k-gram occurrence contains its context's
+    occurrence), so ``det_ln``'s t >= c >= 1 contract holds at every
+    level.  Per-document output: ``(doc_id, n_tokens BIGINT,
+    nll3_micro BIGINT)`` with the suite's explicit round-half-up
+    integer mean — no float ever leaves the operator.
+
+    Plan shape (100 TB test): ONE full-data shuffle — the per-(doc,
+    w1, w2, w3) partial agg — localCheckpointed once for its five
+    consumers (c3/c2/c1 count tables, the distinct-triple table, the
+    join-back); all count tables are VOCAB-sized regroups of that
+    table, never of the corpus; the three ``det_ln`` evaluations run
+    once per DISTINCT triple (zipf-bounded), not per occurrence, and
+    the scored-triple table broadcasts back while it fits (SHJ
+    beyond).  No window, no per-doc sort: positions come from an
+    array ``transform`` (pure codegen), not a lag window."""
+    from ..functions.detmath import det_ln_micro_col, det_ln_micro_sql
+    from .dedup import words
+
+    w = words(F.col(text_col))
+    sent = F.lit(_SENT)
+    tri = F.transform(w, lambda x, i: F.struct(
+        F.when(i >= 2, F.get(w, i - 2)).otherwise(sent).alias("w1"),
+        F.when(i >= 1, F.get(w, i - 1)).otherwise(sent).alias("w2"),
+        x.alias("w3")))
+    occ = (docs.select(F.col(id_col), F.explode(tri).alias("s"))
+               .select(id_col, F.col("s.w1").alias("w1"),
+                       F.col("s.w2").alias("w2"), F.col("s.w3").alias("w3"))
+               .groupBy(id_col, "w1", "w2", "w3")
+               .agg(F.count("*").alias("tf"))
+               .localCheckpoint(eager=False))
+    c3 = (occ.filter(F.col("w1") != sent)
+             .groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c3")))
+    c2 = (occ.filter(F.col("w2") != sent)
+             .groupBy("w2", "w3").agg(F.sum("tf").alias("c2")))
+    c1 = occ.groupBy("w3").agg(F.sum("tf").alias("c1"))
+    n_tot = c1.agg(F.sum("c1").alias("__n"))          # 1-row scalar
+    trip = occ.select("w1", "w2", "w3").distinct()
+    scored = (trip
+              .join(c3, ["w1", "w2", "w3"], "left")
+              .join(c2, ["w2", "w3"], "left")
+              .join(c2.select(F.col("w2").alias("w1"),
+                              F.col("w3").alias("w2"),
+                              F.col("c2").alias("c2ctx")),
+                    ["w1", "w2"], "left")
+              .join(c1, "w3", "left")
+              .join(c1.select(F.col("w3").alias("w2"),
+                              F.col("c1").alias("c1ctx")), "w2", "left")
+              .crossJoin(F.broadcast(n_tot)))
+    ln25 = det_ln_micro_sql("5", "2", "spark")
+    has1 = f"w1 <> '{_SENT}'"
+    has2 = f"w2 <> '{_SENT}'"
+    nll = F.expr(f"""CASE
+        WHEN c3 IS NOT NULL THEN {det_ln_micro_sql('c2ctx', 'c3', 'spark')}
+        WHEN c2 IS NOT NULL THEN {det_ln_micro_sql('c1ctx', 'c2', 'spark')}
+             + IF({has1}, {ln25}, CAST(0 AS BIGINT))
+        ELSE {det_ln_micro_sql('__n', 'c1', 'spark')}
+             + (CASE WHEN {has1} THEN 2 WHEN {has2} THEN 1 ELSE 0 END)
+               * {ln25}
+        END""").alias("__nll_m")
+    strip = scored.select("w1", "w2", "w3", nll)
+    return (occ.join(strip, ["w1", "w2", "w3"])
+               .groupBy(id_col)
+               .agg(F.sum("tf").alias("n_tokens"),
+                    F.expr("(2 * sum(tf * __nll_m) + sum(tf)) "
+                           "DIV (2 * sum(tf))").alias("nll3_micro")))
+
+
+def trigram_backoff_logprob_sql(source: str = "documents",
+                                text_expr: str = "text",
+                                id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`trigram_backoff_logprob` (same
+    positional gram extraction, the same detmath ln at every backoff
+    level, the same integer round-half-up mean — bit-identical by
+    construction)."""
+    from ..functions.detmath import det_ln_micro_sql
+
+    w = WORDS_SQL.format(t=text_expr)
+    ln25 = det_ln_micro_sql("5", "2", "duckdb")
+    return f"""
+WITH base AS (SELECT {id_expr} AS doc_id, {w} AS w FROM {source}),
+occ0 AS (
+  SELECT doc_id,
+         unnest([{{'w1': CASE WHEN i >= 3 THEN w[i-2] ELSE chr(1) END,
+                   'w2': CASE WHEN i >= 2 THEN w[i-1] ELSE chr(1) END,
+                   'w3': w[i]}}
+                 for i in range(1, len(w) + 1)]) AS s
+  FROM base),
+occ AS (
+  SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2, s['w3'] AS w3,
+         count(*) AS tf
+  FROM occ0 GROUP BY doc_id, s['w1'], s['w2'], s['w3']),
+c3 AS (SELECT w1, w2, w3, sum(tf) AS c3 FROM occ
+       WHERE w1 <> chr(1) GROUP BY w1, w2, w3),
+c2 AS (SELECT w2, w3, sum(tf) AS c2 FROM occ
+       WHERE w2 <> chr(1) GROUP BY w2, w3),
+c1 AS (SELECT w3, sum(tf) AS c1 FROM occ GROUP BY w3),
+ntot AS (SELECT sum(c1) AS n FROM c1),
+trip AS (SELECT DISTINCT w1, w2, w3 FROM occ),
+strip AS (
+  SELECT t.w1, t.w2, t.w3,
+         CASE
+           WHEN c3.c3 IS NOT NULL
+             THEN {det_ln_micro_sql('ctx.c2', 'c3.c3', 'duckdb')}
+           WHEN c2.c2 IS NOT NULL
+             THEN {det_ln_micro_sql('cx.c1', 'c2.c2', 'duckdb')}
+                  + CASE WHEN t.w1 <> chr(1)
+                         THEN {ln25} ELSE CAST(0 AS BIGINT) END
+           ELSE {det_ln_micro_sql('ntot.n', 'c1.c1', 'duckdb')}
+                + (CASE WHEN t.w1 <> chr(1) THEN 2
+                        WHEN t.w2 <> chr(1) THEN 1 ELSE 0 END) * {ln25}
+         END AS nll_m
+  FROM trip t
+  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+  LEFT JOIN c2 ON t.w2 = c2.w2 AND t.w3 = c2.w3
+  LEFT JOIN c2 ctx ON t.w1 = ctx.w2 AND t.w2 = ctx.w3
+  LEFT JOIN c1 ON t.w3 = c1.w3
+  LEFT JOIN c1 cx ON t.w2 = cx.w3, ntot)
+SELECT occ.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST((2 * sum(tf * nll_m) + sum(tf)) // (2 * sum(tf)) AS BIGINT)
+         AS nll3_micro
+FROM occ JOIN strip ON occ.w1 = strip.w1 AND occ.w2 = strip.w2
+                   AND occ.w3 = strip.w3
+GROUP BY occ.doc_id"""

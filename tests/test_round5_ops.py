@@ -1039,3 +1039,53 @@ def test_containment_guards(spark):
         containment_pairs(d, max_df=1)
     with pytest.raises(ValueError):
         containment_pairs_sql(threshold_micro=2_000_000)
+
+
+# ---------------------------------------------------------------------------
+# trigram_backoff_logprob
+# ---------------------------------------------------------------------------
+
+def test_trigram_backoff_duckdb_parity_messy(spark):
+    rows = [(0, "the cat sat on the mat", "s"),
+            (1, "the cat sat on the hat", "s"),
+            (2, "", "s"),                      # empty -> one '' token
+            (3, "cat", "s"),                   # unigram-only doc
+            (4, "on the", "s"),                # bigram-max doc
+            (5, "a b a b a b a", "s"),
+            (6, "mat the cat sat on the mat the cat", "s")]
+    out = (T.trigram_backoff_logprob(_docs(spark, rows))
+           .orderBy("doc_id").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}', 's')" for i, t, _ in rows) +
+                ") t(doc_id, text, source)")
+    orows = con.execute(T.trigram_backoff_logprob_sql()
+                        + " ORDER BY doc_id").fetchall()
+    assert [(r.doc_id, r.n_tokens, r.nll3_micro) for r in out] == orows
+
+
+def test_trigram_backoff_fluent_scores_lower(spark):
+    # a document whose trigrams recur in the corpus must out-score
+    # (lower mean NLL) a same-length bag of the same words in an
+    # order the corpus never exhibits
+    fluent = "the cat sat on the mat"
+    salad = "mat the on sat cat the"
+    rows = [(i, fluent, "s") for i in range(5)] + [(5, salad, "s")]
+    out = {r.doc_id: r.nll3_micro
+           for r in T.trigram_backoff_logprob(_docs(spark, rows)).collect()}
+    assert out[0] < out[5]
+    assert all(out[i] == out[0] for i in range(1, 5))  # identical docs tie
+
+
+def test_trigram_backoff_position_semantics(spark):
+    # doc-initial positions start at the highest order the context
+    # allows with NO backoff penalty: two one-word docs of the same
+    # word score identically regardless of the other doc's structure,
+    # and n_tokens counts every position (clamped-empty included)
+    rows = [(0, "cat", "s"), (1, "cat", "s"),
+            (2, "cat sat cat sat", "s"), (3, "", "s")]
+    out = {r.doc_id: r for r in
+           T.trigram_backoff_logprob(_docs(spark, rows)).collect()}
+    assert out[0].nll3_micro == out[1].nll3_micro
+    assert out[0].n_tokens == 1 and out[2].n_tokens == 4
+    assert out[3].n_tokens == 1                # '' token is scored too
