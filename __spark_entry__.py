@@ -486,6 +486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.ngram_jaccard_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 200),
                                      k=3, threshold=0.2)
 
+    def q_ppjoin_docs(spark, sf_dir):
+        # prefix-filtered EXACT Jaccard self-join (PPJoin family); the
+        # oracle is the brute-force join — the gate proves the prefix
+        # filter lossless, not merely self-consistent
+        return D.ppjoin_pairs(_docs(spark, sf_dir), k=3,
+                              threshold_micro=200_000)
+
     def q_lsh_pairs_docs(spark, sf_dir):
         # value-exact since round 4: D.minhash_lsh_sql reproduces the
         # FULL banded pipeline in DuckDB (r3 verdict #5)
@@ -1536,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "trigram_backoff_docs": q_trigram_backoff_docs,
+        "ppjoin_docs": q_ppjoin_docs,
         "blocklist_filter_docs": q_blocklist_filter_docs,
         "spatial_clusters_points": q_spatial_clusters_points,
         "hll_registers_docs": q_hll_registers_docs,
@@ -2266,6 +2274,7 @@ FROM documents WHERE doc_id < 200""",
                                                           threshold=0.4),
         "bigram_logprob_docs": T.bigram_logprob_sql(),
         "trigram_backoff_docs": T.trigram_backoff_logprob_sql(),
+        "ppjoin_docs": D.ppjoin_pairs_sql(threshold_micro=200_000),
         "hll_registers_docs": _sketch_registers_sql(),
         "hll_estimate_docs": _sketch_estimate_sql(),
         "hll_by_lang_docs": _sketch_by_lang_sql(),

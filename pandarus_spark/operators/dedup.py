@@ -1637,3 +1637,106 @@ FROM shared JOIN sizes sa ON shared.doc_a = sa.id
             JOIN sizes sb ON shared.doc_b = sb.id
 WHERE (n_shared * 1000000) // sa.n >= {threshold_micro}
    OR (n_shared * 1000000) // sb.n >= {threshold_micro}"""
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style exact set-similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def ppjoin_pairs(docs: DataFrame, k: int = 3,
+                 threshold_micro: int = 500_000,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """EXACT shingle-Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    every pair with Jaccard >= threshold, with NO approximation — the
+    guaranteed-recall alternative to :func:`minhash_lsh_pairs` when
+    the similarity floor is a hard contract rather than a budget.
+
+    Prefix filtering: order each document's distinct k-shingles by a
+    single GLOBAL total order — (document frequency ASC, shingle ASC),
+    rarest first — and keep only the first
+    ``p = n - ceil(tau * n) + 1`` of its n shingles as join keys.
+    Any pair at Jaccard >= tau shares >= ceil(tau * n) shingles with
+    EACH member, so skipping the last ceil(tau*n)-1 of either side
+    cannot skip every shared shingle: the prefix join loses no
+    qualifying pair (the standard prefix-filter theorem), and exact
+    verification discards the rest.  ``ceil`` is integer arithmetic
+    ((tm*n + 999999) div 1e6), and the output keep-test
+    ``(s*1e6) div (na+nb-s) >= tm`` is algebraically identical to
+    s/(na+nb-s) >= tm/1e6 — so the result set equals the brute-force
+    join BIT-EXACTLY, which is what the oracle gate checks.
+
+    Output: ``(doc_a, doc_b, n_shared BIGINT, jacc_micro BIGINT)``
+    with doc_a < doc_b, integer micro-units only.
+
+    Plan shape (100 TB test): the df table and the prefix window
+    shuffle (id, shingle) rows only — text never shuffles; the
+    candidate self-join keys on PREFIX shingles, which are by
+    construction each document's RAREST — the high-df join keys that
+    explode inverted-index self-joins (the reason
+    :func:`ngram_jaccard_pairs` is oracle-only) never become join
+    keys here, the prefix-filter analogue of winnow_overlap's max_df
+    valve but with zero recall loss; the shingle arrays are fetched
+    once per SURVIVING candidate for the exact verify."""
+    if not 0 < threshold_micro <= 1_000_000:
+        raise ValueError("threshold_micro must be in (0, 1e6]")
+    from pyspark.sql import Window
+
+    sh = (docs.select(F.col(id_col).alias("_id"),
+                      word_shingles(F.col(text_col), k).alias("_sh"))
+              .localCheckpoint(eager=False))
+    inv = sh.select("_id", F.size("_sh").alias("_n"),
+                    F.explode("_sh").alias("g"))
+    dfq = inv.groupBy("g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("g"))
+    pref = (inv.join(dfq, "g")
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= F.col("_n")
+                       - F.expr(f"({threshold_micro} * _n + 999999) "
+                                f"DIV 1000000") + 1)
+               .select("_id", "g"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"), (F.col("a.g") == F.col("b.g")) &
+                                   (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("doc_a"),
+                    F.col("b._id").alias("doc_b"))
+            .distinct())
+    va = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    vb = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    out = (cand.join(va, "doc_a").join(vb, "doc_b")
+               .select("doc_a", "doc_b",
+                       F.size(F.array_intersect("_sha", "_shb"))
+                        .cast("long").alias("n_shared"),
+                       F.size("_sha").alias("_na"),
+                       F.size("_shb").alias("_nb"))
+               .select("doc_a", "doc_b", "n_shared",
+                       F.expr("(n_shared * 1000000) "
+                              "DIV (_na + _nb - n_shared)")
+                        .cast("long").alias("jacc_micro")))
+    return out.filter(F.col("jacc_micro") >= threshold_micro)
+
+
+def ppjoin_pairs_sql(source: str = "documents", k: int = 3,
+                     threshold_micro: int = 500_000,
+                     text_expr: str = "text",
+                     id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`ppjoin_pairs` — deliberately the
+    BRUTE-FORCE inverted-index join with the same integer micro
+    keep-test: the prefix-filter theorem says the optimized operator
+    returns the identical pair set, so the gate proves the
+    optimization lossless rather than replaying it."""
+    if not 0 < threshold_micro <= 1_000_000:
+        raise ValueError("threshold_micro must be in (0, 1e6]")
+    sh = shingles_sql(text_expr, k)
+    return f"""
+WITH sh AS (SELECT {id_expr} AS id, {sh} AS sh FROM {source}),
+sz AS (SELECT id, len(sh) AS n FROM sh),
+inv AS (SELECT id, unnest(sh) AS g FROM sh),
+shared AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS s
+           FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+           GROUP BY a.id, b.id)
+SELECT doc_a, doc_b, CAST(s AS BIGINT) AS n_shared,
+       CAST((s * 1000000) // (na.n + nb.n - s) AS BIGINT) AS jacc_micro
+FROM shared JOIN sz na ON shared.doc_a = na.id
+            JOIN sz nb ON shared.doc_b = nb.id
+WHERE (s * 1000000) // (na.n + nb.n - s) >= {threshold_micro}"""

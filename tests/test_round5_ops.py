@@ -1089,3 +1089,85 @@ def test_trigram_backoff_position_semantics(spark):
     assert out[0].nll3_micro == out[1].nll3_micro
     assert out[0].n_tokens == 1 and out[2].n_tokens == 4
     assert out[3].n_tokens == 1                # '' token is scored too
+
+
+# ---------------------------------------------------------------------------
+# ppjoin_pairs
+# ---------------------------------------------------------------------------
+
+def _pp_corpus():
+    return [(0, "the cat sat on the mat today", "s"),
+            (1, "the cat sat on the mat tonight", "s"),
+            (2, "the cat sat on the red mat today", "s"),
+            (3, "a completely different document body here", "s"),
+            (4, "the cat sat on the mat today", "s"),     # dup of 0
+            (5, "cat", "s"), (6, "", "s"),
+            (7, "a completely different document body now", "s")]
+
+
+def test_ppjoin_equals_brute_force_all_thresholds(spark):
+    from pandarus_spark.operators.dedup import ppjoin_pairs, ppjoin_pairs_sql
+    rows = _pp_corpus()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}', 's')" for i, t, _ in rows) +
+                ") t(doc_id, text, source)")
+    for tm in (100_000, 300_000, 500_000, 1_000_000):
+        out = sorted(tuple(r) for r in
+                     ppjoin_pairs(_docs(spark, rows),
+                                  threshold_micro=tm).collect())
+        o = sorted(tuple(r) for r in
+                   con.execute(ppjoin_pairs_sql(threshold_micro=tm))
+                      .fetchall())
+        assert out == o, tm
+    # the exact-dup pair scores exactly 1e6 and survives tau = 1
+    top = ppjoin_pairs(_docs(spark, rows),
+                       threshold_micro=1_000_000).collect()
+    assert [(r.doc_a, r.doc_b, r.jacc_micro) for r in top] == [(0, 4, 1_000_000)]
+
+
+def test_ppjoin_boundary_pair_is_kept(spark):
+    # two 4-shingle docs sharing exactly 2 shingles: J = 2/6 = 1/3;
+    # at tau = 1/3 the keep-test (s*1e6) div (na+nb-s) >= 333334 must
+    # round DOWN to 333333 and drop it, at 333333 it must keep it —
+    # the integer threshold is exact, no float tie possible
+    from pandarus_spark.operators.dedup import ppjoin_pairs
+    rows = [(0, "a b c d e f", "s"), (1, "c d e f g h", "s")]
+    keep = ppjoin_pairs(_docs(spark, rows), threshold_micro=333_333).collect()
+    assert [(r.doc_a, r.doc_b) for r in keep] == [(0, 1)]
+    drop = ppjoin_pairs(_docs(spark, rows), threshold_micro=333_334).collect()
+    assert drop == []
+
+
+def test_ppjoin_prefix_is_a_strict_valve(spark):
+    # on a corpus where every doc shares a stopword shingle, the
+    # prefix table must be strictly smaller than the inverted index —
+    # the high-df shingle is ordered LAST and falls out of prefixes
+    from pyspark.sql import Window
+    from pandarus_spark.operators.dedup import word_shingles
+    rows = [(i, "the quick brown fox " + w, "s")
+            for i, w in enumerate(["alpha", "beta", "gamma", "delta"])]
+    docs = _docs(spark, rows)
+    sh = docs.select(F.col("doc_id").alias("_id"),
+                     word_shingles(F.col("text"), 3).alias("_sh"))
+    inv = sh.select("_id", F.size("_sh").alias("_n"),
+                    F.explode("_sh").alias("g"))
+    dfq = inv.groupBy("g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("g"))
+    tm = 500_000
+    pref = (inv.join(dfq, "g")
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= F.col("_n")
+                       - F.expr(f"({tm} * _n + 999999) DIV 1000000") + 1))
+    n_inv, n_pref = inv.count(), pref.count()
+    assert n_pref < n_inv
+    # and the shared stopword shingle is in no prefix at tau=0.5
+    assert pref.filter(F.col("g") == "the quick brown").count() == 0
+
+
+def test_ppjoin_guards(spark):
+    from pandarus_spark.operators.dedup import ppjoin_pairs, ppjoin_pairs_sql
+    with pytest.raises(ValueError):
+        ppjoin_pairs(_docs(spark, [(0, "a", "s")]), threshold_micro=0)
+    with pytest.raises(ValueError):
+        ppjoin_pairs_sql(threshold_micro=1_000_001)
