@@ -94,6 +94,22 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _label_prop_oracle_sql() -> str:
+    from pandarus_spark.operators.graph import label_propagation_sql
+    n = "(SELECT count(*) FROM documents)"
+    edges = (
+        "SELECT doc_id AS src, "
+        "(doc_id - (doc_id % 10)) + ((doc_id % 10) + 1) % 10 AS dst "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, (doc_id - (doc_id % 10)) + ((doc_id % 10) + 3) % 10 "
+        "FROM documents WHERE doc_id % 2 = 0 "
+        "UNION ALL "
+        f"SELECT doc_id, (doc_id + 10) % {n} "
+        "FROM documents WHERE doc_id % 10 = 0")
+    return label_propagation_sql(edges, n_iters=4)
+
+
 def _hits_oracle_sql() -> str:
     from pandarus_spark.operators.graph import hits_sql
     edges = ("SELECT doc_id AS src, "
@@ -1172,6 +1188,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_label_prop_docs(spark, sf_dir):
+        # deterministic LPA communities over block-structured synthetic
+        # edges: dense 10-page rings with chords, sparse bridges
+        # between consecutive blocks
+        from pandarus_spark.operators.graph import label_propagation
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        base = F.col("doc_id") - (F.col("doc_id") % 10)
+        pos = F.col("doc_id") % 10
+        e1 = d.select(F.col("doc_id").alias("src"),
+                      (base + (pos + 1) % 10).alias("dst"))
+        e2 = (d.filter(F.col("doc_id") % 2 == 0)
+               .select(F.col("doc_id").alias("src"),
+                       (base + (pos + 3) % 10).alias("dst")))
+        e3 = (d.filter(pos == 0)
+               .select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") + 10) % n).alias("dst")))
+        return label_propagation(e1.unionByName(e2).unionByName(e3),
+                                 n_iters=4)
+
     def q_dedup_keepers_docs(spark, sf_dir):
         # quality-aware dedup: same simhash clusters as
         # dup_clusters_docs, but keep the highest-quality member
@@ -1549,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers_docs": q_hll_registers_docs,
         "hll_estimate_docs": q_hll_estimate_docs,
         "pagerank_docs": q_pagerank_docs,
+        "label_prop_docs": q_label_prop_docs,
         "ccnet_split_docs": q_ccnet_split_docs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "stream_tiles_docs": q_stream_tiles_docs,
@@ -2305,6 +2342,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "pagerank_docs": _pagerank_oracle_sql(),
+        "label_prop_docs": _label_prop_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

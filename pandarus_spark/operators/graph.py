@@ -352,3 +352,99 @@ deg AS (SELECT u, count(*) AS out_deg FROM e GROUP BY u)
 SELECT deg.u AS node, CAST(deg.out_deg AS BIGINT) AS out_deg,
        CAST(coalesce(recip.n_recip, 0) AS BIGINT) AS n_recip
 FROM deg LEFT JOIN recip ON deg.u = recip.u"""
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (Raghavan et al. 2007, deterministic)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: DataFrame, n_iters: int = 5,
+                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    UNDIRECTED graph (Raghavan et al. 2007), made deterministic: every
+    node starts labeled with its own id; each round every node adopts
+    the most frequent label among its neighbors PLUS ONE VOTE for its
+    own current label, ties broken to the SMALLEST label (the paper
+    breaks ties randomly — that is unreproducible across engines, so
+    this variant pins the argmin, the same determinization
+    :func:`hits` applies to its normalization; the self-vote kills
+    the pure-synchronous scheme's two-node label swap, which
+    otherwise oscillates forever on pendant pairs).  Communities
+    (dense regions) converge to one label; unlike
+    :func:`pandarus_spark.operators.dedup.duplicate_clusters`
+    (connected components) LPA splits a sparse bridge between two
+    dense regions.  Output: ``(node, label)``, both BIGINT, after
+    exactly ``n_iters`` synchronous rounds — the fixed round count
+    makes the output well-defined even where larger odd cycles still
+    oscillate.
+
+    Plan shape (100 TB test): edges symmetrize + distinct once
+    (checkpointed); per round, ONE node-keyed join of the node-sized
+    label table against the edge list (broadcast while it fits, SHJ
+    beyond), one (node, label) partial agg — a hub's repeated
+    neighbor labels collapse map-side — and one node-keyed window
+    whose partitions are bounded by each node's DISTINCT neighbor
+    label count (<= degree, shrinking as communities converge), never
+    by total rows.  The label table ``localCheckpoint``s per round so
+    plans stay O(1) in the iteration count (the
+    :func:`pagerank` hygiene).  Integer labels only — bit-identical
+    on any engine."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be positive")
+    from pyspark.sql import Window
+
+    e0 = edges.select(F.col(src_col).cast("long").alias("u"),
+                      F.col(dst_col).cast("long").alias("v"))
+    e = (e0.unionByName(e0.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    lab = (e.select(F.col("u").alias("node")).distinct()
+            .withColumn("label", F.col("node")))
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(n_iters):
+        votes = (e.join(lab.withColumnRenamed("node", "v"), "v")
+                  .select("u", "label")
+                  .unionByName(lab.select(F.col("node").alias("u"),
+                                          "label")))
+        cnt = votes.groupBy("u", "label").agg(F.count("*").alias("c"))
+        lab = (cnt.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("u").alias("node"), "label")
+                  .localCheckpoint(eager=False))
+    return lab.select(F.col("node").cast("long"),
+                      F.col("label").cast("long"))
+
+
+def label_propagation_sql(edges_sql: str, n_iters: int = 5,
+                          src_col: str = "src",
+                          dst_col: str = "dst") -> str:
+    """DuckDB rendering of :func:`label_propagation` (same
+    symmetrization, the same self-vote, the same count-desc/label-asc
+    tie-break, one CTE per synchronous round)."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be positive")
+    parts = [f"""e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT {src_col} AS u, {dst_col} AS v FROM ({edges_sql})
+    UNION ALL
+    SELECT {dst_col}, {src_col} FROM ({edges_sql})) WHERE u <> v)""",
+             "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM (SELECT node, label, count(*) AS c FROM (
+            SELECT e.u AS node, l.label AS label
+            FROM e JOIN l{i - 1} l ON e.v = l.node
+            UNION ALL
+            SELECT node, label FROM l{i - 1})
+          GROUP BY node, label))
+  WHERE rn = 1)""")
+    body = ",\n".join(parts)
+    return (f"WITH {body}\n"
+            f"SELECT CAST(node AS BIGINT) AS node, "
+            f"CAST(label AS BIGINT) AS label FROM l{n_iters}")

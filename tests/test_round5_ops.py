@@ -1171,3 +1171,52 @@ def test_ppjoin_guards(spark):
         ppjoin_pairs(_docs(spark, [(0, "a", "s")]), threshold_micro=0)
     with pytest.raises(ValueError):
         ppjoin_pairs_sql(threshold_micro=1_000_001)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+def test_label_prop_communities_and_parity(spark):
+    from pandarus_spark.operators.graph import (label_propagation,
+                                                label_propagation_sql)
+    # two triangles joined by one bridge edge, plus a pendant pair:
+    # LPA must give each triangle its own label (unlike connected
+    # components) and the self-vote must settle the pendant pair
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10),
+             (2, 10), (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = sorted(tuple(r) for r in
+                 label_propagation(df, n_iters=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edg AS SELECT * FROM (VALUES " +
+                ", ".join(f"({u}, {v})" for u, v in edges) +
+                ") t(src, dst)")
+    orows = sorted(tuple(r) for r in con.execute(
+        label_propagation_sql("SELECT src, dst FROM edg",
+                              n_iters=5)).fetchall())
+    assert out == orows
+    lab = dict(out)
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[10] == lab[11] == lab[12]
+    assert lab[0] != lab[10]               # bridge does NOT merge them
+    assert lab[20] == lab[21]              # self-vote kills the swap
+
+
+def test_label_prop_directed_input_is_symmetrized(spark):
+    from pandarus_spark.operators.graph import label_propagation
+    # one-directional edges still propagate both ways
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = dict((r.node, r.label) for r in
+               label_propagation(df, n_iters=4).collect())
+    assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_label_prop_guards(spark):
+    from pandarus_spark.operators.graph import (label_propagation,
+                                                label_propagation_sql)
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        label_propagation(df, n_iters=0)
+    with pytest.raises(ValueError):
+        label_propagation_sql("SELECT 1 AS src, 2 AS dst", n_iters=0)
