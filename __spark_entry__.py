@@ -94,6 +94,14 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _zorder_oracle_sql() -> str:
+    from pandarus_spark.operators.layout import zorder_buckets_sql
+    return zorder_buckets_sql(
+        "CAST((doc_id * 37) % 360 AS DOUBLE) - 180.0 + 0.25",
+        "CAST((doc_id * 7) % 180 AS DOUBLE) - 90.0 + 0.25",
+        bits=16, n_buckets=8)
+
+
 def _label_prop_oracle_sql() -> str:
     from pandarus_spark.operators.graph import label_propagation_sql
     n = "(SELECT count(*) FROM documents)"
@@ -1188,6 +1196,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_zorder_docs(spark, sf_dir):
+        # Morton-key spatial layout: deterministic synthetic lon/lat
+        # from doc_id, exact rank-based bucket twin of the
+        # repartitionByRange production path
+        from pandarus_spark.operators.layout import zorder_buckets_exact
+        pts = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr("CAST((doc_id * 37) % 360 AS DOUBLE) - 180.0 + 0.25")
+             .alias("lon"),
+            F.expr("CAST((doc_id * 7) % 180 AS DOUBLE) - 90.0 + 0.25")
+             .alias("lat"))
+        return zorder_buckets_exact(pts, bits=16, n_buckets=8)
+
     def q_label_prop_docs(spark, sf_dir):
         # deterministic LPA communities over block-structured synthetic
         # edges: dense 10-page rings with chords, sparse bridges
@@ -1586,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate_docs": q_hll_estimate_docs,
         "pagerank_docs": q_pagerank_docs,
         "label_prop_docs": q_label_prop_docs,
+        "zorder_docs": q_zorder_docs,
         "ccnet_split_docs": q_ccnet_split_docs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "stream_tiles_docs": q_stream_tiles_docs,
@@ -2343,6 +2365,7 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "pagerank_docs": _pagerank_oracle_sql(),
         "label_prop_docs": _label_prop_oracle_sql(),
+        "zorder_docs": _zorder_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

@@ -1220,3 +1220,93 @@ def test_label_prop_guards(spark):
         label_propagation(df, n_iters=0)
     with pytest.raises(ValueError):
         label_propagation_sql("SELECT 1 AS src, 2 AS dst", n_iters=0)
+
+
+# ---------------------------------------------------------------------------
+# zorder layout
+# ---------------------------------------------------------------------------
+
+def _pts(spark, n=64):
+    rows = [(i, float((i * 37) % 360) - 180.0 + 0.25,
+             float((i * 7) % 180) - 90.0 + 0.25) for i in range(n)]
+    rows += [(n, -180.0, -90.0), (n + 1, 179.9999, 89.9999),
+             (n + 2, 180.0, 90.0), (n + 3, -180.5, 91.0)]  # clamp cases
+    return spark.createDataFrame(rows, "doc_id long, lon double, lat double")
+
+
+def test_zorder_buckets_duckdb_parity_with_clamps(spark):
+    from pandarus_spark.operators.layout import (zorder_buckets_exact,
+                                                 zorder_buckets_sql)
+    df = _pts(spark)
+    out = sorted(tuple(r) for r in
+                 zorder_buckets_exact(df, bits=16, n_buckets=8).collect())
+    con = duckdb.connect()
+    con.register("pts", df.toPandas())
+    orows = sorted(tuple(r) for r in con.execute(
+        zorder_buckets_sql("lon", "lat", source="pts",
+                           bits=16, n_buckets=8)).fetchall())
+    assert out == orows
+
+
+def test_zorder_decode_roundtrip(spark):
+    # de-interleaving the Morton key recovers the quantized indices
+    # exactly (bits=8 keeps the stacked test expression inside one
+    # codegen method)
+    from pandarus_spark.operators.layout import (_quant_sql,
+                                                 deinterleave_sql,
+                                                 with_zorder_key)
+    dec = (with_zorder_key(_pts(spark), "lon", "lat", 8, "z")
+           .withColumn("ix", F.expr(_quant_sql("lon", -180.0, 360.0,
+                                               8, "spark")))
+           .withColumn("iy", F.expr(_quant_sql("lat", -90.0, 180.0,
+                                               8, "spark")))
+           .withColumn("dx", F.expr(deinterleave_sql("z", 8, 0, "spark")))
+           .withColumn("dy", F.expr(deinterleave_sql("z", 8, 1, "spark"))))
+    assert dec.filter((F.col("dx") != F.col("ix")) |
+                      (F.col("dy") != F.col("iy"))).count() == 0
+
+
+def test_zorder_layout_file_ranges_disjoint(spark):
+    # the production repartitionByRange path: per-partition zkey
+    # [min, max] ranges must not overlap — tight file statistics
+    from pandarus_spark.operators.layout import zorder_layout
+    part = (zorder_layout(_pts(spark, 256), n_files=4)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").agg(F.min("zkey").alias("lo"),
+                                F.max("zkey").alias("hi"))
+            .orderBy("lo").collect())
+    rngs = [(r.lo, r.hi) for r in part]
+    assert all(rngs[i][1] <= rngs[i + 1][0] for i in range(len(rngs) - 1))
+
+
+def test_zorder_locality_beats_row_order(spark):
+    # the point of the layout: sorting by zkey collapses the spatial
+    # spread inside each file.  Per-4-file lon/lat bounding boxes must
+    # cover (sum of areas) strictly less under zkey order than under
+    # doc_id order for the striped synthetic points
+    from pandarus_spark.operators.layout import with_zorder_key
+    df = with_zorder_key(_pts(spark, 256), "lon", "lat", 16)
+
+    def span_sum(order_col):
+        from pyspark.sql import Window
+        w = Window.orderBy(order_col)
+        g = (df.withColumn("f", ((F.row_number().over(w) - 1) / 65)
+                                 .cast("int"))
+               .groupBy("f")
+               .agg(((F.max("lon") - F.min("lon")) *
+                     (F.max("lat") - F.min("lat"))).alias("a")))
+        return g.agg(F.sum("a")).collect()[0][0]
+
+    assert span_sum("zkey") < span_sum("doc_id")
+
+
+def test_zorder_guards(spark):
+    from pandarus_spark.operators.layout import (interleave_sql,
+                                                 zorder_buckets_sql,
+                                                 zorder_layout)
+    with pytest.raises(ValueError):
+        interleave_sql("a", "b", 31, "spark")
+    with pytest.raises(ValueError):
+        zorder_buckets_sql("lon", "lat", n_buckets=0)
+    with pytest.raises(ValueError):
+        zorder_layout(_pts(spark), n_files=0)
