@@ -94,6 +94,19 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _dissolve_oracle_sql() -> str:
+    # closed-form Mollweide quad areas of the DISTINCT grid cells,
+    # summed per parity key: the duplicate features the Spark side
+    # unions in must contribute nothing
+    keyed = (f"(SELECT CAST(CAST(substring(label, 11, 2) AS INT) % 2 "
+             f"AS VARCHAR) AS key, minx, miny, maxx, maxy "
+             f"FROM {grid_fixture_values()}) cells")
+    areas = mollweide_box_area_sql(keyed, extra_cols="key")
+    return (f"WITH areas AS ({areas}) "
+            f"SELECT key, CAST(round(sum(area_m2), 0) AS BIGINT) "
+            f"AS area_m2 FROM areas GROUP BY key")
+
+
 def _zorder_oracle_sql() -> str:
     from pandarus_spark.operators.layout import zorder_buckets_sql
     return zorder_buckets_sql(
@@ -1196,6 +1209,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_dissolve_grid(spark, sf_dir):
+        # dissolve (union-by-key measure): grid cells keyed by parity,
+        # PLUS a duplicated copy of every cell — the union must
+        # collapse the duplicates, so a naive per-key area sum
+        # (double the truth) fails the gate
+        from pandarus_spark.operators.dissolve import dissolve_measure
+        grid = _fixtures(spark, "grid")
+        dup = grid.withColumn("feature_id", F.col("feature_id") + 100)
+        feats = grid.unionByName(dup).withColumn(
+            "k", F.expr("CAST(CAST(substring(label, 11, 2) AS INT) % 2 "
+                        "AS STRING)"))
+        return dissolve_measure(feats, key_col="k")
+
     def q_zorder_docs(spark, sf_dir):
         # Morton-key spatial layout: deterministic synthetic lon/lat
         # from doc_id, exact rank-based bucket twin of the
@@ -1608,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "label_prop_docs": q_label_prop_docs,
         "zorder_docs": q_zorder_docs,
+        "dissolve_grid": q_dissolve_grid,
         "ccnet_split_docs": q_ccnet_split_docs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "stream_tiles_docs": q_stream_tiles_docs,
@@ -2366,6 +2393,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "pagerank_docs": _pagerank_oracle_sql(),
         "label_prop_docs": _label_prop_oracle_sql(),
         "zorder_docs": _zorder_oracle_sql(),
+        "dissolve_grid": _dissolve_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

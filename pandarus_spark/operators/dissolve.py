@@ -1,0 +1,137 @@
+"""Dissolve — exact union measure per attribute key (graft addition).
+
+The classic GIS ``dissolve`` (merge all features sharing a key,
+measure the merged region) has no reference counterpart as a public
+operator, but its kernel semantics are the reference's union term in
+``calculate_remaining`` (pandarus/utils/geometry.py:177-208) — which
+the reference only needs under its non-overlapping-second-map
+precondition (core.py:51-53) and `operators/remaining.py` therefore
+computes to first-order inclusion-exclusion.  This operator drops the
+precondition: arbitrarily overlapping same-key polygons union
+EXACTLY, via the same trapezoid-decomposition kernels the hole×hole
+boolean already trusts (`geometry/geom.py:union_rings_decompose`).
+
+Distribution (the 100 TB design): union is not an algebraic
+aggregate, so the trick is to make it one —
+
+1. map side, per feature (Arrow batches): project to Mollweide,
+   decompose each polygon part into DISJOINT trapezoids
+   (`polygon_region_decompose`), then split every trapezoid at fixed
+   global vertical lines ``x = k * slab_width`` (exact linear
+   interpolation — planar area is preserved to the last bit class);
+2. ONE shuffle of (key, slab-bucket, 6-double trapezoid) rows —
+   geometry never shuffles as WKB, only bounded trapezoid tuples;
+3. per (key, bucket): union of trapezoid SOLIDS
+   (`union_rings_decompose` — per-ring parity, union-across-rings,
+   crossing-aware slabs), area summed;
+4. per key: plain float sum of bucket areas.
+
+Bucket areas are additive because every piece was clipped to its
+bucket's x-range: two buckets' regions can only meet on a
+measure-zero vertical line.  ``slab_width`` is the skew valve — a
+coastline-dense key spreads across many buckets instead of one task;
+within a bucket the decomposition is O(pieces²) in the worst case
+(crossing sweep), so size the width to the data density exactly like
+the cell index sizes its resolution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..geometry import geom as G
+from ..geometry.projection import mollweide_forward
+
+PIECE_SCHEMA = ("key string, bucket long, x0 double, x1 double, "
+                "ylo0 double, ylo1 double, yhi0 double, yhi1 double")
+
+
+def _split_trapezoid(x0, x1, ylo0, ylo1, yhi0, yhi1, width):
+    """Split one trapezoid at every multiple of ``width`` strictly
+    inside (x0, x1); yields (bucket, x0, x1, ylo0, ylo1, yhi0, yhi1)."""
+    if x1 <= x0:
+        return
+    k0 = int(np.floor(x0 / width))
+    k1 = int(np.floor(x1 / width))
+    cuts = [x0] + [k * width for k in range(k0 + 1, k1 + 1)
+                   if x0 < k * width < x1] + [x1]
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        ta = (a - x0) / (x1 - x0)
+        tb = (b - x0) / (x1 - x0)
+        yield (int(np.floor(a / width)), a, b,
+               ylo0 + ta * (ylo1 - ylo0), ylo0 + tb * (ylo1 - ylo0),
+               yhi0 + ta * (yhi1 - yhi0), yhi0 + tb * (yhi1 - yhi0))
+
+
+def dissolve_measure(features: DataFrame, key_col: str = "label",
+                     slab_width: float = 500_000.0,
+                     project: bool = True) -> DataFrame:
+    """Exact union area per ``key_col`` over polygon features.
+    Output: ``(key, area_m2 BIGINT)`` — the planar shoelace area of
+    the Mollweide-projected union, rounded to integer m² (the
+    suite's Mollweide rounding-margin convention: ~1e5 ulps of slack,
+    so the float sum can never flip the integer).
+
+    ``project=False`` computes the union in raw coordinate space
+    (area in deg²·1e6 as micro-units) — the differential-test mode,
+    where axis-aligned fixtures stay axis-aligned and an independent
+    sweep can verify arbitrary overlap patterns.
+
+    Only polygonal features dissolve to areas; mixed inputs raise
+    (line union length and point union count live in
+    ``calculate_remaining``'s union term)."""
+    if slab_width <= 0:
+        raise ValueError("slab_width must be positive")
+    kinds = [r[0] for r in features.select("kind").distinct().collect()]
+    bad = [k for k in kinds if k != "polygon"]
+    if bad:
+        raise ValueError(f"dissolve_measure needs polygon features, got {bad}")
+
+    src = features.select(F.col(key_col).cast("string").alias("key"),
+                          "geom_wkb")
+    width = float(slab_width)
+    do_project = project
+
+    def pieces_fn(it):
+        import pandas as pd
+        for pdf in it:
+            out = {c: [] for c in ("key", "bucket", "x0", "x1",
+                                   "ylo0", "ylo1", "yhi0", "yhi1")}
+            for key, wkb in zip(pdf["key"], pdf["geom_wkb"]):
+                g = G.wkb_loads(bytes(wkb))
+                if do_project:
+                    g = G.transform_geom(g, mollweide_forward)
+                for part in G.extract_kind_parts(g, "polygon"):
+                    for q in G.polygon_region_decompose(part):
+                        arr = np.asarray(q, dtype=np.float64)
+                        # trapezoid corners: (x0,ylo0),(x1,ylo1),
+                        # (x1,yhi1),(x0,yhi0)[,closing]
+                        x0, x1 = arr[0, 0], arr[1, 0]
+                        for row in _split_trapezoid(
+                                x0, x1, arr[0, 1], arr[1, 1],
+                                arr[3, 1], arr[2, 1], width):
+                            out["key"].append(key)
+                            for c, v in zip(("bucket", "x0", "x1", "ylo0",
+                                             "ylo1", "yhi0", "yhi1"), row):
+                                out[c].append(v)
+            yield pd.DataFrame(out)
+
+    pieces = src.mapInPandas(pieces_fn, schema=PIECE_SCHEMA)
+
+    def union_fn(kb, pdf):
+        import pandas as pd
+        quads = [np.array([[r.x0, r.ylo0], [r.x1, r.ylo1],
+                           [r.x1, r.yhi1], [r.x0, r.yhi0],
+                           [r.x0, r.ylo0]])
+                 for r in pdf.itertuples()]
+        merged = G.union_rings_decompose(quads, [])
+        area = float(sum(abs(G.ring_area(q)) for q in merged))
+        return pd.DataFrame({"key": [kb[0]], "area": [area]})
+
+    per_bucket = pieces.groupBy("key", "bucket").applyInPandas(
+        union_fn, schema="key string, area double")
+    scale = 1.0 if do_project else 1e6
+    return (per_bucket.groupBy("key")
+            .agg(F.round(F.sum("area") * F.lit(scale), 0)
+                  .cast("long").alias("area_m2")))

@@ -1310,3 +1310,96 @@ def test_zorder_guards(spark):
         zorder_buckets_sql("lon", "lat", n_buckets=0)
     with pytest.raises(ValueError):
         zorder_layout(_pts(spark), n_files=0)
+
+
+# ---------------------------------------------------------------------------
+# dissolve_measure
+# ---------------------------------------------------------------------------
+
+def _box_feats(spark, boxes, key="all"):
+    from pandarus_spark.geometry import geom as G
+    rows = []
+    for i, (x0, y0, x1, y1) in enumerate(boxes):
+        g = {"type": "Polygon",
+             "coordinates": [[[x0, y0], [x1, y0], [x1, y1],
+                              [x0, y1], [x0, y0]]]}
+        rows.append((i, f"f{i}", bytearray(G.wkb_dumps(g)), "polygon", key))
+    return spark.createDataFrame(
+        rows, "feature_id long, label string, geom_wkb binary, "
+              "kind string, k string")
+
+
+def _sweep_union_area(boxes):
+    # independent reference: vertical sweep + interval union (no
+    # engine kernels involved)
+    import numpy as np
+    xs = np.unique(np.concatenate([[b[0], b[2]] for b in boxes]))
+    total = 0.0
+    for a, b in zip(xs[:-1], xs[1:]):
+        mid = 0.5 * (a + b)
+        ivs = sorted((y0, y1) for (x0, y0, x1, y1) in boxes
+                     if x0 <= mid <= x1)
+        if not ivs:
+            continue
+        cov, (lo, hi) = 0.0, ivs[0]
+        for c, d in ivs[1:]:
+            if c > hi:
+                cov += hi - lo
+                lo, hi = c, d
+            else:
+                hi = max(hi, d)
+        total += (cov + hi - lo) * (b - a)
+    return total
+
+
+def test_dissolve_matches_independent_sweep_on_random_overlaps(spark):
+    import numpy as np
+    from pandarus_spark.operators.dissolve import dissolve_measure
+    rng = np.random.default_rng(7)
+    boxes = []
+    for _ in range(25):
+        x0, y0 = rng.uniform(-5, 5, 2)
+        w, h = rng.uniform(0.1, 3, 2)
+        boxes.append((x0, y0, x0 + w, y0 + h))
+    out = dissolve_measure(_box_feats(spark, boxes), key_col="k",
+                           slab_width=2.0, project=False).collect()[0]
+    assert abs(out.area_m2 - _sweep_union_area(boxes) * 1e6) <= 2
+
+
+def test_dissolve_partial_overlap_and_slab_invariance(spark):
+    from pandarus_spark.operators.dissolve import dissolve_measure
+    boxes = [(0.0, 0.0, 2.0, 2.0), (1.0, 1.0, 3.0, 3.0)]   # union = 7
+    for width in (0.5, 2.0, 100.0):
+        out = dissolve_measure(_box_feats(spark, boxes), key_col="k",
+                               slab_width=width,
+                               project=False).collect()[0]
+        assert out.area_m2 == 7_000_000, (width, out.area_m2)
+
+
+def test_dissolve_hole_excluded(spark):
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.dissolve import dissolve_measure
+    g = {"type": "Polygon",
+         "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                         [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]]]}
+    feats = spark.createDataFrame(
+        [(0, "f0", bytearray(G.wkb_dumps(g)), "polygon", "all")],
+        "feature_id long, label string, geom_wkb binary, kind string, "
+        "k string")
+    out = dissolve_measure(feats, key_col="k",
+                           project=False).collect()[0]
+    assert out.area_m2 == 12_000_000            # 16 - 4
+
+
+def test_dissolve_guards(spark):
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.dissolve import dissolve_measure
+    line = {"type": "LineString", "coordinates": [[0, 0], [1, 1]]}
+    feats = spark.createDataFrame(
+        [(0, "f0", bytearray(G.wkb_dumps(line)), "line", "all")],
+        "feature_id long, label string, geom_wkb binary, kind string, "
+        "k string")
+    with pytest.raises(ValueError):
+        dissolve_measure(feats, key_col="k")
+    with pytest.raises(ValueError):
+        dissolve_measure(feats, key_col="k", slab_width=0)
