@@ -94,6 +94,16 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _bpe_merges_oracle_sql() -> str:
+    from pandarus_spark.operators.bpe import bpe_merges_sql
+    return bpe_merges_sql(6)
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    from pandarus_spark.operators.bpe import bpe_tokenize_sql
+    return bpe_tokenize_sql(6)
+
+
 def _dissolve_oracle_sql() -> str:
     # closed-form Mollweide quad areas of the DISTINCT grid cells,
     # summed per parity key: the duplicate features the Spark side
@@ -1209,6 +1219,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_bpe_merges_docs(spark, sf_dir):
+        # BPE vocabulary learning: first 6 merges on the corpus's own
+        # word distribution, replace-based greedy application
+        from pandarus_spark.operators.bpe import bpe_merges
+        return bpe_merges(_docs(spark, sf_dir), n_merges=6)
+
+    def q_bpe_tokenize_docs(spark, sf_dir):
+        # learned merges applied back to every document (token +
+        # char counts) — the vocabulary-coverage read
+        from pandarus_spark.operators.bpe import bpe_merges, bpe_tokenize
+        m = bpe_merges(_docs(spark, sf_dir), n_merges=6)
+        merges = [(r.lhs, r.rhs) for r in m.orderBy("step").collect()]
+        return bpe_tokenize(_docs(spark, sf_dir), merges)
+
     def q_dissolve_grid(spark, sf_dir):
         # dissolve (union-by-key measure): grid cells keyed by parity,
         # PLUS a duplicated copy of every cell — the union must
@@ -1611,11 +1635,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "lsh_recall_docs": q_lsh_recall_docs,
         "ann_recall_embeddings": q_ann_recall_embeddings,
-        # (d) sentinels: one spatial golden, one zonal golden, one dedup —
-        # each family keeps a driver-proven representative in the window
-        "intersect_grid_square": q_intersect_grid_square,
-        "zonal_coverage": q_zonal_coverage,
-        "exact_dedup_docs": q_exact_dedup_docs,
+        # (d) the three family sentinels (intersect_grid_square,
+        # zonal_coverage, exact_dedup_docs — all driver-green in r3
+        # AND r4 with unchanged output) moved just past the window:
+        # every one of the 50 slots goes to a gate the driver has
+        # never proven (or whose output changed this round)
         # (e) round-5 continuation gates — never driver-proven, so they
         # take the window slots; the 14 displaced sentinels below were all
         # driver-green in r4 (and most in r3) with unchanged output.
@@ -1635,6 +1659,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop_docs": q_label_prop_docs,
         "zorder_docs": q_zorder_docs,
         "dissolve_grid": q_dissolve_grid,
+        "bpe_merges_docs": q_bpe_merges_docs,
+        "bpe_tokenize_docs": q_bpe_tokenize_docs,
+        "intersect_grid_square": q_intersect_grid_square,
+        "zonal_coverage": q_zonal_coverage,
+        "exact_dedup_docs": q_exact_dedup_docs,
         "ccnet_split_docs": q_ccnet_split_docs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "stream_tiles_docs": q_stream_tiles_docs,
@@ -2394,6 +2423,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "label_prop_docs": _label_prop_oracle_sql(),
         "zorder_docs": _zorder_oracle_sql(),
         "dissolve_grid": _dissolve_oracle_sql(),
+        "bpe_merges_docs": _bpe_merges_oracle_sql(),
+        "bpe_tokenize_docs": _bpe_tokenize_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

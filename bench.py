@@ -1222,6 +1222,100 @@ def job_final5_scale(spark, n: int) -> dict:
     return out
 
 
+def job_close5_scale(spark, n: int) -> dict:
+    """Session-close round-5 operators at scale: trigram stupid-backoff
+    LM (per-position scoring, vocab-level ln), the PPJoin exact
+    similarity join (prefix-filtered candidates), label-propagation
+    communities (5 synchronous rounds over a 3n-edge graph), the
+    Z-order layout (map-side Morton key + ONE range shuffle), and
+    dissolve (trapezoid shuffle + per-bucket exact union) over
+    overlapping synthetic boxes.  Each phase forced with the noop
+    write; inputs persist before timing."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.dedup import ppjoin_pairs
+    from pandarus_spark.operators.dissolve import dissolve_measure
+    from pandarus_spark.operators.graph import label_propagation
+    from pandarus_spark.operators.layout import zorder_layout
+    from pandarus_spark.operators.textstats import trigram_backoff_logprob
+
+    docs = synthetic_corpus(spark, n)
+    docs.persist().count()
+    out: dict = {"docs": n}
+
+    t0 = time.perf_counter()
+    _force(trigram_backoff_logprob(docs))
+    out["trigram_sec"] = round(time.perf_counter() - t0, 3)
+
+    from pandarus_spark.operators.bpe import bpe_merges
+    t0 = time.perf_counter()
+    _force(bpe_merges(docs, n_merges=6))
+    out["bpe_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pairs = ppjoin_pairs(docs, k=3, threshold_micro=500_000).persist()
+    _force(pairs)
+    out["ppjoin_sec"] = round(time.perf_counter() - t0, 3)
+    out["ppjoin_pairs"] = pairs.count()
+    pairs.unpersist()
+
+    i = F.col("doc_id")
+    edges = (docs.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+                 .unionByName(docs.select(i.alias("src"),
+                                          ((i + 2) % n).alias("dst")))
+                 .unionByName(docs.select(i.alias("src"),
+                                          ((i * 7 + 1) % n).alias("dst"))))
+    t0 = time.perf_counter()
+    _force(label_propagation(edges, n_iters=5))
+    out["label_prop_sec"] = round(time.perf_counter() - t0, 3)
+
+    pts = docs.select(
+        "doc_id",
+        (F.expr("CAST((doc_id * 37) % 360 AS DOUBLE)") - 180.0).alias("lon"),
+        (F.expr("CAST((doc_id * 7) % 180 AS DOUBLE)") - 90.0).alias("lat"))
+    t0 = time.perf_counter()
+    _force(zorder_layout(pts, n_files=64))
+    out["zorder_sec"] = round(time.perf_counter() - t0, 3)
+
+    # overlapping box features: ~n/2 boxes in a 100x100-degree belt,
+    # every third box overlapping its neighbor, 64 dissolve keys
+    def box_gen(batches):
+        import pandas as pd
+
+        from pandarus_spark.geometry import geom as G
+        for pdf in batches:
+            ids = pdf["id"]
+            rows = {"feature_id": [], "label": [], "geom_wkb": [],
+                    "kind": [], "k": []}
+            for fid in ids:
+                x0 = float((fid * 13) % 1000) / 10.0 - 50.0
+                y0 = float((fid * 29) % 800) / 10.0 - 40.0
+                w = 0.8 if fid % 3 else 1.6
+                g = {"type": "Polygon",
+                     "coordinates": [[[x0, y0], [x0 + w, y0],
+                                      [x0 + w, y0 + w], [x0, y0 + w],
+                                      [x0, y0]]]}
+                rows["feature_id"].append(int(fid))
+                rows["label"].append(f"f{fid}")
+                rows["geom_wkb"].append(G.wkb_dumps(g))
+                rows["kind"].append("polygon")
+                rows["k"].append(f"k{fid % 64}")
+            yield pd.DataFrame(rows)
+
+    feats = (spark.range(n // 2).repartition(64)
+             .mapInPandas(box_gen,
+                          schema="feature_id long, label string, "
+                                 "geom_wkb binary, kind string, k string"))
+    feats.persist().count()
+    t0 = time.perf_counter()
+    _force(dissolve_measure(feats, key_col="k"))
+    out["dissolve_sec"] = round(time.perf_counter() - t0, 3)
+    out["dissolve_features"] = n // 2
+    feats.unpersist()
+    docs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -1235,7 +1329,7 @@ def main() -> None:
                              "decontam_scale", "temporal_skew",
                              "pipeline4_scale", "pipeline4c_scale",
                              "postings_skew", "round5_scale", "late5_scale",
-                             "final5_scale"])
+                             "final5_scale", "close5_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--force", default="noop", choices=["noop", "count"],
@@ -1392,6 +1486,27 @@ def main() -> None:
                         "cms_counters": res["cms_sec"]},
             "sf": args.n, "cpus": cpus,
             "cross_pairs": res["cross_pairs"], "links": res["links"],
+            "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "close5_scale":
+        res = job_close5_scale(spark, args.n)
+        total = (res["trigram_sec"] + res["bpe_sec"]
+                 + res["ppjoin_sec"] + res["label_prop_sec"]
+                 + res["zorder_sec"] + res["dissolve_sec"])
+        emit({
+            "metric": "close5_ops_scale",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"trigram": res["trigram_sec"],
+                        "bpe": res["bpe_sec"],
+                        "ppjoin": res["ppjoin_sec"],
+                        "label_prop": res["label_prop_sec"],
+                        "zorder": res["zorder_sec"],
+                        "dissolve": res["dissolve_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "ppjoin_pairs": res["ppjoin_pairs"],
             "docs_per_sec": round(args.n / total, 1),
         })
         spark.stop()

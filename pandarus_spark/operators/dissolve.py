@@ -121,12 +121,64 @@ def dissolve_measure(features: DataFrame, key_col: str = "label",
 
     def union_fn(kb, pdf):
         import pandas as pd
-        quads = [np.array([[r.x0, r.ylo0], [r.x1, r.ylo1],
-                           [r.x1, r.yhi1], [r.x0, r.yhi0],
-                           [r.x0, r.ylo0]])
-                 for r in pdf.itertuples()]
-        merged = G.union_rings_decompose(quads, [])
-        area = float(sum(abs(G.ring_area(q)) for q in merged))
+        x0 = pdf["x0"].to_numpy()
+        x1 = pdf["x1"].to_numpy()
+        ylo0 = pdf["ylo0"].to_numpy()
+        ylo1 = pdf["ylo1"].to_numpy()
+        yhi0 = pdf["yhi0"].to_numpy()
+        yhi1 = pdf["yhi1"].to_numpy()
+        lo = np.minimum(ylo0, ylo1)
+        hi = np.maximum(yhi0, yhi1)
+        n = len(x0)
+        # connected components of the bbox-overlap graph: disjoint
+        # components cannot interact, so the O(R^2) crossing-sweep
+        # kernel runs per overlapping CLUSTER, never on the whole
+        # bucket — cost scales with overlap density, not occupancy.
+        # The bbox sweep is chunked (O(chunk*n) memory, no n x n
+        # matrix for a mega-bucket).
+        parent = np.arange(n)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for s in range(0, n, 1024):
+            e = min(s + 1024, n)
+            blk = ((x0[s:e, None] < x1[None, :])
+                   & (x1[s:e, None] > x0[None, :])
+                   & (lo[s:e, None] < hi[None, :])
+                   & (hi[s:e, None] > lo[None, :]))
+            blk[np.arange(s, e) - s, np.arange(s, e)] = False
+            for i, j in zip(*np.nonzero(blk)):
+                ra, rb = find(s + i), find(j)
+                if ra != rb:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(n)])
+        flat = 0.5 * (x1 - x0) * ((yhi0 - ylo0) + (yhi1 - ylo1))
+        area = 0.0
+        for root in np.unique(roots):
+            idx = np.nonzero(roots == root)[0]
+            if len(idx) == 1:
+                area += float(flat[idx[0]])
+                continue
+            if len(idx) == 2:
+                a, b = idx
+                if (ylo0[a] == ylo1[a] and yhi0[a] == yhi1[a]
+                        and ylo0[b] == ylo1[b] and yhi0[b] == yhi1[b]):
+                    # two axis-aligned rectangles: exact
+                    # inclusion-exclusion, no kernel call
+                    ov = (max(0.0, min(x1[a], x1[b]) - max(x0[a], x0[b]))
+                          * max(0.0, min(yhi0[a], yhi0[b])
+                                - max(ylo0[a], ylo0[b])))
+                    area += float(flat[a] + flat[b] - ov)
+                    continue
+            quads = [np.array([[x0[i], ylo0[i]], [x1[i], ylo1[i]],
+                               [x1[i], yhi1[i]], [x0[i], yhi0[i]],
+                               [x0[i], ylo0[i]]]) for i in idx]
+            merged = G.union_rings_decompose(quads, [])
+            area += float(sum(abs(G.ring_area(q)) for q in merged))
         return pd.DataFrame({"key": [kb[0]], "area": [area]})
 
     per_bucket = pieces.groupBy("key", "bucket").applyInPandas(

@@ -597,3 +597,103 @@ def test_anchor_terms_plan_mapside_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "partial_count" in plan, plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_trigram_backoff_plan_no_window_no_text_shuffle(spark):
+    """Trigram stupid backoff: positions come from an array transform,
+    not a lag window; all count tables are vocab-level regroups of the
+    checkpointed occ table; raw text never enters an Exchange; no
+    Python anywhere (ln is the detmath Catalyst expression)."""
+    from pandarus_spark.operators.textstats import trigram_backoff_logprob
+    rows = [(i, "w x y z a b c d e f%d" % (i % 7)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = trigram_backoff_logprob(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert not [l for l in plan.splitlines()
+                if "Exchange" in l and "text#" in l], "text shuffled"
+
+
+def test_ppjoin_plan_no_cartesian_no_reinlined_shingles(spark):
+    """PPJoin: the prefix self-join must be an equi-join on the
+    shingle (never a cartesian fallback), the checkpointed shingle
+    table must keep the zip_with fold out of the join plan, and raw
+    text never enters an Exchange."""
+    from pandarus_spark.operators.dedup import ppjoin_pairs
+    rows = [(i, "w x y z a b c d e f%d" % (i % 7)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = ppjoin_pairs(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "zip_with" not in plan, "shingle fold re-inlined"
+    assert not [l for l in plan.splitlines()
+                if "Exchange" in l and "text#" in l], "text shuffled"
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_label_prop_plan_constant_in_iterations(spark):
+    """LPA: the per-round localCheckpoint must truncate lineage so the
+    final plan is O(1) in the iteration count (the pagerank hygiene) —
+    identical Exchange counts at 2 and 6 rounds."""
+    from pandarus_spark.operators.graph import label_propagation
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                              "src long, dst long")
+    p2 = label_propagation(e, n_iters=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    p6 = label_propagation(e, n_iters=6)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert (p2.count("Exchange hashpartitioning")
+            == p6.count("Exchange hashpartitioning"))
+    assert abs(len(p6) - len(p2)) < max(len(p2), 200), \
+        "plan grows with iteration count"
+
+
+def test_zorder_plan_staged_quantization_range_partition(spark):
+    """Z-order layout: the staged projection must survive optimization
+    — the floor quantization compiles ONCE per lane (2 total), not
+    once per interleave term (64 at bits=16) — and the layout shuffle
+    is RANGE partitioning on the key."""
+    from pandarus_spark.operators.layout import zorder_layout
+    pts = spark.createDataFrame(
+        [(i, float(i % 360) - 180.0, float(i % 180) - 90.0)
+         for i in range(100)], "doc_id long, lon double, lat double")
+    plan = zorder_layout(pts, n_files=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("FLOOR(") + plan.count("floor(") == 2, \
+        "quantization re-inlined into the interleave terms"
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_dissolve_plan_two_exchanges_no_wkb_shuffle(spark):
+    """Dissolve: exactly two Exchanges — the (key, bucket) trapezoid
+    shuffle and the per-key area agg — with the union stage as grouped
+    Arrow; geometry WKB is consumed map-side and never shuffles."""
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.dissolve import dissolve_measure
+    g = {"type": "Polygon",
+         "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}
+    rows = [(i, "f%d" % i, bytearray(G.wkb_dumps(g)), "polygon",
+             "k%d" % (i % 3)) for i in range(20)]
+    feats = spark.createDataFrame(
+        rows, "feature_id long, label string, geom_wkb binary, "
+              "kind string, k string")
+    plan = dissolve_measure(feats, key_col="k",
+                            project=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert not [l for l in plan.splitlines()
+                if "Exchange" in l and "geom_wkb" in l], "WKB shuffled"
+
+
+def test_bpe_tokenize_plan_zero_shuffle(spark):
+    """BPE tokenization: the learned merges apply as chained replace
+    calls in one narrow map — zero Exchanges, no Python."""
+    from pandarus_spark.operators.bpe import bpe_tokenize
+    docs = spark.createDataFrame([(0, "banana band")],
+                                 "doc_id long, text string")
+    plan = bpe_tokenize(docs, [("a", "n"), ("b", "an")])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan

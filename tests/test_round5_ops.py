@@ -1403,3 +1403,85 @@ def test_dissolve_guards(spark):
         dissolve_measure(feats, key_col="k")
     with pytest.raises(ValueError):
         dissolve_measure(feats, key_col="k", slab_width=0)
+
+
+# ---------------------------------------------------------------------------
+# BPE merges + tokenize
+# ---------------------------------------------------------------------------
+
+def test_bpe_merges_hand_and_parity(spark):
+    from pandarus_spark.operators.bpe import bpe_merges, bpe_merges_sql
+    rows = [(0, "banana banana", "s")]
+    out = [(r.step, r.lhs, r.rhs, r.pair_count) for r in
+           bpe_merges(_docs(spark, rows), n_merges=3)
+           .orderBy("step").collect()]
+    # banana x2: a-n and n-a tie at 4 -> lex picks (a, n); then
+    # b/an/an/a: all pairs tie at 2 -> lex picks (an, a); then
+    # b/an/ana: (an, ana) vs (b, an) tie -> lex picks (an, ana)
+    assert out == [(1, "a", "n", 4), (2, "an", "a", 2),
+                   (3, "an", "ana", 2)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 0 AS doc_id, "
+                "'banana banana' AS text")
+    assert out == con.execute(bpe_merges_sql(3)
+                              + " ORDER BY step").fetchall()
+
+
+def test_bpe_merges_duckdb_parity_messy(spark):
+    from pandarus_spark.operators.bpe import bpe_merges, bpe_merges_sql
+    rows = [(0, "the cat sat on the mat", "s"),
+            (1, "the cats sat on the hats", "s"),
+            (2, "that theme is the same theme", "s"),
+            (3, "", "s"), (4, "a  b", "s"), (5, "banana bandana", "s")]
+    out = [(r.step, r.lhs, r.rhs, r.pair_count) for r in
+           bpe_merges(_docs(spark, rows), n_merges=6)
+           .orderBy("step").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}', 's')" for i, t, _ in rows) +
+                ") t(doc_id, text, source)")
+    assert out == con.execute(bpe_merges_sql(6)
+                              + " ORDER BY step").fetchall()
+
+
+def test_bpe_tokenize_semantics_and_parity(spark):
+    from pandarus_spark.operators.bpe import (bpe_tokenize,
+                                              bpe_tokenize_sql)
+    from pandarus_spark.operators.bpe import bpe_merges
+    rows = [(0, "banana banana", "s"), (1, "ban", "s"), (2, "", "s")]
+    # hand-chosen merges: one replace pass per merge, in order —
+    # exactly how training applied them
+    out = {r.doc_id: (r.n_tokens, r.n_chars) for r in
+           bpe_tokenize(_docs(spark, rows),
+                        [("a", "n"), ("an", "a")]).collect()}
+    assert out[0] == (6, 12)      # per word: [b, an, ana]
+    assert out[1] == (2, 3)       # [b, an]
+    assert out[2] == (0, 0)
+    # the SQL twin LEARNS its merges from the same table — on this
+    # corpus round 2 picks (b, an) — so the Spark side must learn
+    # them too for the comparison
+    learned = [(r.lhs, r.rhs) for r in
+               bpe_merges(_docs(spark, rows), n_merges=2)
+               .orderBy("step").collect()]
+    assert learned == [("a", "n"), ("b", "an")]
+    out2 = sorted((r.doc_id, r.n_tokens, r.n_chars) for r in
+                  bpe_tokenize(_docs(spark, rows), learned).collect())
+    assert out2[1][1] == 1        # 'ban' collapses to ONE token
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(0, 'banana banana', 's'), (1, 'ban', 's'), "
+                "(2, '', 's')) t(doc_id, text, source)")
+    orows = con.execute(bpe_tokenize_sql(2)
+                        + " ORDER BY doc_id").fetchall()
+    assert out2 == orows
+
+
+def test_bpe_guards_and_exhaustion(spark):
+    from pandarus_spark.operators.bpe import (bpe_merges,
+                                              bpe_merges_sql)
+    with pytest.raises(ValueError):
+        bpe_merges(_docs(spark, [(0, "ab", "s")]), n_merges=0)
+    with pytest.raises(ValueError):
+        bpe_merges_sql(0)
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_merges(_docs(spark, [(0, "ab", "s")]), n_merges=5)
