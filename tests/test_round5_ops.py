@@ -1485,3 +1485,62 @@ def test_bpe_guards_and_exhaustion(spark):
         bpe_merges_sql(0)
     with pytest.raises(ValueError, match="exhausted"):
         bpe_merges(_docs(spark, [(0, "ab", "s")]), n_merges=5)
+
+
+# ---------------------------------------------------------------------------
+# dissolve_length / dissolve_points
+# ---------------------------------------------------------------------------
+
+def _line_feats(spark, rows):
+    from pandarus_spark.geometry import geom as G
+    out = []
+    for i, (x0, y0, x1, y1, k) in enumerate(rows):
+        g = {"type": "LineString", "coordinates": [[x0, y0], [x1, y1]]}
+        out.append((i, f"f{i}", bytearray(G.wkb_dumps(g)), "line", k))
+    return spark.createDataFrame(
+        out, "feature_id long, label string, geom_wkb binary, "
+             "kind string, k string")
+
+
+def test_dissolve_length_merges_overlaps_dups_crossings(spark):
+    import numpy as np
+    from pandarus_spark.operators.dissolve import dissolve_length
+    rows = [(0, 0, 2, 0, "a"), (1, 0, 4, 0, "a"),   # overlap -> [0,4]
+            (0, 0, 2, 0, "a"),                       # exact duplicate
+            (0, -1, 0, 1, "a"),                      # crossing vertical
+            (10, 10, 11, 11, "b"), (10, 10, 11, 11, "b")]
+    out = {r.key: r.length_mm for r in
+           dissolve_length(_line_feats(spark, rows), key_col="k",
+                           project=False).collect()}
+    assert out["a"] == 6_000_000                     # 4 + 2
+    assert abs(out["b"] - round(np.sqrt(2) * 1e6)) <= 1
+
+
+def test_dissolve_length_touching_segments_merge(spark):
+    from pandarus_spark.operators.dissolve import dissolve_length
+    rows = [(0, 0, 1, 0, "a"), (1, 0, 2, 0, "a")]    # touch at x=1
+    out = dissolve_length(_line_feats(spark, rows), key_col="k",
+                          project=False).collect()
+    assert out[0].length_mm == 2_000_000
+
+
+def test_dissolve_points_and_guards(spark):
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.dissolve import (dissolve_length,
+                                                   dissolve_points)
+    rows = []
+    for i, (x, y, k) in enumerate([(0, 0, "a"), (0, 0, "a"),
+                                   (1, 1, "a"), (2, 2, "b")]):
+        g = {"type": "Point", "coordinates": [x, y]}
+        rows.append((i, f"f{i}", bytearray(G.wkb_dumps(g)), "point", k))
+    feats = spark.createDataFrame(
+        rows, "feature_id long, label string, geom_wkb binary, "
+              "kind string, k string")
+    out = {r.key: r.n_points for r in
+           dissolve_points(feats, key_col="k").collect()}
+    assert out == {"a": 2, "b": 1}
+    with pytest.raises(ValueError):
+        dissolve_length(feats, key_col="k")          # points, not lines
+    with pytest.raises(ValueError):
+        dissolve_points(_line_feats(spark, [(0, 0, 1, 0, "a")]),
+                        key_col="k")
