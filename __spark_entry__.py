@@ -94,6 +94,46 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _centroids_oracle_sql() -> str:
+    # closed-form quad centroid of each fixture box's four projected
+    # corners (theta via the Newton chain), matching the operator's
+    # region-decomposition centroid exactly up to fp noise far below
+    # the mm rounding
+    from pandarus_spark.functions.oracle_sql import (
+        C, K, theta_lateral_chain)
+    boxes = ("(VALUES ('grid cell 0', 0.0, 0.0, 1.0, 1.0), "
+             "('grid cell 1', 0.0, 1.0, 1.0, 2.0), "
+             "('grid cell 2', 1.0, 0.0, 2.0, 1.0), "
+             "('grid cell 3', 1.0, 1.0, 2.0, 2.0), "
+             "('single', 0.5, 0.5, 1.5, 1.5)) "
+             "AS g(label, minx, miny, maxx, maxy)")
+    cross = ("(xbl*ybr - xbr*ybl) AS c0, (xbr*ytr - xtr*ybr) AS c1, "
+             "(xtr*ytl - xtl*ytr) AS c2, (xtl*ybl - xbl*ytl) AS c3")
+    return f"""
+WITH proj AS (
+  SELECT label,
+    {K} * radians(minx) * cos(tb) AS xbl,
+    {K} * radians(maxx) * cos(tb) AS xbr,
+    {K} * radians(maxx) * cos(tt) AS xtr,
+    {K} * radians(minx) * cos(tt) AS xtl,
+    {C} * sin(tb) AS ybl, {C} * sin(tb) AS ybr,
+    {C} * sin(tt) AS ytr, {C} * sin(tt) AS ytl
+  FROM {boxes},
+  {theta_lateral_chain("radians(miny)", "radians(maxy)")}),
+terms AS (SELECT label, xbl, xbr, xtr, xtl, ybl, ybr, ytr, ytl,
+                 {cross} FROM proj)
+SELECT label,
+  CAST(round(((xbl + xbr) * c0 + (xbr + xtr) * c1 + (xtr + xtl) * c2
+              + (xtl + xbl) * c3)
+             / (3.0 * (c0 + c1 + c2 + c3)) * 1000, 0) AS BIGINT)
+    AS cx_mm,
+  CAST(round(((ybl + ybr) * c0 + (ybr + ytr) * c1 + (ytr + ytl) * c2
+              + (ytl + ybl) * c3)
+             / (3.0 * (c0 + c1 + c2 + c3)) * 1000, 0) AS BIGINT)
+    AS cy_mm
+FROM terms"""
+
+
 def _dissolve_lines_oracle_sql() -> str:
     from pandarus_spark.functions.oracle_sql import K
     frame = ("OVER (PARTITION BY key ORDER BY a, b "
@@ -1266,6 +1306,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_centroids_grid(spark, sf_dir):
+        # per-feature centroids of the grid + square fixtures against
+        # the closed-form projected-quad centroid
+        from pandarus_spark.operators.dissolve import centroids
+        feats = _fixtures(spark, "grid").unionByName(
+            _fixtures(spark, "square"))
+        return centroids(feats).select("label", "cx_mm", "cy_mm")
+
     def q_dissolve_lines(spark, sf_dir):
         # line dissolve: equator segment chains per key with exact
         # duplicates and overlaps — union length must merge both
@@ -1758,7 +1806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "trigram_backoff_docs": q_trigram_backoff_docs,
         "ppjoin_docs": q_ppjoin_docs,
-        "spatial_clusters_points": q_spatial_clusters_points,
         "hll_registers_docs": q_hll_registers_docs,
         "pagerank_docs": q_pagerank_docs,
         "label_prop_docs": q_label_prop_docs,
@@ -1768,6 +1815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "dissolve_lines": q_dissolve_lines,
         "dissolve_points": q_dissolve_points,
+        "centroids_grid": q_centroids_grid,
+        # spatial_clusters (two rounds judge-exact, same eps-cluster
+        # family as the driver-proven dup-cluster gates) yields its
+        # slot to the centroids gate;
+        "spatial_clusters_points": q_spatial_clusters_points,
         # hll_estimate (derived from in-window hll_registers) and
         # blocklist_filter (three rounds judge-exact, same URL fixture
         # family as in-window url_normalize/domain_stats) yield their
@@ -2540,6 +2592,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "bpe_tokenize_docs": _bpe_tokenize_oracle_sql(),
         "dissolve_lines": _dissolve_lines_oracle_sql(),
         "dissolve_points": _dissolve_points_oracle_sql(),
+        "centroids_grid": _centroids_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

@@ -291,3 +291,87 @@ def dissolve_points(features: DataFrame, key_col: str = "label",
     pts = src.mapInPandas(pts_fn, schema="key string, x double, y double")
     return (pts.groupBy("key")
                .agg(F.count_distinct("x", "y").alias("n_points")))
+
+
+def _quad_centroid(arr):
+    """Signed area + centroid of the quad (x0,ylo0),(x1,ylo1),
+    (x1,yhi1),(x0,yhi0) via its two triangles."""
+    p0, p1, p2, p3 = arr[0], arr[1], arr[2], arr[3]
+    a1 = 0.5 * ((p1[0] - p0[0]) * (p2[1] - p0[1])
+                - (p2[0] - p0[0]) * (p1[1] - p0[1]))
+    a2 = 0.5 * ((p2[0] - p0[0]) * (p3[1] - p0[1])
+                - (p3[0] - p0[0]) * (p2[1] - p0[1]))
+    c1 = (p0 + p1 + p2) / 3.0
+    c2 = (p0 + p2 + p3) / 3.0
+    a = a1 + a2
+    if a == 0.0:
+        return 0.0, np.zeros(2)
+    return a, (a1 * c1 + a2 * c2) / a
+
+
+def centroids(features: DataFrame, project: bool = True) -> DataFrame:
+    """Per-feature centroid (graft addition; the reference exposes
+    measures but no representative point).  Output: ``(feature_id,
+    label, cx_mm BIGINT, cy_mm BIGINT)`` — Mollweide metres rounded
+    to integer millimetres (``project=False``: raw coordinates in
+    1e-6 micro-units, the differential-test mode).
+
+    * polygon: area-weighted centroid of the REGION — computed over
+      the ``polygon_region_decompose`` trapezoids, so holes subtract
+      and ring orientation is irrelevant (the even-odd semantics the
+      whole kernel suite uses);
+    * line: length-weighted mean of segment midpoints;
+    * point: arithmetic mean of the coordinates.
+
+    Plan shape (100 TB test): pure map — one Arrow pass per feature,
+    zero shuffles; kinds may be mixed (each row dispatches on its own
+    ``kind``)."""
+    src = features.select("feature_id", "label", "geom_wkb", "kind")
+    do_project = project
+    scale = 1000.0 if project else 1e6
+
+    def cent_fn(it):
+        import pandas as pd
+        for pdf in it:
+            out = {"feature_id": [], "label": [], "cx_mm": [],
+                   "cy_mm": []}
+            for fid, label, wkb, kind in zip(
+                    pdf["feature_id"], pdf["label"], pdf["geom_wkb"],
+                    pdf["kind"]):
+                g = G.wkb_loads(bytes(wkb))
+                if do_project:
+                    g = G.transform_geom(g, mollweide_forward)
+                if kind == "polygon":
+                    tot_a, acc = 0.0, np.zeros(2)
+                    for part in G.extract_kind_parts(g, "polygon"):
+                        for q in G.polygon_region_decompose(part):
+                            arr = np.asarray(q, dtype=np.float64)
+                            a, c = _quad_centroid(arr)
+                            tot_a += a
+                            acc += a * c
+                    cen = acc / tot_a if tot_a else np.zeros(2)
+                elif kind == "line":
+                    tot_l, acc = 0.0, np.zeros(2)
+                    for line in G.extract_kind_parts(g, "line"):
+                        arr = np.asarray(line,
+                                         dtype=np.float64).reshape(-1, 2)
+                        seg = arr[1:] - arr[:-1]
+                        ln = np.hypot(seg[:, 0], seg[:, 1])
+                        mid = 0.5 * (arr[1:] + arr[:-1])
+                        tot_l += float(ln.sum())
+                        acc += (ln[:, None] * mid).sum(axis=0)
+                    cen = acc / tot_l if tot_l else np.zeros(2)
+                else:
+                    pts = np.vstack([
+                        np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                        for p in G.extract_kind_parts(g, "point")])
+                    cen = pts.mean(axis=0)
+                out["feature_id"].append(int(fid))
+                out["label"].append(label)
+                out["cx_mm"].append(int(round(cen[0] * scale)))
+                out["cy_mm"].append(int(round(cen[1] * scale)))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        cent_fn, schema="feature_id long, label string, "
+                        "cx_mm long, cy_mm long")

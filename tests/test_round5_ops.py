@@ -1544,3 +1544,61 @@ def test_dissolve_points_and_guards(spark):
     with pytest.raises(ValueError):
         dissolve_points(_line_feats(spark, [(0, 0, 1, 0, "a")]),
                         key_col="k")
+
+
+# ---------------------------------------------------------------------------
+# centroids
+# ---------------------------------------------------------------------------
+
+def test_centroids_by_hand_all_kinds(spark):
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.dissolve import centroids
+    shapes = [
+        ("box", {"type": "Polygon",
+                 "coordinates": [[[0, 0], [2, 0], [2, 4], [0, 4],
+                                  [0, 0]]]}, "polygon", (1.0, 2.0)),
+        # 4x4 square minus a unit hole at (0.5..1.5)^2:
+        # (16*2 - 1*1)/15 in both axes
+        ("hole", {"type": "Polygon",
+                  "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4],
+                                   [0, 0]],
+                                  [[0.5, 0.5], [1.5, 0.5], [1.5, 1.5],
+                                   [0.5, 1.5], [0.5, 0.5]]]},
+         "polygon", (31 / 15, 31 / 15)),
+        # L-shape: two unit-ish rects, area-weighted
+        ("L", {"type": "Polygon",
+               "coordinates": [[[0, 0], [2, 0], [2, 1], [1, 1], [1, 2],
+                                [0, 2], [0, 0]]]}, "polygon",
+         (2.5 / 3, 2.5 / 3)),
+        ("line", {"type": "LineString",
+                  "coordinates": [[0, 0], [2, 0], [2, 2]]}, "line",
+         (1.5, 0.5)),
+        ("pt", {"type": "MultiPoint",
+                "coordinates": [[0, 0], [2, 2]]}, "point", (1.0, 1.0)),
+    ]
+    rows = [(i, lab, bytearray(G.wkb_dumps(g)), k)
+            for i, (lab, g, k, _) in enumerate(shapes)]
+    df = spark.createDataFrame(
+        rows, "feature_id long, label string, geom_wkb binary, "
+              "kind string")
+    out = {r.label: (r.cx_mm, r.cy_mm)
+           for r in centroids(df, project=False).collect()}
+    for lab, _, _, exp in shapes:
+        want = (round(exp[0] * 1e6), round(exp[1] * 1e6))
+        assert all(abs(a - b) <= 1 for a, b in zip(out[lab], want)), \
+            (lab, out[lab], want)
+
+
+def test_centroids_orientation_invariant(spark):
+    # reversed ring orientation must give the same centroid (the
+    # region decomposition is orientation-free)
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.dissolve import centroids
+    cw = {"type": "Polygon",
+          "coordinates": [[[0, 0], [0, 4], [2, 4], [2, 0], [0, 0]]]}
+    rows = [(0, "cw", bytearray(G.wkb_dumps(cw)), "polygon")]
+    df = spark.createDataFrame(
+        rows, "feature_id long, label string, geom_wkb binary, "
+              "kind string")
+    r = centroids(df, project=False).collect()[0]
+    assert (r.cx_mm, r.cy_mm) == (1_000_000, 2_000_000)
