@@ -94,6 +94,67 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _simplify_oracle_sql() -> str:
+    # Douglas–Peucker as a recursive CTE: interval rows split at the
+    # argmax-perpendicular-distance vertex until every chord fits eps.
+    # Two hazards this twin pins (measured): the argmax window must
+    # PARTITION BY its correlation keys (decorrelation otherwise runs
+    # the max across every active segment), and the kept-endpoint
+    # dedup must be an explicit DISTINCT over UNION ALL (a bare UNION
+    # inside a WITH RECURSIVE list did not deduplicate).
+    dexp = ("CASE WHEN (pb.x - pa.x) * (pb.x - pa.x) "
+            "+ (pb.y - pa.y) * (pb.y - pa.y) = 0 "
+            "THEN sqrt((p.x - pa.x) * (p.x - pa.x) "
+            "+ (p.y - pa.y) * (p.y - pa.y)) "
+            "ELSE abs((pb.x - pa.x) * (pa.y - p.y) "
+            "- (pa.x - p.x) * (pb.y - pa.y)) "
+            "/ sqrt((pb.x - pa.x) * (pb.x - pa.x) "
+            "+ (pb.y - pa.y) * (pb.y - pa.y)) END")
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT doc_id, s['i'] AS i, s['x'] AS x, s['y'] AS y FROM (
+    SELECT doc_id,
+      unnest([{{'i': j, 'x': CAST(j AS DOUBLE),
+               'y': (CASE WHEN j >= 6 THEN 3.0 ELSE 0.0 END)
+                    + CAST(j % 2 AS DOUBLE)
+                      * (CAST(doc_id % 5 AS DOUBLE) * 0.1)}}
+              for j in range(0, 12)]) AS s
+    FROM documents)),
+seg AS (
+  SELECT doc_id, 0 AS a, 11 AS b FROM documents
+  UNION ALL
+  SELECT s.doc_id, s.a2, s.b2 FROM (
+    SELECT seg.doc_id,
+           CASE WHEN side = 0 THEN seg.a ELSE k END AS a2,
+           CASE WHEN side = 0 THEN k ELSE seg.b END AS b2,
+           split.dmax
+    FROM seg,
+      LATERAL (
+        SELECT i AS k, dmax FROM (
+          SELECT p.i, {dexp} AS d,
+                 max({dexp}) OVER (PARTITION BY p.doc_id, pa.i, pb.i)
+                   AS dmax
+          FROM pts p, pts pa, pts pb
+          WHERE pa.doc_id = seg.doc_id AND pb.doc_id = seg.doc_id
+            AND p.doc_id = seg.doc_id
+            AND pa.i = seg.a AND pb.i = seg.b
+            AND p.i > seg.a AND p.i < seg.b)
+        WHERE d = dmax ORDER BY i LIMIT 1) split,
+      LATERAL (SELECT unnest([0, 1]) AS side) sides
+    WHERE split.dmax > 0.25 AND seg.b > seg.a + 1
+  ) s),
+keeps AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT doc_id, a AS i FROM seg
+    UNION ALL
+    SELECT doc_id, b FROM seg))
+SELECT doc_id, CAST(12 AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(i) AS BIGINT) AS idx_sum,
+       CAST(sum(i * i) AS BIGINT) AS idx_sq_sum
+FROM keeps GROUP BY doc_id"""
+
+
 def _centroids_oracle_sql() -> str:
     # closed-form quad centroid of each fixture box's four projected
     # corners (theta via the Newton chain), matching the operator's
@@ -1306,6 +1367,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_simplify_docs(spark, sf_dir):
+        # Douglas–Peucker over deterministic zigzag-plus-step
+        # polylines (12 points per doc, amplitude varies by doc);
+        # integer kept-vertex statistics only
+        from pandarus_spark.geometry import geom as G
+        from pandarus_spark.operators.simplify import simplify_lines
+        d = _docs(spark, sf_dir).select("doc_id")
+
+        def gen(it):
+            import pandas as pd
+            for pdf in it:
+                rows = {"feature_id": [], "label": [], "geom_wkb": [],
+                        "kind": []}
+                for did in pdf["doc_id"]:
+                    amp = float(did % 5) * 0.1
+                    coords = [[float(j),
+                               (3.0 if j >= 6 else 0.0)
+                               + (j % 2) * amp] for j in range(12)]
+                    g = {"type": "LineString", "coordinates": coords}
+                    rows["feature_id"].append(int(did))
+                    rows["label"].append(f"f{did}")
+                    rows["geom_wkb"].append(G.wkb_dumps(g))
+                    rows["kind"].append("line")
+                yield pd.DataFrame(rows)
+
+        feats = d.mapInPandas(
+            gen, schema="feature_id long, label string, "
+                        "geom_wkb binary, kind string")
+        return (simplify_lines(feats, eps=0.25, project=False)
+                .select(F.col("feature_id").alias("doc_id"),
+                        "n_points", "n_kept", "idx_sum", "idx_sq_sum"))
+
     def q_centroids_grid(spark, sf_dir):
         # per-feature centroids of the grid + square fixtures against
         # the closed-form projected-quad centroid
@@ -1806,7 +1899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "trigram_backoff_docs": q_trigram_backoff_docs,
         "ppjoin_docs": q_ppjoin_docs,
-        "hll_registers_docs": q_hll_registers_docs,
         "pagerank_docs": q_pagerank_docs,
         "label_prop_docs": q_label_prop_docs,
         "zorder_docs": q_zorder_docs,
@@ -1816,6 +1908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_lines": q_dissolve_lines,
         "dissolve_points": q_dissolve_points,
         "centroids_grid": q_centroids_grid,
+        "simplify_docs": q_simplify_docs,
+        # hll_registers (three rounds judge-exact; its whole family —
+        # estimate, by-lang, streaming — already sits past the window)
+        # yields its slot to the simplify gate
+        "hll_registers_docs": q_hll_registers_docs,
         # spatial_clusters (two rounds judge-exact, same eps-cluster
         # family as the driver-proven dup-cluster gates) yields its
         # slot to the centroids gate;
@@ -2593,6 +2690,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "dissolve_lines": _dissolve_lines_oracle_sql(),
         "dissolve_points": _dissolve_points_oracle_sql(),
         "centroids_grid": _centroids_oracle_sql(),
+        "simplify_docs": _simplify_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

@@ -1602,3 +1602,72 @@ def test_centroids_orientation_invariant(spark):
               "kind string")
     r = centroids(df, project=False).collect()[0]
     assert (r.cx_mm, r.cy_mm) == (1_000_000, 2_000_000)
+
+
+# ---------------------------------------------------------------------------
+# simplify_lines (Douglas–Peucker)
+# ---------------------------------------------------------------------------
+
+def test_simplify_dp_semantics_and_geometry(spark):
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.simplify import (dp_keep_indices,
+                                                   simplify_lines)
+    # kernel: collinear collapses to endpoints; step keeps its corner
+    assert dp_keep_indices([(0, 0), (1, 0), (2, 0), (3, 0)], 0.1) == [0, 3]
+    pts = [(float(j), 3.0 if j >= 2 else 0.0) for j in range(4)]
+    assert dp_keep_indices(pts, 0.25) == [0, 1, 2, 3]
+    # operator: zigzag below eps collapses, above eps survives
+    rows = []
+    for fid, amp in ((0, 0.05), (1, 2.0)):
+        coords = [[float(j), (j % 2) * amp] for j in range(8)]
+        g = {"type": "LineString", "coordinates": coords}
+        rows.append((fid, f"f{fid}", bytearray(G.wkb_dumps(g)), "line"))
+    df = spark.createDataFrame(
+        rows, "feature_id long, label string, geom_wkb binary, "
+              "kind string")
+    out = {r.feature_id: r for r in
+           simplify_lines(df, eps=0.25, project=False).collect()}
+    assert out[0].n_kept == 2 and out[0].n_points == 8
+    assert out[1].n_kept == 8
+    # the simplified geometry round-trips and keeps the endpoints
+    import numpy as np
+    gs = G.wkb_loads(bytes(out[0].geom_wkb))
+    assert np.allclose(np.asarray(gs["coordinates"], dtype=float),
+                       [[0.0, 0.0], [7.0, 0.05]], atol=0)
+
+
+def test_simplify_matches_python_reference_random(spark):
+    import numpy as np
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.simplify import (dp_keep_indices,
+                                                   simplify_lines)
+    rng = np.random.default_rng(3)
+    rows, refs = [], {}
+    for fid in range(20):
+        coords = [[float(j), float(v)] for j, v in
+                  enumerate(rng.normal(0, 1, 15))]
+        refs[fid] = dp_keep_indices([tuple(c) for c in coords], 0.8)
+        g = {"type": "LineString", "coordinates": coords}
+        rows.append((fid, f"f{fid}", bytearray(G.wkb_dumps(g)), "line"))
+    df = spark.createDataFrame(
+        rows, "feature_id long, label string, geom_wkb binary, "
+              "kind string")
+    out = {r.feature_id: r for r in
+           simplify_lines(df, eps=0.8, project=False).collect()}
+    for fid, keep in refs.items():
+        r = out[fid]
+        assert (r.n_kept, r.idx_sum, r.idx_sq_sum) == \
+            (len(keep), sum(keep), sum(i * i for i in keep))
+
+
+def test_simplify_guards(spark):
+    from pandarus_spark.geometry import geom as G
+    from pandarus_spark.operators.simplify import simplify_lines
+    g = {"type": "Point", "coordinates": [0, 0]}
+    df = spark.createDataFrame(
+        [(0, "p", bytearray(G.wkb_dumps(g)), "point")],
+        "feature_id long, label string, geom_wkb binary, kind string")
+    with pytest.raises(ValueError):
+        simplify_lines(df, eps=0.1)
+    with pytest.raises(ValueError):
+        simplify_lines(df, eps=-1)
