@@ -94,6 +94,33 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _hull_oracle_sql() -> str:
+    # independent O(n^3) hull definition: (a, b) is a CCW hull edge
+    # iff every other point is STRICTLY left of a->b; hull vertices =
+    # edge endpoints, 2*area = shoelace over the directed edge cycle.
+    # Integer coordinates: every cross product exact in both engines.
+    return """
+WITH base AS (
+  SELECT CAST('k' || (doc_id % 4) AS VARCHAR) AS key,
+         (doc_id % (21 + doc_id % 4)) - 10 AS x
+  FROM documents),
+pts AS (
+  SELECT DISTINCT key, x, y FROM (
+    SELECT key, x, x * x AS y FROM base
+    UNION ALL
+    SELECT key, x, (x * x) // 2 + 40 FROM base WHERE abs(x) <= 8)),
+edges AS (
+  SELECT a.key, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM pts a JOIN pts b ON a.key = b.key
+   AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (SELECT 1 FROM pts c WHERE c.key = a.key
+     AND (c.x <> a.x OR c.y <> a.y) AND (c.x <> b.x OR c.y <> b.y)
+     AND (b.x - a.x) * (c.y - a.y) - (c.x - a.x) * (b.y - a.y) <= 0))
+SELECT key, CAST(count(*) AS BIGINT) AS n_hull,
+       CAST(abs(sum(ax * by - bx * ay)) AS BIGINT) AS hull_2area
+FROM edges GROUP BY key"""
+
+
 def _simplify_oracle_sql() -> str:
     # Douglas–Peucker as a recursive CTE: interval rows split at the
     # argmax-perpendicular-distance vertex until every chord fits eps.
@@ -1367,6 +1394,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_hull_points(spark, sf_dir):
+        # per-key convex hull over parabola points (all hull vertices
+        # by convexity) plus strictly interior points that must be
+        # excluded; per-key modulus varies the hull; integer coords so
+        # every cross product is exact
+        from pandarus_spark.operators.hull import convex_hull_stats
+        d = _docs(spark, sf_dir).select("doc_id")
+        base = d.select(
+            F.expr("CAST('k' || (doc_id % 4) AS STRING)").alias("key"),
+            F.expr("(doc_id % (21 + doc_id % 4)) - 10").alias("x"))
+        pts = (base.select("key", "x", F.expr("x * x").alias("y"))
+               .unionByName(
+                   base.filter(F.expr("abs(x) <= 8"))
+                       .select("key", "x",
+                               F.expr("(x * x) DIV 2 + 40").alias("y"))))
+        return convex_hull_stats(pts)
+
     def q_simplify_docs(spark, sf_dir):
         # Douglas–Peucker over deterministic zigzag-plus-step
         # polylines (12 points per doc, amplitude varies by doc);
@@ -1899,7 +1943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "trigram_backoff_docs": q_trigram_backoff_docs,
         "ppjoin_docs": q_ppjoin_docs,
-        "pagerank_docs": q_pagerank_docs,
         "label_prop_docs": q_label_prop_docs,
         "zorder_docs": q_zorder_docs,
         "dissolve_grid": q_dissolve_grid,
@@ -1909,6 +1952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_points": q_dissolve_points,
         "centroids_grid": q_centroids_grid,
         "simplify_docs": q_simplify_docs,
+        "hull_points": q_hull_points,
+        # pagerank (three rounds judge-exact, and the composed
+        # domain_rank gate exercises it end-to-end) yields its slot
+        # to the hull gate
+        "pagerank_docs": q_pagerank_docs,
         # hll_registers (three rounds judge-exact; its whole family —
         # estimate, by-lang, streaming — already sits past the window)
         # yields its slot to the simplify gate
@@ -2691,6 +2739,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "dissolve_points": _dissolve_points_oracle_sql(),
         "centroids_grid": _centroids_oracle_sql(),
         "simplify_docs": _simplify_oracle_sql(),
+        "hull_points": _hull_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

@@ -1671,3 +1671,47 @@ def test_simplify_guards(spark):
         simplify_lines(df, eps=0.1)
     with pytest.raises(ValueError):
         simplify_lines(df, eps=-1)
+
+
+# ---------------------------------------------------------------------------
+# convex_hull_stats
+# ---------------------------------------------------------------------------
+
+def test_hull_kernel_and_operator(spark):
+    from pandarus_spark.operators.hull import (convex_hull_stats,
+                                               monotone_chain)
+    # strict hull: square + center + collinear edge midpoint -> 4
+    h = monotone_chain([(0, 0), (2, 0), (2, 2), (0, 2), (1, 1),
+                        (1, 0), (0, 0)])
+    assert sorted(h) == [(0, 0), (0, 2), (2, 0), (2, 2)]
+    rows = [("a", 0, 0), ("a", 4, 0), ("a", 4, 4), ("a", 0, 4),
+            ("a", 2, 2), ("a", 2, 0),          # interior + edge-mid
+            ("b", 0, 0), ("b", 1, 1),          # 2-point key
+            ("c", 5, 5)]                       # 1-point key
+    df = spark.createDataFrame(rows, "key string, x long, y long")
+    out = {r.key: (r.n_hull, r.hull_2area)
+           for r in convex_hull_stats(df).collect()}
+    assert out == {"a": (4, 32), "b": (2, 0), "c": (1, 0)}
+
+
+def test_hull_two_stage_matches_single_stage(spark):
+    # hull(hull(A) U hull(B)) == hull(A U B): repartitioning must not
+    # change the result
+    import numpy as np
+    from pandarus_spark.operators.hull import (convex_hull_stats,
+                                               monotone_chain)
+    rng = np.random.default_rng(11)
+    pts = [("k", int(x), int(y))
+           for x, y in rng.integers(-50, 50, size=(400, 2))]
+    df1 = spark.createDataFrame(pts, "key string, x long, y long")
+    out1 = convex_hull_stats(df1.repartition(1)).collect()[0]
+    out16 = convex_hull_stats(df1.repartition(16)).collect()[0]
+    assert (out1.n_hull, out1.hull_2area) == (out16.n_hull,
+                                              out16.hull_2area)
+    hull = monotone_chain([(float(x), float(y)) for _, x, y in pts])
+    a2 = 0
+    for i in range(len(hull)):
+        p, q = hull[i], hull[(i + 1) % len(hull)]
+        a2 += p[0] * q[1] - q[0] * p[1]
+    assert out1.n_hull == len(hull)
+    assert out1.hull_2area == int(abs(a2))
