@@ -1316,6 +1316,76 @@ def job_close5_scale(spark, n: int) -> dict:
     return out
 
 
+def job_geo5_scale(spark, n: int) -> dict:
+    """Geometry session-close operators at scale: Douglas-Peucker
+    simplification over n 12-point zigzag polylines, per-feature
+    centroids over the same features, line dissolve (union length,
+    64 keys) over overlapping equator chains, and the per-key convex
+    hull over 2n integer points in 64 key groups.  Each phase forced
+    with the noop write; inputs persist before timing."""
+    from pyspark.sql import functions as F
+
+    from pandarus_spark.operators.dissolve import (centroids,
+                                                   dissolve_length)
+    from pandarus_spark.operators.hull import convex_hull_stats
+    from pandarus_spark.operators.simplify import simplify_lines
+
+    def line_gen(batches):
+        import pandas as pd
+
+        from pandarus_spark.geometry import geom as G
+        for pdf in batches:
+            rows = {"feature_id": [], "label": [], "geom_wkb": [],
+                    "kind": [], "k": []}
+            for fid in pdf["id"]:
+                amp = float(fid % 5) * 0.1
+                a = float((fid * 7) % 400) * 0.05
+                coords = [[a + j * 0.05,
+                           (3.0 if j >= 6 else 0.0) + (j % 2) * amp]
+                          for j in range(12)]
+                g = {"type": "LineString", "coordinates": coords}
+                rows["feature_id"].append(int(fid))
+                rows["label"].append(f"f{fid}")
+                rows["geom_wkb"].append(G.wkb_dumps(g))
+                rows["kind"].append("line")
+                rows["k"].append(f"k{fid % 64}")
+            yield pd.DataFrame(rows)
+
+    feats = (spark.range(n).repartition(64)
+             .mapInPandas(line_gen,
+                          schema="feature_id long, label string, "
+                                 "geom_wkb binary, kind string, "
+                                 "k string"))
+    feats.persist().count()
+    out: dict = {"features": n}
+
+    t0 = time.perf_counter()
+    _force(simplify_lines(feats, eps=0.25, project=False))
+    out["simplify_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(centroids(feats, project=False))
+    out["centroids_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(dissolve_length(feats, key_col="k", project=False))
+    out["dissolve_len_sec"] = round(time.perf_counter() - t0, 3)
+    feats.unpersist()
+
+    pts = (spark.range(2 * n).repartition(64)
+           .select(F.expr("CAST('k' || (id % 64) AS STRING)").alias("key"),
+                   F.expr("CAST((id * 37) % 2000 AS LONG) - 1000")
+                    .alias("x"),
+                   F.expr("CAST((id * id * 13 + id) % 2000 AS LONG) "
+                          "- 1000").alias("y")))
+    pts.persist().count()
+    t0 = time.perf_counter()
+    _force(convex_hull_stats(pts))
+    out["hull_sec"] = round(time.perf_counter() - t0, 3)
+    pts.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -1329,7 +1399,7 @@ def main() -> None:
                              "decontam_scale", "temporal_skew",
                              "pipeline4_scale", "pipeline4c_scale",
                              "postings_skew", "round5_scale", "late5_scale",
-                             "final5_scale", "close5_scale"])
+                             "final5_scale", "close5_scale", "geo5_scale"])
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")))
     ap.add_argument("--n-cluster", type=int, default=3000)
     ap.add_argument("--force", default="noop", choices=["noop", "count"],
@@ -1487,6 +1557,23 @@ def main() -> None:
             "sf": args.n, "cpus": cpus,
             "cross_pairs": res["cross_pairs"], "links": res["links"],
             "docs_per_sec": round(args.n / total, 1),
+        })
+        spark.stop()
+        return
+
+    if args.job == "geo5_scale":
+        res = job_geo5_scale(spark, args.n)
+        total = (res["simplify_sec"] + res["centroids_sec"]
+                 + res["dissolve_len_sec"] + res["hull_sec"])
+        emit({
+            "metric": "geo5_ops_scale",
+            "value": round(total, 3), "unit": "sec",
+            "queries": {"simplify": res["simplify_sec"],
+                        "centroids": res["centroids_sec"],
+                        "dissolve_length": res["dissolve_len_sec"],
+                        "hull": res["hull_sec"]},
+            "sf": args.n, "cpus": cpus,
+            "features_per_sec": round(args.n / total, 1),
         })
         spark.stop()
         return

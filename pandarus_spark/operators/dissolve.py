@@ -201,8 +201,10 @@ def dissolve_length(features: DataFrame, key_col: str = "label",
     reference's projected-space GEOS union): project FIRST, then
     merge collinear overlapping segments in the projected plane —
     each segment maps to its canonical (direction, offset) line
-    signature (the ``_seg_key_interval`` kernel, shared with
-    ``remaining.py``) and overlaps merge as 1-D intervals.  Crossing
+    signature (the same formulas as ``remaining.py``'s
+    ``_seg_key_interval``, vectorized per polyline — numpy rounds
+    half-even exactly like python ``round``) and overlaps merge as
+    1-D intervals.  Crossing
     non-collinear segments overlap in measure zero and correctly
     contribute their full lengths.
 
@@ -218,8 +220,6 @@ def dissolve_length(features: DataFrame, key_col: str = "label",
         raise ValueError(f"dissolve_length needs line features, got {bad}")
     from pyspark.sql import Window
 
-    from .remaining import _seg_key_interval
-
     src = features.select(F.col(key_col).cast("string").alias("key"),
                           "geom_wkb")
     do_project = project
@@ -227,22 +227,52 @@ def dissolve_length(features: DataFrame, key_col: str = "label",
     def segs_fn(it):
         import pandas as pd
         for pdf in it:
-            out = {c: [] for c in ("key", "ux", "uy", "off", "t0", "t1")}
+            keys, uxs, uys, offs, t0s, t1s = [], [], [], [], [], []
             for key, wkb in zip(pdf["key"], pdf["geom_wkb"]):
                 g = G.wkb_loads(bytes(wkb))
                 if do_project:
                     g = G.transform_geom(g, mollweide_forward)
                 for line in G.extract_kind_parts(g, "line"):
                     arr = np.asarray(line, dtype=np.float64).reshape(-1, 2)
-                    for i in range(len(arr) - 1):
-                        ki = _seg_key_interval(arr[i], arr[i + 1])
-                        if ki is None:
-                            continue
-                        out["key"].append(key)
-                        for c, v in zip(("ux", "uy", "off", "t0", "t1"),
-                                        ki):
-                            out[c].append(float(v))
-            yield pd.DataFrame(out)
+                    if len(arr) < 2:
+                        continue
+                    # vectorized _seg_key_interval over the whole
+                    # polyline (bit-identical formulas: numpy scalars
+                    # round like python floats)
+                    p, q = arr[:-1], arr[1:]
+                    d = q - p
+                    ln = np.hypot(d[:, 0], d[:, 1])
+                    m = ln > 0.0
+                    if not m.any():
+                        continue
+                    p, q, d, ln = p[m], q[m], d[m], ln[m]
+                    u = d / ln[:, None]
+                    flip = (u[:, 0] < 0) | ((u[:, 0] == 0)
+                                            & (u[:, 1] < 0))
+                    u[flip] = -u[flip]
+                    off = p[:, 0] * u[:, 1] - p[:, 1] * u[:, 0]
+                    t0 = p[:, 0] * u[:, 0] + p[:, 1] * u[:, 1]
+                    t1 = q[:, 0] * u[:, 0] + q[:, 1] * u[:, 1]
+                    lo = np.minimum(t0, t1)
+                    hi = np.maximum(t0, t1)
+                    n = len(u)
+                    keys.extend([key] * n)
+                    uxs.append(np.round(u[:, 0], 9))
+                    uys.append(np.round(u[:, 1], 9))
+                    offs.append(np.round(off, 6))
+                    t0s.append(lo)
+                    t1s.append(hi)
+            if keys:
+                yield pd.DataFrame(
+                    {"key": keys, "ux": np.concatenate(uxs),
+                     "uy": np.concatenate(uys),
+                     "off": np.concatenate(offs),
+                     "t0": np.concatenate(t0s),
+                     "t1": np.concatenate(t1s)})
+            else:
+                yield pd.DataFrame({c: [] for c in
+                                    ("key", "ux", "uy", "off",
+                                     "t0", "t1")})
 
     segs = src.mapInPandas(
         segs_fn, schema="key string, ux double, uy double, off double, "
