@@ -36,8 +36,12 @@ SEP = "\x02"
 
 
 def _q(s: str) -> str:
-    """SQL-quote a symbol string for embedding in an expression."""
-    return s.replace("'", "''")
+    """Quote a symbol string for embedding in a SPARK SQL literal
+    (the DuckDB twins never embed symbols — they use scalar
+    subqueries): double quotes, and double backslashes because Spark
+    treats backslash as an escape inside string literals (a
+    data-derived symbol must not be able to break the expression)."""
+    return s.replace("\\", "\\\\").replace("'", "''")
 
 
 def _sym_expr(word_expr: str, dialect: str) -> str:
@@ -48,9 +52,12 @@ def _sym_expr(word_expr: str, dialect: str) -> str:
     characters, so one replace pass merges them all — with single
     separators the shared delimiter made replace skip every other
     occurrence (caught by the hand test)."""
+    # (?s): tokens can carry \n/\r (words() splits on ' ' only) and a
+    # non-DOTALL '.' would leave them unwrapped, silently degenerating
+    # the merge loop (review finding, reproduced)
     if dialect == "spark":
-        return f"regexp_replace({word_expr}, '(.)', '\x02$1\x02')"
-    return (f"regexp_replace({word_expr}, '(.)', "
+        return f"regexp_replace({word_expr}, '(?s)(.)', '\x02$1\x02')"
+    return (f"regexp_replace({word_expr}, '(?s)(.)', "
             f"chr(2) || '\\1' || chr(2), 'g')")
 
 
@@ -176,7 +183,7 @@ def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],
     expr = ("array_join(transform("
             "filter(split(lower(coalesce(" + text_col + ", '')), ' '), "
             "x -> x <> ''), "
-            "w -> regexp_replace(w, '(.)', '\x02$1\x02')), chr(3))")
+            "w -> regexp_replace(w, '(?s)(.)', '\x02$1\x02')), chr(3))")
     for l, r in merges:
         pat = (f"concat(chr(2), '{_q(l)}', chr(2), chr(2), "
                f"'{_q(r)}', chr(2))")
@@ -211,7 +218,7 @@ def bpe_tokenize_sql(merges_sql_rounds: int, source: str = "documents",
     expr = ("coalesce(array_to_string(list_transform("
             "list_filter(string_split(lower(coalesce("
             + text_expr + ", '')), ' '), x -> x <> ''), "
-            "w -> regexp_replace(w, '(.)', "
+            "w -> regexp_replace(w, '(?s)(.)', "
             "chr(2) || '\\1' || chr(2), 'g')), chr(3)), '')")
     for i in range(1, merges_sql_rounds + 1):
         pat = (f"chr(2) || (SELECT l FROM m{i}) || chr(2) || chr(2) "

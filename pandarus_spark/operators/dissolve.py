@@ -47,6 +47,16 @@ PIECE_SCHEMA = ("key string, bucket long, x0 double, x1 double, "
                 "ylo0 double, ylo1 double, yhi0 double, yhi1 double")
 
 
+def _check_kinds(pdf, want: str, op: str) -> None:
+    """Per-batch kind validation — runs inside the Arrow map, so no
+    driver-side full-input pre-scan exists (review finding: the
+    eager select('kind').distinct().collect() probe doubled input
+    passes and sat inside every timed bench phase)."""
+    bad = set(pdf["kind"].unique()) - {want}
+    if bad:
+        raise ValueError(f"{op} needs {want} features, got {sorted(bad)}")
+
+
 def _split_trapezoid(x0, x1, ylo0, ylo1, yhi0, yhi1, width):
     """Split one trapezoid at every multiple of ``width`` strictly
     inside (x0, x1); yields (bucket, x0, x1, ylo0, ylo1, yhi0, yhi1)."""
@@ -83,19 +93,15 @@ def dissolve_measure(features: DataFrame, key_col: str = "label",
     :func:`dissolve_points`)."""
     if slab_width <= 0:
         raise ValueError("slab_width must be positive")
-    kinds = [r[0] for r in features.select("kind").distinct().collect()]
-    bad = [k for k in kinds if k != "polygon"]
-    if bad:
-        raise ValueError(f"dissolve_measure needs polygon features, got {bad}")
-
     src = features.select(F.col(key_col).cast("string").alias("key"),
-                          "geom_wkb")
+                          "geom_wkb", "kind")
     width = float(slab_width)
     do_project = project
 
     def pieces_fn(it):
         import pandas as pd
         for pdf in it:
+            _check_kinds(pdf, "polygon", "dissolve_measure")
             out = {c: [] for c in ("key", "bucket", "x0", "x1",
                                    "ylo0", "ylo1", "yhi0", "yhi1")}
             for key, wkb in zip(pdf["key"], pdf["geom_wkb"]):
@@ -214,19 +220,16 @@ def dissolve_length(features: DataFrame, key_col: str = "label",
     interval merge (the ``session_rows`` pattern — pure Catalyst, no
     per-group Python); per-signature partitions are bounded by
     collinear-overlap density, never corpus size."""
-    kinds = [r[0] for r in features.select("kind").distinct().collect()]
-    bad = [k for k in kinds if k != "line"]
-    if bad:
-        raise ValueError(f"dissolve_length needs line features, got {bad}")
     from pyspark.sql import Window
 
     src = features.select(F.col(key_col).cast("string").alias("key"),
-                          "geom_wkb")
+                          "geom_wkb", "kind")
     do_project = project
 
     def segs_fn(it):
         import pandas as pd
         for pdf in it:
+            _check_kinds(pdf, "line", "dissolve_length")
             keys, uxs, uys, offs, t0s, t1s = [], [], [], [], [], []
             for key, wkb in zip(pdf["key"], pdf["geom_wkb"]):
                 g = G.wkb_loads(bytes(wkb))
@@ -297,16 +300,13 @@ def dissolve_points(features: DataFrame, key_col: str = "label",
     coincident-point rule in ``calculate_remaining``'s union term).
     Output: ``(key, n_points BIGINT)``.  One partial-agg shuffle of
     (key, rounded-coordinate) rows."""
-    kinds = [r[0] for r in features.select("kind").distinct().collect()]
-    bad = [k for k in kinds if k != "point"]
-    if bad:
-        raise ValueError(f"dissolve_points needs point features, got {bad}")
     src = features.select(F.col(key_col).cast("string").alias("key"),
-                          "geom_wkb")
+                          "geom_wkb", "kind")
 
     def pts_fn(it):
         import pandas as pd
         for pdf in it:
+            _check_kinds(pdf, "point", "dissolve_points")
             out = {"key": [], "x": [], "y": []}
             for key, wkb in zip(pdf["key"], pdf["geom_wkb"]):
                 g = G.wkb_loads(bytes(wkb))

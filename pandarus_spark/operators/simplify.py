@@ -80,17 +80,16 @@ def simplify_lines(features: DataFrame, eps: float,
     (``project=False``: raw coordinate units)."""
     if eps < 0:
         raise ValueError("eps must be non-negative")
-    kinds = [r[0] for r in features.select("kind").distinct().collect()]
-    bad = [k for k in kinds if k != "line"]
-    if bad:
-        raise ValueError(f"simplify_lines needs line features, got {bad}")
-    src = features.select("feature_id", "label", "geom_wkb")
+    src = features.select("feature_id", "label", "geom_wkb", "kind")
     do_project = project
 
     def simp_fn(it):
         import numpy as np
         import pandas as pd
+
+        from .dissolve import _check_kinds
         for pdf in it:
+            _check_kinds(pdf, "line", "simplify_lines")
             out = {"feature_id": [], "label": [], "n_points": [],
                    "n_kept": [], "idx_sum": [], "idx_sq_sum": [],
                    "geom_wkb": []}

@@ -1272,7 +1272,7 @@ def trigram_backoff_logprob(docs: DataFrame, text_col: str = "text",
     the scored-triple table broadcasts back while it fits (SHJ
     beyond).  No window, no per-doc sort: positions come from an
     array ``transform`` (pure codegen), not a lag window."""
-    from ..functions.detmath import det_ln_micro_col, det_ln_micro_sql
+    from ..functions.detmath import det_ln_micro_sql
     from .dedup import words
 
     w = words(F.col(text_col))

@@ -1399,8 +1399,8 @@ def test_dissolve_guards(spark):
         [(0, "f0", bytearray(G.wkb_dumps(line)), "line", "all")],
         "feature_id long, label string, geom_wkb binary, kind string, "
         "k string")
-    with pytest.raises(ValueError):
-        dissolve_measure(feats, key_col="k")
+    with pytest.raises(Exception, match="needs polygon"):
+        dissolve_measure(feats, key_col="k").collect()
     with pytest.raises(ValueError):
         dissolve_measure(feats, key_col="k", slab_width=0)
 
@@ -1539,11 +1539,13 @@ def test_dissolve_points_and_guards(spark):
     out = {r.key: r.n_points for r in
            dissolve_points(feats, key_col="k").collect()}
     assert out == {"a": 2, "b": 1}
-    with pytest.raises(ValueError):
-        dissolve_length(feats, key_col="k")          # points, not lines
-    with pytest.raises(ValueError):
+    # kind validation is per-batch inside the Arrow map (no eager
+    # full-input pre-scan), so the error surfaces at action time
+    with pytest.raises(Exception, match="needs line"):
+        dissolve_length(feats, key_col="k").collect()
+    with pytest.raises(Exception, match="needs point"):
         dissolve_points(_line_feats(spark, [(0, 0, 1, 0, "a")]),
-                        key_col="k")
+                        key_col="k").collect()
 
 
 # ---------------------------------------------------------------------------
@@ -1667,8 +1669,8 @@ def test_simplify_guards(spark):
     df = spark.createDataFrame(
         [(0, "p", bytearray(G.wkb_dumps(g)), "point")],
         "feature_id long, label string, geom_wkb binary, kind string")
-    with pytest.raises(ValueError):
-        simplify_lines(df, eps=0.1)
+    with pytest.raises(Exception, match="needs line"):
+        simplify_lines(df, eps=0.1).collect()
     with pytest.raises(ValueError):
         simplify_lines(df, eps=-1)
 
@@ -1715,3 +1717,33 @@ def test_hull_two_stage_matches_single_stage(spark):
         a2 += p[0] * q[1] - q[0] * p[1]
     assert out1.n_hull == len(hull)
     assert out1.hull_2area == int(abs(a2))
+
+
+def test_bpe_handles_newline_bearing_tokens(spark):
+    # words() splits on ' ' only, so tokens can carry \n — the (?s)
+    # DOTALL wrap must cover them or the merge loop silently returns
+    # the same unapplicable merge every round (review finding)
+    from pandarus_spark.operators.bpe import bpe_merges, bpe_merges_sql
+    rows = [(0, "ab\ncd ab\ncd ab\ncd xy xy", "s")]
+    out = [(r.step, r.lhs, r.rhs, r.pair_count) for r in
+           bpe_merges(_docs(spark, rows), n_merges=3)
+           .orderBy("step").collect()]
+    # merges must PROGRESS (no repeated no-op rows)
+    assert len({(l, r) for _, l, r, _ in out}) == 3
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 0 AS doc_id, "
+                "'ab' || chr(10) || 'cd ab' || chr(10) || 'cd ab' "
+                "|| chr(10) || 'cd xy xy' AS text")
+    assert out == con.execute(bpe_merges_sql(3)
+                              + " ORDER BY step").fetchall()
+
+
+def test_bpe_quote_and_backslash_symbols(spark):
+    # data-derived symbols must not break the Spark SQL literals the
+    # merge application embeds them in (review finding)
+    from pandarus_spark.operators.bpe import bpe_merges
+    rows = [(0, "a'b a'b a\\b a\\b", "s")]
+    out = [(r.lhs, r.rhs) for r in
+           bpe_merges(_docs(spark, rows), n_merges=2)
+           .orderBy("step").collect()]
+    assert len(out) == 2                      # no ParseException
