@@ -123,12 +123,19 @@ FROM edges GROUP BY key"""
 
 def _simplify_oracle_sql() -> str:
     # Douglas–Peucker as a recursive CTE: interval rows split at the
-    # argmax-perpendicular-distance vertex until every chord fits eps.
-    # Two hazards this twin pins (measured): the argmax window must
-    # PARTITION BY its correlation keys (decorrelation otherwise runs
-    # the max across every active segment), and the kept-endpoint
-    # dedup must be an explicit DISTINCT over UNION ALL (a bare UNION
-    # inside a WITH RECURSIVE list did not deduplicate).
+    # argmax-perpendicular-distance vertex until every chord fits
+    # eps.  ALL float work happens BEFORE the recursion: `cand`
+    # materializes the argmax for EVERY possible (doc, a, b)
+    # interval via a plain deterministic window, so the recursion is
+    # pure integer joins.  This shape exists because the obvious one
+    # — a correlated LATERAL argmax inside the recursive member —
+    # was measurably UNSTABLE in DuckDB (the window/LIMIT answer
+    # varied with unrelated prior queries on the same connection,
+    # flipping the gate); with a per-correlation window partition it
+    # was also wrong after decorrelation.  Third hazard, still
+    # pinned below: a bare UNION inside a WITH RECURSIVE list did
+    # not deduplicate — the kept-endpoint dedup needs an explicit
+    # DISTINCT over UNION ALL.
     dexp = ("CASE WHEN (pb.x - pa.x) * (pb.x - pa.x) "
             "+ (pb.y - pa.y) * (pb.y - pa.y) = 0 "
             "THEN sqrt((p.x - pa.x) * (p.x - pa.x) "
@@ -147,29 +154,27 @@ WITH RECURSIVE pts AS MATERIALIZED (
                       * (CAST(doc_id % 5 AS DOUBLE) * 0.1)}}
               for j in range(0, 12)]) AS s
     FROM documents)),
+cand AS MATERIALIZED (
+  SELECT doc_id, a, b, k, dmax FROM (
+    SELECT p.doc_id, pa.i AS a, pb.i AS b, p.i AS k, {dexp} AS dmax,
+           row_number() OVER (PARTITION BY p.doc_id, pa.i, pb.i
+                              ORDER BY {dexp} DESC, p.i ASC) AS rn
+    FROM pts p
+    JOIN pts pa ON pa.doc_id = p.doc_id
+    JOIN pts pb ON pb.doc_id = p.doc_id
+    WHERE pa.i < pb.i - 1 AND p.i > pa.i AND p.i < pb.i)
+  WHERE rn = 1),
 seg AS (
   SELECT doc_id, 0 AS a, 11 AS b FROM documents
   UNION ALL
-  SELECT s.doc_id, s.a2, s.b2 FROM (
-    SELECT seg.doc_id,
-           CASE WHEN side = 0 THEN seg.a ELSE k END AS a2,
-           CASE WHEN side = 0 THEN k ELSE seg.b END AS b2,
-           split.dmax
-    FROM seg,
-      LATERAL (
-        SELECT i AS k, dmax FROM (
-          SELECT p.i, {dexp} AS d,
-                 max({dexp}) OVER (PARTITION BY p.doc_id, pa.i, pb.i)
-                   AS dmax
-          FROM pts p, pts pa, pts pb
-          WHERE pa.doc_id = seg.doc_id AND pb.doc_id = seg.doc_id
-            AND p.doc_id = seg.doc_id
-            AND pa.i = seg.a AND pb.i = seg.b
-            AND p.i > seg.a AND p.i < seg.b)
-        WHERE d = dmax ORDER BY i LIMIT 1) split,
-      LATERAL (SELECT unnest([0, 1]) AS side) sides
-    WHERE split.dmax > 0.25 AND seg.b > seg.a + 1
-  ) s),
+  SELECT seg.doc_id,
+         CASE WHEN side = 0 THEN seg.a ELSE cand.k END AS a2,
+         CASE WHEN side = 0 THEN cand.k ELSE seg.b END AS b2
+  FROM seg
+  JOIN cand ON cand.doc_id = seg.doc_id AND cand.a = seg.a
+           AND cand.b = seg.b,
+  LATERAL (SELECT unnest([0, 1]) AS side) sides
+  WHERE cand.dmax > 0.25 AND seg.b > seg.a + 1),
 keeps AS (
   SELECT DISTINCT doc_id, i FROM (
     SELECT doc_id, a AS i FROM seg

@@ -10,13 +10,18 @@ point distance from the chord anchor.  Every arithmetic step is IEEE
 CTE that replays the SAME recursion over interval rows — reproduces
 the kept-vertex set bit-exactly.
 
-Two non-obvious oracle hazards, both measured while building the
+Three non-obvious oracle hazards, all measured while building the
 twin (gate `simplify_docs`):
 
 * a window ``max(d) OVER ()`` inside the correlated LATERAL argmax is
   WRONG after DuckDB decorrelates it — the max runs over every active
-  segment of the iteration, not the current one; the partition keys
-  must be spelled explicitly (``PARTITION BY doc, a, b``);
+  segment of the iteration, not the current one;
+* even with explicit partition keys, a float argmax inside the
+  RECURSIVE member was UNSTABLE — its answer varied with unrelated
+  prior queries on the same connection; the shipped twin therefore
+  materializes the argmax for EVERY possible interval in a
+  non-recursive CTE (plain deterministic window) and keeps the
+  recursion pure integer joins;
 * a bare ``UNION`` (dedup) in a non-recursive CTE that lives inside a
   ``WITH RECURSIVE`` list did NOT deduplicate — the kept-endpoint
   union needs an explicit ``SELECT DISTINCT`` over ``UNION ALL``.
