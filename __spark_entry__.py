@@ -94,6 +94,17 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _focal_oracle_sql() -> str:
+    from pandarus_spark.operators.raster_stats import focal_statistics_sql
+    cells = ("(SELECT doc_id % 25 AS row, "
+             "CAST(doc_id // 25 AS BIGINT) % 20 AS col, "
+             "CAST((doc_id * 13) % 89 AS DOUBLE) AS value "
+             "FROM documents "
+             "WHERE (doc_id % 25 + CAST(doc_id // 25 AS BIGINT) % 20) "
+             "% 9 <> 4) c")
+    return focal_statistics_sql(1, source=cells)
+
+
 def _hull_oracle_sql() -> str:
     # independent O(n^3) hull definition: (a, b) is a CCW hull edge
     # iff every other point is STRICTLY left of a->b; hull vertices =
@@ -1399,6 +1410,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_focal_raster(spark, sf_dir):
+        # focal (moving-window) stats over a deterministic sparse
+        # synthetic raster: doc_id maps bijectively to a 25x20 grid,
+        # (row+col)%9==4 cells are holes (partial-window semantics)
+        from pandarus_spark.operators.raster_stats import focal_statistics
+        cells = (_docs(spark, sf_dir).select(
+            (F.col("doc_id") % 25).alias("row"),
+            ((F.col("doc_id") / 25).cast("long") % 20).alias("col"),
+            ((F.col("doc_id") * 13) % 89).cast("double").alias("value"))
+            .filter((F.col("row") + F.col("col")) % 9 != 4))
+        return focal_statistics(cells, radius=1)
+
     def q_hull_points(spark, sf_dir):
         # per-key convex hull over parabola points (all hull vertices
         # by convexity) plus strictly interior points that must be
@@ -1942,7 +1965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r4 (and most in r3) with unchanged output.
         "dsir_weights_docs": q_dsir_weights_docs,
         "repetition_stats_docs": q_repetition_stats_docs,
-        "mix_allocation_docs": q_mix_allocation_docs,
         "mix_select_docs": q_mix_select_docs,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "bigram_logprob_docs": q_bigram_logprob_docs,
@@ -1958,10 +1980,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroids_grid": q_centroids_grid,
         "simplify_docs": q_simplify_docs,
         "hull_points": q_hull_points,
+        "focal_raster": q_focal_raster,
+        # mix_allocation (three sweeps judge-exact; its sibling
+        # mix_select stays in-window on the same fixture) and
         # pagerank (three rounds judge-exact, and the composed
         # domain_rank gate exercises it end-to-end) yields its slot
         # to the hull gate
         "pagerank_docs": q_pagerank_docs,
+        "mix_allocation_docs": q_mix_allocation_docs,
         # hll_registers (three rounds judge-exact; its whole family —
         # estimate, by-lang, streaming — already sits past the window)
         # yields its slot to the simplify gate
@@ -2745,6 +2771,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "centroids_grid": _centroids_oracle_sql(),
         "simplify_docs": _simplify_oracle_sql(),
         "hull_points": _hull_oracle_sql(),
+        "focal_raster": _focal_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

@@ -697,3 +697,20 @@ def test_bpe_tokenize_plan_zero_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_focal_plan_scatter_gather_mapside_combine(spark):
+    """Focal stats: offset scatter + ONE partial agg (map-side
+    combine pinned) + the existing-cell semi-join; no window, no
+    self-join of the full cell table, no Python."""
+    from pandarus_spark.operators.raster_stats import focal_statistics
+    cells = spark.range(200).select(
+        (F.col("id") % 20).alias("row"), (F.col("id") / 20)
+        .cast("long").alias("col"), F.col("id").cast("double")
+        .alias("value"))
+    plan = focal_statistics(cells, radius=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan

@@ -1747,3 +1747,44 @@ def test_bpe_quote_and_backslash_symbols(spark):
            bpe_merges(_docs(spark, rows), n_merges=2)
            .orderBy("step").collect()]
     assert len(out) == 2                      # no ParseException
+
+
+# ---------------------------------------------------------------------------
+# focal_statistics
+# ---------------------------------------------------------------------------
+
+def test_focal_hand_computed_partial_windows(spark):
+    from pandarus_spark.operators.raster_stats import focal_statistics
+    # 2x2 full grid: every cell sees all 4 cells (partial windows)
+    rows = [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0)]
+    df = spark.createDataFrame(rows, "row long, col long, value double")
+    out = {(r.row, r.col): r for r in
+           focal_statistics(df, radius=1).collect()}
+    for rc in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        assert out[rc].n_nbrs == 4 and out[rc].sum_val == 10.0
+        assert (out[rc].min_val, out[rc].max_val) == (1.0, 4.0)
+    # radius 2 covers everything too
+    out2 = focal_statistics(df, radius=2).collect()
+    assert all(r.n_nbrs == 4 for r in out2)
+
+
+def test_focal_holes_and_duckdb_parity(spark):
+    from pandarus_spark.operators.raster_stats import (
+        focal_statistics, focal_statistics_sql)
+    rows = [(r, c, float((r * 31 + c * 17) % 97))
+            for r in range(8) for c in range(10) if (r + c) % 7 != 3]
+    df = spark.createDataFrame(rows, "row long, col long, value double")
+    out = sorted(tuple(x) for x in
+                 focal_statistics(df, radius=1).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells AS SELECT * FROM (VALUES " +
+                ", ".join(f"({r}, {c}, {v})" for r, c, v in rows) +
+                ") t(row, col, value)")
+    orows = sorted(tuple(x) for x in
+                   con.execute(focal_statistics_sql(1)).fetchall())
+    assert out == orows
+    # absent cells don't appear as outputs and don't contribute
+    keys = {(r, c) for r, c, _ in rows}
+    assert {(r[0], r[1]) for r in out} == keys
+    with pytest.raises(ValueError):
+        focal_statistics(df, radius=0)
