@@ -94,6 +94,33 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _tile_heatmap_oracle_sql() -> str:
+    from pandarus_spark.functions.oracle_sql import cell_cover_sql
+    from pandarus_spark.operators.raster_stats import focal_statistics_sql
+    from pandarus_spark.tiling.cells import Y_SHIFT
+    mask = (1 << Y_SHIFT) - 1
+    boxes = (f"SELECT 'base ' || doc_id AS label, "
+             f"{GRID_X0} + (doc_id % {GRID_COLS}) * {CELL_DEG} AS minx, "
+             f"{GRID_Y0} + (doc_id // {GRID_COLS}) * {CELL_DEG} AS miny, "
+             f"{GRID_X0} + (doc_id % {GRID_COLS}) * {CELL_DEG} "
+             f"+ {CELL_DEG} AS maxx, "
+             f"{GRID_Y0} + (doc_id // {GRID_COLS}) * {CELL_DEG} "
+             f"+ {CELL_DEG} AS maxy "
+             f"FROM documents")
+    cover = cell_cover_sql("b", 8)
+    cellxy = (f"(SELECT CAST((cell >> {Y_SHIFT}) & {mask} AS BIGINT) "
+              f"AS row, CAST(cell & {mask} AS BIGINT) AS col, "
+              f"CAST(n AS DOUBLE) AS value FROM counts) cxy")
+    focal = focal_statistics_sql(1, source=cellxy)
+    return f"""
+WITH b AS ({boxes}),
+covers AS ({cover}),
+counts AS (SELECT cell, count(*) AS n FROM covers GROUP BY cell),
+heat AS ({focal})
+SELECT row, col, n_nbrs, CAST(sum_val AS BIGINT) AS heat
+FROM heat ORDER BY heat DESC, row, col LIMIT 20"""
+
+
 def _focal_oracle_sql() -> str:
     from pandarus_spark.operators.raster_stats import focal_statistics_sql
     cells = ("(SELECT doc_id % 25 AS row, "
@@ -1410,6 +1437,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_tile_heatmap_pages(spark, sf_dir):
+        # the geospatial capstone COMPOSITION gate (the domain_rank
+        # pattern): documents → synthetic base pages → extract →
+        # res-8 cell cover → per-cell feature counts → focal
+        # smoothing over the decoded (iy, ix) grid → top-20 hottest
+        # cells; every stage is an already-gated operator
+        from pandarus_spark.operators.raster_stats import focal_statistics
+        from pandarus_spark.tiling.cells import Y_SHIFT
+        docs = _docs(spark, sf_dir)
+        base = extract_features(pages_from_documents(docs, "base"),
+                                validate_unique=False)
+        covers = ps.cover_features(base, res=8, max_cells=256)
+        counts = covers.groupBy("cell").agg(F.count("*").alias("n"))
+        mask = (1 << Y_SHIFT) - 1
+        cellxy = counts.select(
+            F.expr(f"CAST((cell >> {Y_SHIFT}) & {mask} AS LONG)")
+             .alias("row"),
+            F.expr(f"CAST(cell & {mask} AS LONG)").alias("col"),
+            F.col("n").cast("double").alias("value"))
+        heat = focal_statistics(cellxy, radius=1)
+        return (heat.select("row", "col", "n_nbrs",
+                            F.col("sum_val").cast("long").alias("heat"))
+                    .orderBy(F.desc("heat"), "row", "col").limit(20))
+
     def q_focal_raster(spark, sf_dir):
         # focal (moving-window) stats over a deterministic sparse
         # synthetic raster: doc_id maps bijectively to a 25x20 grid,
@@ -2078,6 +2129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_docs": q_containment_docs,
         "normalize_docs": q_normalize_docs,
         "domain_rank_docs": q_domain_rank_docs,
+        # geospatial capstone composition (pages → cover → counts →
+        # focal → top-k); like domain_rank it recombines gates already
+        # in the proof window, so it sits past the window itself
+        "tile_heatmap_pages": q_tile_heatmap_pages,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2772,6 +2827,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "simplify_docs": _simplify_oracle_sql(),
         "hull_points": _hull_oracle_sql(),
         "focal_raster": _focal_oracle_sql(),
+        "tile_heatmap_pages": _tile_heatmap_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),
