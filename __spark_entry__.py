@@ -94,6 +94,17 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _horn_oracle_sql() -> str:
+    from pandarus_spark.operators.raster_stats import horn_gradient_sql
+    cells = ("(SELECT doc_id % 25 AS row, "
+             "CAST(doc_id // 25 AS BIGINT) % 20 AS col, "
+             "CAST((doc_id * 13) % 89 AS DOUBLE) AS value "
+             "FROM documents "
+             "WHERE (doc_id % 25 + CAST(doc_id // 25 AS BIGINT) % 20) "
+             "% 9 <> 4) c")
+    return horn_gradient_sql(source=cells)
+
+
 def _tile_heatmap_oracle_sql() -> str:
     from pandarus_spark.functions.oracle_sql import cell_cover_sql
     from pandarus_spark.operators.raster_stats import focal_statistics_sql
@@ -1437,6 +1448,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_horn_raster(spark, sf_dir):
+        # Horn's-method gradient numerators over the focal gate's
+        # synthetic sparse raster (integer-exact; border + near-hole
+        # cells drop via the complete-window rule)
+        from pandarus_spark.operators.raster_stats import horn_gradient
+        cells = (_docs(spark, sf_dir).select(
+            (F.col("doc_id") % 25).alias("row"),
+            ((F.col("doc_id") / 25).cast("long") % 20).alias("col"),
+            ((F.col("doc_id") * 13) % 89).cast("double").alias("value"))
+            .filter((F.col("row") + F.col("col")) % 9 != 4))
+        return horn_gradient(cells)
+
     def q_tile_heatmap_pages(spark, sf_dir):
         # the geospatial capstone COMPOSITION gate (the domain_rank
         # pattern): documents → synthetic base pages → extract →
@@ -2133,6 +2156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # focal → top-k); like domain_rank it recombines gates already
         # in the proof window, so it sits past the window itself
         "tile_heatmap_pages": q_tile_heatmap_pages,
+        # sibling of in-window focal_raster on the same fixture (the
+        # hll-family precedent for sitting past the window)
+        "horn_raster": q_horn_raster,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2828,6 +2854,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "hull_points": _hull_oracle_sql(),
         "focal_raster": _focal_oracle_sql(),
         "tile_heatmap_pages": _tile_heatmap_oracle_sql(),
+        "horn_raster": _horn_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

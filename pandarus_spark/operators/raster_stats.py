@@ -421,3 +421,78 @@ SELECT agg.row, agg.col, CAST(n_nbrs AS BIGINT) AS n_nbrs,
        sum_val, min_val, max_val
 FROM agg JOIN (SELECT DISTINCT r, c FROM src) s
   ON agg.row = s.r AND agg.col = s.c"""
+
+
+def horn_gradient(cells: DataFrame, row_col: str = "row",
+                  col_col: str = "col",
+                  val_col: str = "value") -> DataFrame:
+    """Horn's-method surface gradient (Horn 1981 — the standard DEM
+    slope/aspect kernel): for every cell with a COMPLETE 3x3
+    neighborhood,
+
+        gx ∝ (c + 2f + i) - (a + 2d + g)      (col-direction)
+        gy ∝ (g + 2h + i) - (a + 2b + c)      (row-direction)
+
+    over the 8 surrounding values.  Output: ``(row, col,
+    gx_num BIGINT, gy_num BIGINT)`` — the INTEGER numerators (the
+    /8Δ normalization and the atan/sqrt slope-degree conversion are
+    left to the consumer), so integer-valued DEMs are bit-exact
+    under any partitioning; border cells (incomplete windows) are
+    excluded, the standard Horn edge rule.
+
+    Plan shape (100 TB test): the same scatter-gather convolution as
+    :func:`focal_statistics` — each cell scatters to its 8 neighbor
+    positions carrying its two signed weights, ONE (row, col) partial
+    agg gathers, and the n==8 filter plus the existing-cell semi-join
+    enforce completeness.  No self-join, no window function."""
+    src = cells.select(F.col(row_col).alias("_r"),
+                       F.col(col_col).alias("_c"),
+                       F.col(val_col).alias("_v"))
+    offs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+            if (dr, dc) != (0, 0)]
+    # source at (r, c) is the neighbor at offset (-dr, -dc) of target
+    # (r+dr, c+dc): weight_x = (-dc) * (2 - |dr|), weight_y likewise
+    scat = F.explode(F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"),
+                 F.lit((-dc) * (2 - abs(dr))).alias("wx"),
+                 F.lit((-dr) * (2 - abs(dc))).alias("wy"))
+        for dr, dc in offs])).alias("o")
+    return (src.select("_r", "_c", "_v", scat)
+            .groupBy((F.col("_r") + F.col("o.dr")).alias("row"),
+                     (F.col("_c") + F.col("o.dc")).alias("col"))
+            .agg(F.count("*").alias("_n"),
+                 F.sum(F.col("_v") * F.col("o.wx")).alias("_gx"),
+                 F.sum(F.col("_v") * F.col("o.wy")).alias("_gy"))
+            .filter(F.col("_n") == 8)
+            .join(src.select(F.col("_r").alias("row"),
+                             F.col("_c").alias("col")).distinct(),
+                  ["row", "col"])
+            .select("row", "col",
+                    F.col("_gx").cast("long").alias("gx_num"),
+                    F.col("_gy").cast("long").alias("gy_num")))
+
+
+def horn_gradient_sql(source: str = "cells", row_expr: str = "row",
+                      col_expr: str = "col",
+                      val_expr: str = "value") -> str:
+    """DuckDB rendering of :func:`horn_gradient` (same scatter
+    weights, same completeness rule)."""
+    offs = ", ".join(
+        f"{{'dr': {dr}, 'dc': {dc}, 'wx': {(-dc) * (2 - abs(dr))}, "
+        f"'wy': {(-dr) * (2 - abs(dc))}}}"
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0))
+    return f"""
+WITH src AS (SELECT {row_expr} AS r, {col_expr} AS c, {val_expr} AS v
+             FROM {source}),
+scat AS (
+  SELECT r + o['dr'] AS row, c + o['dc'] AS col,
+         v * o['wx'] AS gx, v * o['wy'] AS gy
+  FROM src, (SELECT unnest([{offs}]) AS o) t),
+agg AS (
+  SELECT row, col, count(*) AS n, sum(gx) AS gx, sum(gy) AS gy
+  FROM scat GROUP BY row, col)
+SELECT agg.row, agg.col, CAST(gx AS BIGINT) AS gx_num,
+       CAST(gy AS BIGINT) AS gy_num
+FROM agg JOIN (SELECT DISTINCT r, c FROM src) s
+  ON agg.row = s.r AND agg.col = s.c
+WHERE n = 8"""

@@ -1788,3 +1788,38 @@ def test_focal_holes_and_duckdb_parity(spark):
     assert {(r[0], r[1]) for r in out} == keys
     with pytest.raises(ValueError):
         focal_statistics(df, radius=0)
+
+
+def test_horn_gradient_plane_and_parity(spark):
+    import numpy as np
+    from pandarus_spark.operators.raster_stats import (horn_gradient,
+                                                       horn_gradient_sql)
+    # plane z = 3*col + 5*row: gx = 8*3, gy = 8*5 at every interior
+    rows = [(r, c, float(3 * c + 5 * r))
+            for r in range(6) for c in range(7)]
+    df = spark.createDataFrame(rows, "row long, col long, value double")
+    out = {(x.row, x.col): (x.gx_num, x.gy_num)
+           for x in horn_gradient(df).collect()}
+    assert all(v == (24, 40) for v in out.values())
+    assert len(out) == 4 * 5                 # interior only
+    # random integer surface: DuckDB parity + a numpy stencil check
+    rng = np.random.default_rng(5)
+    Z = rng.integers(0, 50, (8, 9)).astype(float)
+    rows2 = [(r, c, float(Z[r, c])) for r in range(8) for c in range(9)]
+    df2 = spark.createDataFrame(rows2,
+                                "row long, col long, value double")
+    out2 = {(x.row, x.col): (x.gx_num, x.gy_num)
+            for x in horn_gradient(df2).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells AS SELECT * FROM (VALUES " +
+                ", ".join(f"({r}, {c}, {v})" for r, c, v in rows2) +
+                ") t(row, col, value)")
+    o2 = {(r, c): (gx, gy) for r, c, gx, gy in
+          con.execute(horn_gradient_sql()).fetchall()}
+    assert out2 == o2
+    r, c = 3, 4
+    a, b, cc = Z[r-1, c-1], Z[r-1, c], Z[r-1, c+1]
+    d, f = Z[r, c-1], Z[r, c+1]
+    g, h, i = Z[r+1, c-1], Z[r+1, c], Z[r+1, c+1]
+    assert out2[(3, 4)] == (int((cc + 2*f + i) - (a + 2*d + g)),
+                            int((g + 2*h + i) - (a + 2*b + cc)))
