@@ -94,6 +94,33 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _clustering_coef_oracle_sql() -> str:
+    from pandarus_spark.operators.graph import clustering_coefficient_sql
+    edges = (
+        "SELECT doc_id AS src, "
+        "(doc_id - (doc_id % 10)) + ((doc_id % 10) + 1) % 10 AS dst "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, (doc_id - (doc_id % 10)) + ((doc_id % 10) + 2) % 10 "
+        "FROM documents")
+    return clustering_coefficient_sql(edges)
+
+
+def _kcore_oracle_sql() -> str:
+    from pandarus_spark.operators.graph import kcore_sql
+    n = "(SELECT count(*) FROM documents)"
+    edges = (
+        "SELECT doc_id AS src, "
+        "(doc_id - (doc_id % 10)) + ((doc_id % 10) + 1) % 10 AS dst "
+        "FROM documents "
+        "UNION ALL "
+        f"SELECT doc_id, doc_id + {n} FROM documents WHERE doc_id % 10 < 2 "
+        "UNION ALL "
+        f"SELECT doc_id + {n}, doc_id + 2 * {n} "
+        "FROM documents WHERE doc_id % 10 < 1")
+    return kcore_sql(edges, k=2, n_rounds=3)
+
+
 def _horn_oracle_sql() -> str:
     from pandarus_spark.operators.raster_stats import horn_gradient_sql
     cells = ("(SELECT doc_id % 25 AS row, "
@@ -1448,6 +1475,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_clustering_coef_docs(spark, sf_dir):
+        # local clustering coefficient over triangle-rich block edges
+        # (ring + skip chord closes triangles along every block)
+        from pandarus_spark.operators.graph import clustering_coefficient
+        d = _docs(spark, sf_dir)
+        base = F.col("doc_id") - (F.col("doc_id") % 10)
+        pos = F.col("doc_id") % 10
+        e1 = d.select(F.col("doc_id").alias("src"),
+                      (base + (pos + 1) % 10).alias("dst"))
+        e2 = d.select(F.col("doc_id").alias("src"),
+                      (base + (pos + 2) % 10).alias("dst"))
+        return clustering_coefficient(e1.unionByName(e2))
+
+    def q_kcore_docs(spark, sf_dir):
+        # 2-core peeling: block rings (deg 2 survives) + pendant tails
+        # hanging off every block (peeled over successive rounds)
+        from pandarus_spark.operators.graph import kcore
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        base = F.col("doc_id") - (F.col("doc_id") % 10)
+        pos = F.col("doc_id") % 10
+        e1 = d.select(F.col("doc_id").alias("src"),
+                      (base + (pos + 1) % 10).alias("dst"))
+        e2 = (d.filter(pos < 2)
+               .select(F.col("doc_id").alias("src"),
+                       (F.col("doc_id") + n).alias("dst")))
+        e3 = (d.filter(pos < 1)
+               .select((F.col("doc_id") + n).alias("src"),
+                       (F.col("doc_id") + 2 * n).alias("dst")))
+        return kcore(e1.unionByName(e2).unionByName(e3),
+                     k=2, n_rounds=3)
+
     def q_horn_raster(spark, sf_dir):
         # Horn's-method gradient numerators over the focal gate's
         # synthetic sparse raster (integer-exact; border + near-hole
@@ -2159,6 +2218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sibling of in-window focal_raster on the same fixture (the
         # hll-family precedent for sitting past the window)
         "horn_raster": q_horn_raster,
+        # graph-family siblings of in-window label_prop (pagerank/hits/
+        # triangles precedent for sitting past the window)
+        "clustering_coef_docs": q_clustering_coef_docs,
+        "kcore_docs": q_kcore_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2855,6 +2918,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "focal_raster": _focal_oracle_sql(),
         "tile_heatmap_pages": _tile_heatmap_oracle_sql(),
         "horn_raster": _horn_oracle_sql(),
+        "clustering_coef_docs": _clustering_coef_oracle_sql(),
+        "kcore_docs": _kcore_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

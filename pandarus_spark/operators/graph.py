@@ -448,3 +448,141 @@ def label_propagation_sql(edges_sql: str, n_iters: int = 5,
     return (f"WITH {body}\n"
             f"SELECT CAST(node AS BIGINT) AS node, "
             f"CAST(label AS BIGINT) AS label FROM l{n_iters}")
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient + k-core peeling
+# ---------------------------------------------------------------------------
+
+def clustering_coefficient(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst") -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the undirected
+    simple graph — the triangle-closure density Watts & Strogatz
+    defined, and the per-node refinement of :func:`triangles`' farm
+    signal.  Output: ``(node, deg BIGINT, n_tri BIGINT,
+    cc_micro BIGINT)`` with ``cc_micro = (2 * n_tri * 1e6) DIV
+    (deg * (deg - 1))`` — integer micro-units, exact everywhere;
+    degree-<2 nodes report 0.
+
+    Plan shape (100 TB test): :func:`triangles` does the heavy
+    lifting (degree-ordered orientation, O(m^1.5)); this adds one
+    node-keyed degree partial agg and one node-keyed join — both on
+    node-sized tables."""
+    t = triangles(edges, src_col=src_col, dst_col=dst_col)
+    e0 = (edges.select(F.col(src_col).cast("long").alias("u"),
+                       F.col(dst_col).cast("long").alias("v"))
+               .filter(F.col("u") != F.col("v")))
+    e = (e0.select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b"))
+           .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg")))
+    return (t.join(deg, "node")
+             .select("node", F.col("deg").cast("long"),
+                     F.col("n_tri").cast("long"),
+                     F.expr("CASE WHEN deg >= 2 THEN "
+                            "(2 * n_tri * 1000000) DIV (deg * (deg - 1)) "
+                            "ELSE 0 END").cast("long")
+                      .alias("cc_micro")))
+
+
+def clustering_coefficient_sql(edges_sql: str, src_col: str = "src",
+                               dst_col: str = "dst") -> str:
+    """DuckDB rendering of :func:`clustering_coefficient` (composes
+    :func:`triangles_sql` as a subquery)."""
+    tri = triangles_sql(edges_sql, src_col=src_col, dst_col=dst_col)
+    return f"""
+WITH t AS (SELECT * FROM ({tri}) x),
+e0 AS (SELECT u, v FROM (
+         SELECT CAST({src_col} AS BIGINT) AS u,
+                CAST({dst_col} AS BIGINT) AS v
+         FROM ({edges_sql})) WHERE u <> v),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+deg AS (SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node)
+SELECT t.node, CAST(deg.deg AS BIGINT) AS deg,
+       CAST(t.n_tri AS BIGINT) AS n_tri,
+       CAST(CASE WHEN deg.deg >= 2 THEN
+            (2 * t.n_tri * 1000000) // (deg.deg * (deg.deg - 1))
+            ELSE 0 END AS BIGINT) AS cc_micro
+FROM t JOIN deg ON t.node = deg.node"""
+
+
+def kcore(edges: DataFrame, k: int = 2, n_rounds: int = 4,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core peeling (Seidman 1983): synchronously remove every node
+    whose degree in the surviving undirected simple graph is below
+    ``k``, ``n_rounds`` times; output ``(node, deg)`` for the nodes
+    whose degree in the surviving subgraph is still >= k — the
+    k-core once a further peel changes nothing (the fixed round count
+    keeps the output well-defined and SQL-mirrorable even before
+    convergence; pick ``n_rounds`` >= the fixture's peel depth, and
+    check convergence by comparing ``n_rounds`` to ``n_rounds + 1``).
+
+    Plan shape (100 TB test): per round, one node-keyed degree
+    partial agg over the surviving edges plus two semi-joins of the
+    edge list against the node-sized survivor table (broadcast while
+    it fits); edges ``localCheckpoint`` per round so plans stay O(1)
+    in rounds (the pagerank hygiene)."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be positive")
+    e0 = (edges.select(F.col(src_col).cast("long").alias("u"),
+                       F.col(dst_col).cast("long").alias("v"))
+               .filter(F.col("u") != F.col("v")))
+    e = (e0.select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=False))
+
+    def degrees(ed):
+        return (ed.select(F.col("a").alias("node"))
+                  .unionByName(ed.select(F.col("b").alias("node")))
+                  .groupBy("node").agg(F.count("*").alias("deg")))
+
+    for _ in range(n_rounds):
+        keep = degrees(e).filter(F.col("deg") >= k).select("node")
+        e = (e.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+              .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+              .select("a", "b")
+              .localCheckpoint(eager=False))
+    return (degrees(e).filter(F.col("deg") >= k)
+            .select("node", F.col("deg").cast("long")))
+
+
+def kcore_sql(edges_sql: str, k: int = 2, n_rounds: int = 4,
+              src_col: str = "src", dst_col: str = "dst") -> str:
+    """DuckDB rendering of :func:`kcore` (one CTE pair per peel
+    round, the label_propagation pattern)."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be positive")
+    parts = [f"""e0 AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT CAST({src_col} AS BIGINT) AS u,
+           CAST({dst_col} AS BIGINT) AS v
+    FROM ({edges_sql})) WHERE u <> v)"""]
+    prev = "e0"
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""k{i} AS (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+    GROUP BY node)
+  WHERE deg >= {k})""")
+        parts.append(f"""e{i} AS (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM k{i})
+    AND b IN (SELECT node FROM k{i}))""")
+        prev = f"e{i}"
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY node)
+WHERE deg >= {k}"""

@@ -1823,3 +1823,52 @@ def test_horn_gradient_plane_and_parity(spark):
     g, h, i = Z[r+1, c-1], Z[r+1, c], Z[r+1, c+1]
     assert out2[(3, 4)] == (int((cc + 2*f + i) - (a + 2*d + g)),
                             int((g + 2*h + i) - (a + 2*b + cc)))
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient + kcore
+# ---------------------------------------------------------------------------
+
+def test_clustering_coefficient_hand_and_parity(spark):
+    from pandarus_spark.operators.graph import (
+        clustering_coefficient, clustering_coefficient_sql)
+    # triangle 0-1-2 plus pendant 3 on node 0
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: (r.deg, r.n_tri, r.cc_micro)
+           for r in clustering_coefficient(df).collect()}
+    assert out == {0: (3, 1, 333333), 1: (2, 1, 1_000_000),
+                   2: (2, 1, 1_000_000), 3: (1, 0, 0)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edg AS SELECT * FROM (VALUES "
+                "(0,1),(1,2),(2,0),(0,3)) t(src, dst)")
+    o = {n: (d, t, c) for n, d, t, c in con.execute(
+        clustering_coefficient_sql("SELECT src, dst FROM edg"))
+        .fetchall()}
+    assert o == out
+
+
+def test_kcore_peeling_and_convergence(spark):
+    from pandarus_spark.operators.graph import kcore, kcore_sql
+    # triangle (the 2-core) + a 3-node tail that peels over 2 rounds
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = sorted(tuple(r) for r in kcore(df, k=2, n_rounds=4).collect())
+    assert out == [(0, 2), (1, 2), (2, 2)]
+    # converged: one more round changes nothing
+    out5 = sorted(tuple(r) for r in
+                  kcore(df, k=2, n_rounds=5).collect())
+    assert out5 == out
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edg AS SELECT * FROM (VALUES "
+                "(0,1),(1,2),(2,0),(0,3),(3,4),(4,5)) t(src, dst)")
+    o = sorted(tuple(r) for r in con.execute(
+        kcore_sql("SELECT src, dst FROM edg", k=2,
+                  n_rounds=4)).fetchall())
+    assert o == out
+    # k=3: the triangle is not a 3-core; empty result
+    assert kcore(df, k=3, n_rounds=4).count() == 0
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
+    with pytest.raises(ValueError):
+        kcore_sql("SELECT 1 AS src, 2 AS dst", n_rounds=0)
