@@ -94,6 +94,19 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _map_algebra_oracle_sql() -> str:
+    from pandarus_spark.operators.raster_stats import map_algebra_sql
+    base = ("SELECT doc_id % 25 AS row, "
+            "CAST(doc_id // 25 AS BIGINT) % 20 AS col FROM documents")
+    a = (f"(SELECT row, col, "
+         f"CAST((row * 31 + col * 17) % 97 AS DOUBLE) AS value "
+         f"FROM ({base}) WHERE (row + col) % 9 <> 4) aa")
+    b = (f"(SELECT row, col, "
+         f"CAST((row * 7 + col * 3) % 53 AS DOUBLE) AS value "
+         f"FROM ({base}) WHERE (row * col) % 7 <> 2) bb")
+    return map_algebra_sql("mul", source_a=a, source_b=b)
+
+
 def _clustering_coef_oracle_sql() -> str:
     from pandarus_spark.operators.graph import clustering_coefficient_sql
     edges = (
@@ -1475,6 +1488,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_map_algebra_raster(spark, sf_dir):
+        # cell-wise raster combine (Tomlin local op) over two sparse
+        # synthetic rasters with DIFFERENT hole patterns — the inner
+        # join is the nodata-propagation rule under test
+        from pandarus_spark.operators.raster_stats import map_algebra
+        d = _docs(spark, sf_dir)
+        base = d.select((F.col("doc_id") % 25).alias("row"),
+                        ((F.col("doc_id") / 25).cast("long") % 20)
+                        .alias("col"))
+        a = (base.select("row", "col",
+                         ((F.col("row") * 31 + F.col("col") * 17) % 97)
+                         .cast("double").alias("value"))
+                 .filter((F.col("row") + F.col("col")) % 9 != 4))
+        b = (base.select("row", "col",
+                         ((F.col("row") * 7 + F.col("col") * 3) % 53)
+                         .cast("double").alias("value"))
+                 .filter((F.col("row") * F.col("col")) % 7 != 2))
+        return map_algebra(a, b, "mul")
+
     def q_clustering_coef_docs(spark, sf_dir):
         # local clustering coefficient over triangle-rich block edges
         # (ring + skip chord closes triangles along every block)
@@ -2222,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # triangles precedent for sitting past the window)
         "clustering_coef_docs": q_clustering_coef_docs,
         "kcore_docs": q_kcore_docs,
+        "map_algebra_raster": q_map_algebra_raster,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2920,6 +2953,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "horn_raster": _horn_oracle_sql(),
         "clustering_coef_docs": _clustering_coef_oracle_sql(),
         "kcore_docs": _kcore_oracle_sql(),
+        "map_algebra_raster": _map_algebra_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

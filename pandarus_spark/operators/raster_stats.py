@@ -496,3 +496,54 @@ SELECT agg.row, agg.col, CAST(gx AS BIGINT) AS gx_num,
 FROM agg JOIN (SELECT DISTINCT r, c FROM src) s
   ON agg.row = s.r AND agg.col = s.c
 WHERE n = 8"""
+
+
+MAP_ALGEBRA_OPS = ("add", "sub", "mul", "min", "max")
+
+
+def map_algebra(cells_a: DataFrame, cells_b: DataFrame, op: str = "add",
+                row_col: str = "row", col_col: str = "col",
+                val_col: str = "value") -> DataFrame:
+    """Local (cell-wise) map algebra over two rasters — the
+    raster-calculator primitive (Tomlin's local operations): output
+    ``(row, col, value)`` with ``value = a <op> b`` wherever BOTH
+    rasters have a cell (the standard nodata-propagation rule: an
+    absent cell is nodata, and nodata beats any operand — hence the
+    inner join).  Integer-valued inputs stay bit-exact for every op
+    (add/sub/mul/min/max are closed over integers-in-doubles).
+
+    Plan shape (100 TB test): ONE (row, col) equi-join — both sides
+    hash-partition on the grid key, no geometry, no window; on
+    co-partitioned (bucketed) cell tables the join plans with zero
+    shuffle, the ``write_bucketed_covers`` pattern."""
+    if op not in MAP_ALGEBRA_OPS:
+        raise ValueError(f"op must be one of {MAP_ALGEBRA_OPS}")
+    a = cells_a.select(F.col(row_col).alias("row"),
+                       F.col(col_col).alias("col"),
+                       F.col(val_col).alias("_a"))
+    b = cells_b.select(F.col(row_col).alias("row"),
+                       F.col(col_col).alias("col"),
+                       F.col(val_col).alias("_b"))
+    expr = {"add": "_a + _b", "sub": "_a - _b", "mul": "_a * _b",
+            "min": "least(_a, _b)", "max": "greatest(_a, _b)"}[op]
+    return (a.join(b, ["row", "col"])
+             .select("row", "col", F.expr(expr).alias("value")))
+
+
+def map_algebra_sql(op: str = "add", source_a: str = "cells_a",
+                    source_b: str = "cells_b", row_expr: str = "row",
+                    col_expr: str = "col",
+                    val_expr: str = "value") -> str:
+    """DuckDB rendering of :func:`map_algebra`."""
+    if op not in MAP_ALGEBRA_OPS:
+        raise ValueError(f"op must be one of {MAP_ALGEBRA_OPS}")
+    expr = {"add": "a._v + b._v", "sub": "a._v - b._v",
+            "mul": "a._v * b._v", "min": "least(a._v, b._v)",
+            "max": "greatest(a._v, b._v)"}[op]
+    return f"""
+WITH a AS (SELECT {row_expr} AS row, {col_expr} AS col,
+                  {val_expr} AS _v FROM {source_a}),
+b AS (SELECT {row_expr} AS row, {col_expr} AS col,
+             {val_expr} AS _v FROM {source_b})
+SELECT a.row, a.col, {expr} AS value
+FROM a JOIN b ON a.row = b.row AND a.col = b.col"""

@@ -1872,3 +1872,34 @@ def test_kcore_peeling_and_convergence(spark):
         kcore(df, k=0)
     with pytest.raises(ValueError):
         kcore_sql("SELECT 1 AS src, 2 AS dst", n_rounds=0)
+
+
+def test_map_algebra_ops_and_nodata_join(spark):
+    from pandarus_spark.operators.raster_stats import (map_algebra,
+                                                       map_algebra_sql)
+    ra = [(r, c, float(r * 10 + c)) for r in range(5) for c in range(6)
+          if (r + c) % 4 != 1]
+    rb = [(r, c, float(r + c * 2)) for r in range(5) for c in range(6)
+          if (r * c) % 5 != 2]
+    da = spark.createDataFrame(ra, "row long, col long, value double")
+    db = spark.createDataFrame(rb, "row long, col long, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells_a AS SELECT * FROM (VALUES " +
+                ", ".join(f"({r},{c},{v})" for r, c, v in ra) +
+                ") t(row, col, value)")
+    con.execute("CREATE TABLE cells_b AS SELECT * FROM (VALUES " +
+                ", ".join(f"({r},{c},{v})" for r, c, v in rb) +
+                ") t(row, col, value)")
+    keys_a = {(r, c) for r, c, _ in ra}
+    keys_b = {(r, c) for r, c, _ in rb}
+    for op in ("add", "sub", "mul", "min", "max"):
+        out = sorted(tuple(x) for x in map_algebra(da, db, op).collect())
+        o = sorted(tuple(x) for x in
+                   con.execute(map_algebra_sql(op)).fetchall())
+        assert out == o, op
+        # nodata propagation: output keys == intersection of inputs
+        assert {(r, c) for r, c, _ in out} == keys_a & keys_b
+    with pytest.raises(ValueError):
+        map_algebra(da, db, "div")
+    with pytest.raises(ValueError):
+        map_algebra_sql("pow")
