@@ -94,6 +94,14 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(edges, n_iters=5)
 
 
+def _editdist_oracle_sql() -> str:
+    from pandarus_spark.operators.dedup import editdist1_pairs_sql
+    keyed = ("(SELECT doc_id, 'w' || CAST(doc_id % 40 AS VARCHAR) || "
+             "CASE WHEN doc_id % 3 = 0 THEN 'x' ELSE '' END AS text "
+             "FROM documents) kd")
+    return editdist1_pairs_sql(source=keyed)
+
+
 def _map_algebra_oracle_sql() -> str:
     from pandarus_spark.operators.raster_stats import map_algebra_sql
     base = ("SELECT doc_id % 25 AS row, "
@@ -1488,6 +1496,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
         return pagerank(e1.unionByName(e2), n_iters=5)
 
+    def q_editdist_docs(spark, sf_dir):
+        # typo-tolerant key join: deletion-neighborhood candidates
+        # must equal the brute-force Levenshtein<=1 join over short
+        # synthetic keys rich in equal/insert/delete/substitute pairs
+        from pandarus_spark.operators.dedup import editdist1_pairs
+        keyed = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr("concat('w', CAST(doc_id % 40 AS STRING), "
+                   "IF(doc_id % 3 = 0, 'x', ''))").alias("text"))
+        return editdist1_pairs(keyed)
+
     def q_map_algebra_raster(spark, sf_dir):
         # cell-wise raster combine (Tomlin local op) over two sparse
         # synthetic rasters with DIFFERENT hole patterns — the inner
@@ -2255,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coef_docs": q_clustering_coef_docs,
         "kcore_docs": q_kcore_docs,
         "map_algebra_raster": q_map_algebra_raster,
+        "editdist_docs": q_editdist_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2954,6 +2974,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "clustering_coef_docs": _clustering_coef_oracle_sql(),
         "kcore_docs": _kcore_oracle_sql(),
         "map_algebra_raster": _map_algebra_oracle_sql(),
+        "editdist_docs": _editdist_oracle_sql(),
         "hits_docs": _hits_oracle_sql(),
         "triangles_docs": _triangles_oracle_sql(),
         "bm25_docs": T.bm25_topk_sql(("spark", "join", "window"), k=25),

@@ -1903,3 +1903,52 @@ def test_map_algebra_ops_and_nodata_join(spark):
         map_algebra(da, db, "div")
     with pytest.raises(ValueError):
         map_algebra_sql("pow")
+
+
+# ---------------------------------------------------------------------------
+# editdist1_pairs
+# ---------------------------------------------------------------------------
+
+def test_editdist1_all_edit_kinds_equal_brute_force(spark):
+    from pandarus_spark.operators.dedup import (editdist1_pairs,
+                                                editdist1_pairs_sql)
+    rows = [(0, "spark", "s"), (1, "spark", "s"),   # equal (dist 0)
+            (2, "sparks", "s"),                     # insert
+            (3, "spak", "s"),                       # delete
+            (4, "spork", "s"),                      # substitute
+            (5, "sprka", "s"),                      # transposition = 2
+            (6, "", "s"), (7, "s", "s"), (8, "x", "s")]
+    out = sorted(tuple(r) for r in
+                 editdist1_pairs(_docs(spark, rows)).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}', 's')" for i, t, _ in rows) +
+                ") t(doc_id, text, source)")
+    orows = sorted(tuple(r) for r in
+                   con.execute(editdist1_pairs_sql()).fetchall())
+    assert out == orows
+    pairs = {(a, b): d for a, b, d in out}
+    assert pairs[(0, 1)] == 0                       # exact dup kept
+    assert pairs[(0, 2)] == pairs[(0, 3)] == pairs[(0, 4)] == 1
+    assert (0, 5) not in pairs                      # distance 2 excluded
+    assert pairs[(6, 7)] == 1                       # '' vs single char
+
+
+def test_editdist1_random_brute_force_sweep(spark):
+    import numpy as np
+    from pandarus_spark.operators.dedup import (editdist1_pairs,
+                                                editdist1_pairs_sql)
+    rng = np.random.default_rng(13)
+    alph = "abc"
+    rows = [(i, "".join(rng.choice(list(alph),
+                                   size=rng.integers(0, 5))), "s")
+            for i in range(60)]
+    out = sorted(tuple(r) for r in
+                 editdist1_pairs(_docs(spark, rows)).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}', 's')" for i, t, _ in rows) +
+                ") t(doc_id, text, source)")
+    orows = sorted(tuple(r) for r in
+                   con.execute(editdist1_pairs_sql()).fetchall())
+    assert out == orows                    # recall-1 theorem, measured
